@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Headline-query benchmark. Prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Runs the corpus headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``. Each query is
+executed once warm-up-free except a tiny catalog-priming no-op; the
+per-query number is wall-clock of plan + execute + collect-to-driver
+(count only, results stay distributed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark import get_spark  # noqa: E402
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus  # noqa: E402
+
+# Headline set: the flagship physics query plus the heaviest relational /
+# text / vector queries — the ones whose plans matter at 100 TB.
+HEADLINE = [
+    "survival_curve",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "stratified_split",
+    "augment_rotations",
+    "window_topk_per_group",
+    "sessionize_events",
+    "dedup_exact",
+    "ngram_jaccard_adjacent",
+    "cosine_topk",
+    "text_token_stats",
+    "doc_fingerprint",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    reg = corpus()
+    names = [n for n in HEADLINE if n in reg]
+    # prime: JVM + catalog warm (not counted)
+    reg[names[0]].fn(spark, sf_dir).limit(1).count()
+    timings: dict[str, float] = {}
+    t_total0 = time.time()
+    for name in names:
+        t0 = time.time()
+        df = reg[name].fn(spark, sf_dir)
+        df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s", file=sys.stderr)
+    total = round(time.time() - t_total0, 3)
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,9 @@
+"""Oracle-checked corpus modules — importing this package registers
+every query into the registry (see ``registry.py``)."""
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import (  # noqa: F401
+    kascade,
+    relational,
+    text,
+    vectors,
+)

@@ -1,0 +1,560 @@
+"""KASCADE physics operator corpus (SURVEY §2.2–2.6, §2.12 data prep).
+
+Each query re-expresses one reference operation as a lazy DataFrame
+plan over the deterministic shower/grid derivations in ``common.py``,
+with a DuckDB oracle twin. Reference citations inline per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.functions import physics
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.survival import histogram, survival_curve
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.common import (
+    GRID_CTE,
+    RND_SQL,
+    SHOWER_CTE,
+    detector_grid,
+    rnd_col,
+    shower_frame,
+)
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------- flagship
+@register(
+    "survival_curve",
+    survey_ref="P3,A5,A6,A9",
+    oracle=f"""
+WITH {SHOWER_CTE},
+band AS (
+  SELECT label, p FROM shower
+  WHERE ze >= 0 AND ze < 30 AND lg_e >= 15 AND lg_e < 16
+),
+binned AS (
+  SELECT label,
+         CAST(LEAST(CAST(FLOOR(p / 0.01) AS BIGINT), 99) AS INTEGER) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS bin_count
+  FROM band GROUP BY 1, 2
+)
+SELECT label, bin, bin_count,
+       CAST(SUM(bin_count) OVER (PARTITION BY label ORDER BY bin) AS BIGINT) AS cum_count,
+       CAST(SUM(bin_count) OVER (PARTITION BY label) AS BIGINT) AS class_total,
+       CAST(SUM(bin_count) OVER (PARTITION BY label ORDER BY bin) AS DOUBLE)
+         / CAST(SUM(bin_count) OVER (PARTITION BY label) AS BIGINT) AS surviving_frac
+FROM binned
+""",
+)
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: survival curve in the analysis band (gamma vs proton
+    fraction below each score threshold), the reference's scientific
+    payoff (`train_classification.py:284-312`). Band filter P3 →
+    histogram A5 → cumulative window A6 → normalize A9."""
+    band = shower_frame(spark, sf_dir).filter(
+        (F.col("ze") >= 0) & (F.col("ze") < 30) & (F.col("lg_e") >= 15) & (F.col("lg_e") < 16)
+    )
+    curve = survival_curve(band, label_col="label", prob_col="p", nbins=100)
+    # keep bin_count in the output so the histogram itself is checked
+    hist = histogram(band, "p", 100, by=["label"])
+    return (
+        hist.join(curve, ["label", "bin"])
+        .select("label", "bin", "bin_count", "cum_count", "class_total", "surviving_frac")
+    )
+
+
+# ------------------------------------------------------------- histograms
+@register(
+    "histogram_value",
+    survey_ref="A5",
+    oracle="""
+SELECT CAST(LEAST(CAST(FLOOR(value / 10.0) AS BIGINT), 39) AS INTEGER) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS bin_count
+FROM events GROUP BY 1
+""",
+)
+def q_histogram_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (np.histogram semantics,
+    `train_classification.py:295-299`) over events.value, 40 bins of
+    width 10 on [0, 400), top bin clamped."""
+    ev = load_table(spark, sf_dir, "events")
+    return histogram(ev, "value", nbins=40, lo=0.0, hi=400.0)
+
+
+# ------------------------------------------------ projection + band filter
+@register(
+    "band_filter_project",
+    survey_ref="P1,P2,P3",
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT event_id, lg_e, ze, p
+FROM shower
+WHERE ze >= 0 AND ze < 30 AND lg_e >= 15 AND lg_e < 16
+""",
+)
+def q_band_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive range filter + column-subset projection
+    (`train_classification.py:288-293`, `:209-216`). Catalyst pushes
+    both into the parquet scan."""
+    return (
+        shower_frame(spark, sf_dir)
+        .filter((F.col("ze") >= 0) & (F.col("ze") < 30) & (F.col("lg_e") >= 15) & (F.col("lg_e") < 16))
+        .select("event_id", "lg_e", "ze", "p")
+    )
+
+
+# --------------------------------------------------------- trig functions
+@register(
+    "direction_cosines",
+    survey_ref="F2,T3",
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT event_id,
+       ROUND(SIN(RADIANS(ze)) * COS(RADIANS(az)), 6) AS dir_x,
+       ROUND(SIN(RADIANS(ze)) * SIN(RADIANS(az)), 6) AS dir_y,
+       ROUND(COS(RADIANS(ze)), 6) AS dir_z
+FROM shower
+""",
+)
+def q_direction_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical→Cartesian direction cosines
+    (`create_train_valid_test_datasets.py:96-101,134-139`) as pure trig
+    column expressions (astropy latitude = 90 − Ze convention)."""
+    df = shower_frame(spark, sf_dir)
+    dx, dy, dz = physics.direction_cosines(F.col("ze"), F.col("az"))
+    return df.select(
+        "event_id",
+        F.round(dx, 6).alias("dir_x"),
+        F.round(dy, 6).alias("dir_y"),
+        F.round(dz, 6).alias("dir_z"),
+    )
+
+
+@register(
+    "spherical_roundtrip",
+    survey_ref="F2,F3",
+    oracle=f"""
+WITH {SHOWER_CTE},
+cart AS (
+  SELECT event_id, ze, az,
+         SIN(RADIANS(ze)) * COS(RADIANS(az)) AS x,
+         SIN(RADIANS(ze)) * SIN(RADIANS(az)) AS y,
+         COS(RADIANS(ze)) AS z
+  FROM shower
+)
+SELECT event_id,
+       ROUND(DEGREES(ACOS(z)), 6) AS ze_rt,
+       CASE WHEN x = 0 AND y = 0 THEN 0.0
+            ELSE ROUND(((DEGREES(ATAN2(y, x)) % 360) + 360) % 360, 6)
+       END AS az_rt
+FROM cart
+""",
+)
+def q_spherical_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian→spherical inverse (`to_R_astropy`,
+    `create_train_valid_test_datasets.py:104-110`): round-trips the
+    direction cosines back to (ze, az)."""
+    df = shower_frame(spark, sf_dir)
+    dx, dy, dz = physics.direction_cosines(F.col("ze"), F.col("az"))
+    cart = df.select("event_id", dx.alias("x"), dy.alias("y"), dz.alias("z"))
+    ze_rt, az_rt = physics.cartesian_to_spherical(F.col("x"), F.col("y"), F.col("z"))
+    return cart.select(
+        "event_id",
+        F.round(ze_rt, 6).alias("ze_rt"),
+        F.round(az_rt, 6).alias("az_rt"),
+    )
+
+
+# ---------------------------------------------------------- 90° rotations
+def _rotations_union(grid: DataFrame, ks: list[int]) -> DataFrame:
+    parts = []
+    for k in ks:
+        rx, ry = physics.rotate_grid_index(F.col("ix"), F.col("iy"), k)
+        parts.append(
+            grid.select(
+                F.lit(k).cast("int").alias("k"),
+                "event_id",
+                rx.alias("ix"),
+                ry.alias("iy"),
+                "edep",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "rotate_grid",
+    survey_ref="T1,T4",
+    oracle=f"""
+WITH {GRID_CTE}
+SELECT 0 AS k, event_id, ix, iy, edep FROM grid
+UNION ALL SELECT 1 AS k, event_id, 15 - iy AS ix, ix AS iy, edep FROM grid
+UNION ALL SELECT 2 AS k, event_id, 15 - ix AS ix, 15 - iy AS iy, edep FROM grid
+UNION ALL SELECT 3 AS k, event_id, iy AS ix, 15 - ix AS iy, edep FROM grid
+""",
+)
+def q_rotate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """np.rot90 on the long-form detector grid
+    (`create_train_valid_test_datasets.py:72-74`): each rotation is a
+    pure projection (no shuffle), stacked with UNION ALL (T4)."""
+    return _rotations_union(detector_grid(spark, sf_dir), [0, 1, 2, 3])
+
+
+@register(
+    "rotate_azimuth_core",
+    survey_ref="F4,F5,T2",
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT event_id, k,
+       ((az + 90.0 * k) % 360 + 360) % 360 AS az_rot,
+       CASE WHEN k IN (1, 2) THEN -core_x ELSE core_x END AS core_x_rot,
+       CASE WHEN k IN (2, 3) THEN -core_y ELSE core_y END AS core_y_rot
+FROM shower, (SELECT UNNEST([0, 1, 2, 3]) AS k)
+""",
+)
+def q_rotate_azimuth_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event feature rotation (`rotate_x_y_Az`,
+    `create_train_valid_test_datasets.py:57-68`): azimuth + 90°k with
+    wraparound, core-coordinate sign flips — composed column
+    expressions, no apply_along_axis loop."""
+    df = shower_frame(spark, sf_dir)
+    parts = []
+    for k in range(4):
+        az_rot = physics.rotate_azimuth(F.col("az"), k)
+        cx, cy = physics.rotate_core(F.col("core_x"), F.col("core_y"), k)
+        parts.append(
+            df.select(
+                "event_id",
+                F.lit(k).cast("int").alias("k"),
+                az_rot.alias("az_rot"),
+                cx.alias("core_x_rot"),
+                cy.alias("core_y_rot"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "augment_rotations",
+    survey_ref="X2,T1,T4",
+    oracle=f"""
+WITH {GRID_CTE},
+aug AS (
+  SELECT 0 AS k, event_id, ix, iy, edep FROM grid
+  UNION ALL SELECT 1 AS k, event_id, 15 - iy, ix, edep FROM grid
+    WHERE (event_id * 2654435762 % 4294967296) / 4294967296.0 < 0.3
+  UNION ALL SELECT 2 AS k, event_id, 15 - ix, 15 - iy, edep FROM grid
+    WHERE (event_id * 2654435763 % 4294967296) / 4294967296.0 < 0.3
+  UNION ALL SELECT 3 AS k, event_id, iy, 15 - ix, edep FROM grid
+    WHERE (event_id * 2654435764 % 4294967296) / 4294967296.0 < 0.3
+)
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(edep * (iy * 16 + ix)), 4) AS checksum
+FROM aug GROUP BY k
+""",
+)
+def q_augment_rotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotation augmentation: sample ~30% per rotation THEN rotate
+    (the reference rotates everything first and samples after —
+    `create_train_valid_test_datasets.py:72-80` — an anti-optimization
+    Catalyst's filter-through-projection pushdown removes). Uses a
+    deterministic multiplicative-hash draw so the oracle reproduces the
+    sample exactly."""
+    grid = detector_grid(spark, sf_dir)
+    parts = [
+        grid.select(F.lit(0).cast("int").alias("k"), "event_id", "ix", "iy", "edep")
+    ]
+    for k in (1, 2, 3):
+        draw = (F.col("event_id") * (2654435761 + k) % 4294967296) / F.lit(4294967296.0)
+        sampled = grid.filter(draw < 0.3)
+        rx, ry = physics.rotate_grid_index(F.col("ix"), F.col("iy"), k)
+        parts.append(
+            sampled.select(
+                F.lit(k).cast("int").alias("k"), "event_id", rx.alias("ix"), ry.alias("iy"), "edep"
+            )
+        )
+    aug = parts[0]
+    for p in parts[1:]:
+        aug = aug.unionByName(p)
+    return aug.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("edep") * (F.col("iy") * 16 + F.col("ix"))), 4).alias("checksum"),
+    )
+
+
+# ------------------------------------------------------- stratified split
+@register(
+    "stratified_split",
+    survey_ref="X1,X3",
+    oracle=f"""
+WITH {SHOWER_CTE},
+ranked AS (
+  SELECT label, event_id,
+         percent_rank() OVER (PARTITION BY label ORDER BY {RND_SQL}, event_id) AS pr
+  FROM shower
+),
+assigned AS (
+  SELECT label,
+         CASE WHEN pr < 0.6 THEN 'train' WHEN pr < 0.8 THEN 'valid' ELSE 'test' END AS split
+  FROM ranked
+)
+SELECT label, split, CAST(COUNT(*) AS BIGINT) AS n
+FROM assigned GROUP BY label, split
+""",
+)
+def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified train/valid/test split
+    (`create_train_valid_test_datasets.py:119-127`): percent_rank over
+    a seeded deterministic draw within each class, bucketed at
+    0.6/0.8 — exact per-class proportions, unlike sampleBy. One shuffle
+    on the class key; at scale the window runs per-class-partition."""
+    df = shower_frame(spark, sf_dir)
+    w = Window.partitionBy("label").orderBy(rnd_col().asc(), F.col("event_id").asc())
+    assigned = df.select(
+        "label",
+        F.when(F.percent_rank().over(w) < 0.6, F.lit("train"))
+        .when(F.percent_rank().over(w) < 0.8, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    return assigned.groupBy("label", "split").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ------------------------------------------------------- one-hot / argmax
+@register(
+    "onehot_argmax",
+    survey_ref="T7,T8",
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT event_id,
+       CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS oh_gamma,
+       CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END AS oh_proton,
+       CAST(CASE WHEN (CASE WHEN label = 1 THEN 1.0 ELSE 0.0 END) >
+                      (CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END)
+            THEN 1 ELSE 0 END AS INTEGER) AS decoded
+FROM shower
+""",
+)
+def q_onehot_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-hot encode + argmax decode round trip (`dataset.py:12`,
+    `tools.py:26`) as column expressions."""
+    df = shower_frame(spark, sf_dir)
+    oh0 = F.when(F.col("label") == 0, 1.0).otherwise(0.0)
+    oh1 = F.when(F.col("label") == 1, 1.0).otherwise(0.0)
+    return df.select(
+        "event_id",
+        oh0.alias("oh_gamma"),
+        oh1.alias("oh_proton"),
+        F.when(oh1 > oh0, 1).otherwise(0).cast("int").alias("decoded"),
+    )
+
+
+# ------------------------------------------------------------ scaler fit
+@register(
+    "scaler_fit",
+    survey_ref="A1,A2",
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(core_x), 6) AS core_x_mean,
+       ROUND(STDDEV_POP(core_x), 6) AS core_x_std,
+       ROUND(AVG(ze), 6) AS ze_mean,
+       ROUND(STDDEV_POP(ze), 6) AS ze_std,
+       ROUND(MIN(p), 6) AS p_min,
+       ROUND(MAX(p), 6) AS p_max
+FROM shower
+""",
+)
+def q_scaler_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardScaler / MinMaxScaler fit = one aggregate over the data
+    (`train_classification.py:179-191`; sklearn uses population std).
+    Map-side partial aggregation makes this one short shuffle at any
+    scale."""
+    df = shower_frame(spark, sf_dir)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("core_x"), 6).alias("core_x_mean"),
+        F.round(F.stddev_pop("core_x"), 6).alias("core_x_std"),
+        F.round(F.avg("ze"), 6).alias("ze_mean"),
+        F.round(F.stddev_pop("ze"), 6).alias("ze_std"),
+        F.round(F.min("p"), 6).alias("p_min"),
+        F.round(F.max("p"), 6).alias("p_max"),
+    )
+
+
+@register(
+    "scaler_apply",
+    survey_ref="F7,F6",
+    oracle=f"""
+WITH {SHOWER_CTE},
+params AS (
+  SELECT AVG(core_x) AS mu, STDDEV_POP(core_x) AS sigma,
+         MIN(p) AS p_lo, MAX(p) AS p_hi
+  FROM shower WHERE {RND_SQL} < 0.6
+)
+SELECT s.event_id,
+       ROUND((s.core_x - p.mu) / p.sigma, 6) AS core_x_std,
+       ROUND((s.p - p.p_lo) / (p.p_hi - p.p_lo), 6) AS p_minmax
+FROM shower s, params p
+""",
+)
+def q_scaler_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit-on-train / apply-everywhere scaling
+    (`train_classification.py:193-200`, `evaluate_classification.py:59-66`):
+    the fitted params are a 1-row relation broadcast-cross-joined onto
+    the events — the Spark form of cross-run fitted state."""
+    df = shower_frame(spark, sf_dir)
+    train = df.filter(rnd_col() < 0.6)
+    params = train.agg(
+        F.avg("core_x").alias("mu"),
+        F.stddev_pop("core_x").alias("sigma"),
+        F.min("p").alias("p_lo"),
+        F.max("p").alias("p_hi"),
+    )
+    return df.crossJoin(F.broadcast(params)).select(
+        "event_id",
+        F.round(physics.standardize(F.col("core_x"), F.col("mu"), F.col("sigma")), 6).alias("core_x_std"),
+        F.round(physics.minmax_scale(F.col("p"), F.col("p_lo"), F.col("p_hi")), 6).alias("p_minmax"),
+    )
+
+
+# -------------------------------------------------------- class weighting
+@register(
+    "class_weights",
+    survey_ref="A3,M3",
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CASE WHEN label = 1 THEN 80.0 ELSE 1.0 END / COUNT(*), 8) AS weight
+FROM shower GROUP BY label
+""",
+)
+def q_class_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-frequency loss weights: 1/count with the 80× proton boost
+    (`train_classification.py:234-236`, default at `:34`)."""
+    df = shower_frame(spark, sf_dir)
+    return (
+        df.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "n",
+            F.round(
+                F.when(F.col("label") == 1, F.lit(80.0)).otherwise(F.lit(1.0)) / F.col("n"), 8
+            ).alias("weight"),
+        )
+    )
+
+
+# --------------------------------------------------- confusion / accuracy
+@register(
+    "confusion_matrix",
+    survey_ref="A7",
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT label, CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS INTEGER) AS pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM shower GROUP BY 1, 2
+""",
+)
+def q_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix the reference intended but never filled (its
+    `cm_valid` is allocated and read but not written —
+    `train_classification.py:118,131,151-152`)."""
+    df = shower_frame(spark, sf_dir)
+    return (
+        df.select("label", F.when(F.col("p") >= 0.5, 1).otherwise(0).cast("int").alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "per_class_accuracy",
+    survey_ref="A7,P5,A4",
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT label,
+       CAST(SUM(CASE WHEN (CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) = label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       ROUND(SUM(CASE WHEN (CASE WHEN p >= 0.5 THEN 1 ELSE 0 END) = label THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS acc
+FROM shower GROUP BY label
+""",
+)
+def q_per_class_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class accuracy (`gm_accuracy`/`pr_accuracy`,
+    `train_classification.py:151-152`) via conditional aggregation."""
+    df = shower_frame(spark, sf_dir)
+    pred = F.when(F.col("p") >= 0.5, 1).otherwise(0)
+    correct = F.when(pred == F.col("label"), 1).otherwise(0)
+    return df.groupBy("label").agg(
+        F.sum(correct).alias("n_correct"),
+        F.count(F.lit(1)).alias("n_total"),
+        F.round(F.sum(correct) / F.count(F.lit(1)), 6).alias("acc"),
+    )
+
+
+# ------------------------------------------------------------ log1p edep
+@register(
+    "log1p_edep",
+    survey_ref="F1,T6",
+    oracle=f"""
+WITH {GRID_CTE}
+SELECT event_id, ix, iy, ROUND(LN(1 + edep), 6) AS log_edep
+FROM grid
+""",
+)
+def q_log1p_edep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log1p transform of the energy-deposit channel
+    (`train_classification.py:185,194`)."""
+    grid = detector_grid(spark, sf_dir)
+    return grid.select("event_id", "ix", "iy", F.round(physics.log1p_edep(F.col("edep")), 6).alias("log_edep"))
+
+
+# -------------------------------------------------- wide↔long round trip
+@register(
+    "grid_wide_long_roundtrip",
+    survey_ref="T6,T5",
+    oracle=f"""
+WITH {GRID_CTE}
+SELECT event_id, ROUND(SUM(edep * (iy * 16 + ix)), 4) AS checksum,
+       CAST(COUNT(*) AS BIGINT) AS n_cells
+FROM grid GROUP BY event_id
+""",
+)
+def q_grid_wide_long_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide→long grid conversion (`train_classification.py:184-190`
+    flatten/reshape): pack each event's cells into a position-ordered
+    256-slot array, then posexplode back and checksum position↔value —
+    proves the layout transpose preserves alignment."""
+    grid = detector_grid(spark, sf_dir)
+    wide = (
+        grid.select("event_id", (F.col("iy") * 16 + F.col("ix")).alias("pos"), "edep")
+        .groupBy("event_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("edep")))),
+                lambda s: s.getField("edep"),
+            ).alias("edep_arr"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("edep")))),
+                lambda s: s.getField("pos"),
+            ).alias("pos_arr"),
+        )
+    )
+    long_again = wide.select(
+        "event_id", F.explode(F.arrays_zip(F.col("pos_arr"), F.col("edep_arr"))).alias("cell")
+    ).select("event_id", F.col("cell.pos_arr").alias("pos"), F.col("cell.edep_arr").alias("edep"))
+    return long_again.groupBy("event_id").agg(
+        F.round(F.sum(F.col("edep") * F.col("pos")), 4).alias("checksum"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )

@@ -1,0 +1,281 @@
+"""Text-analysis + deduplication corpus over ``documents`` (north-star
+LLM-data-pipeline operators; SURVEY §7 M5).
+
+All token math uses single-space splitting so Spark ``split`` and
+DuckDB ``string_split`` agree exactly; shingle/pair queries keep the
+join keyed (doc-adjacent pairs) so the oracle stays polynomial-safe at
+sf0.01 while the unkeyed LSH variants live in ``operators/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    return df.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+
+
+@register(
+    "text_token_stats",
+    survey_ref="M5:text",
+    oracle="""
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS len_chars,
+       CAST(LEN(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       ROUND((LENGTH(text) - LEN(string_split(text, ' ')) + 1) * 1.0
+             / LEN(string_split(text, ' ')), 6) AS avg_token_len
+FROM documents
+""",
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality arithmetic per document."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("len_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        F.round((F.length("text") - n_tok + 1) / n_tok, 6).alias("avg_token_len"),
+    )
+
+
+@register(
+    "word_frequency",
+    survey_ref="M5:text",
+    oracle="""
+SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+""",
+)
+def q_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term frequency: explode + hash aggregate + top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(20)
+    )
+
+
+@register(
+    "lang_stopword_rate",
+    survey_ref="M5:text",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+       ROUND(SUM(CASE WHEN tok IN ('the', 'a') THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS stop_rate
+FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents) t
+GROUP BY lang
+""",
+)
+def q_lang_stopword_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic primitive: per-language stopword hit rate
+    (an n-gram/stopword scorer is how cheap lang-ID works at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    stop_hit = F.when(F.col("tok").isin("the", "a"), 1).otherwise(0)
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(stop_hit).alias("n_stop"),
+        F.round(F.sum(stop_hit) / F.count(F.lit(1)), 6).alias("stop_rate"),
+    )
+
+
+@register(
+    "doc_quality_score",
+    survey_ref="M5:text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+       ROUND(COUNT(DISTINCT tok) * 1.0 / COUNT(*), 6) AS type_token_ratio
+FROM toks GROUP BY doc_id
+""",
+)
+def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: lexical diversity (type/token ratio) per doc —
+    computed on the token arrays without a shuffle (array_distinct)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("type_token_ratio"),
+    )
+
+
+@register(
+    "dedup_exact",
+    survey_ref="M5:dedup,§2.10",
+    oracle="""
+WITH groups AS (
+  SELECT text, CAST(MIN(doc_id) AS BIGINT) AS canonical_id, COUNT(*) AS n_copies
+  FROM documents GROUP BY text
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_unique,
+       CAST(COALESCE(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_groups,
+       CAST(COALESCE(SUM(n_copies - 1), 0) AS BIGINT) AS n_redundant
+FROM groups
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash groupBy on the full text — at scale the
+    groupBy key would be xxhash64(text) to shrink shuffle payloads
+    (see operators/dedup.py); counts are identical."""
+    d = load_table(spark, sf_dir, "documents")
+    groups = d.groupBy("text").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.coalesce(F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0)), F.lit(0)).alias("n_dup_groups"),
+        F.coalesce(F.sum(F.col("n_copies") - 1), F.lit(0)).alias("n_redundant"),
+    )
+
+
+@register(
+    "dedup_prefix_groups",
+    survey_ref="M5:dedup",
+    oracle="""
+WITH pfx AS (
+  SELECT doc_id,
+         array_to_string(string_split(text, ' ')[1:5], ' ') AS prefix
+  FROM documents
+)
+SELECT prefix, CAST(MIN(doc_id) AS BIGINT) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pfx GROUP BY prefix HAVING COUNT(*) > 1
+""",
+)
+def q_dedup_prefix_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup blocking by normalized 5-token prefix: the blocking
+    stage of fingerprint dedup (group → canonical id = min doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 5))
+    return (
+        d.select("doc_id", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "ngram_jaccard_adjacent",
+    survey_ref="M5:dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT t1.doc_id, t1.tok || ' ' || t2.tok || ' ' || t3.tok AS shingle
+  FROM toks t1
+  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.pos = t1.pos + 2
+),
+counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b, CAST(c.n_common AS BIGINT) AS n_common,
+       ROUND(c.n_common * 1.0 / (ca.n_sh + cb.n_sh - c.n_common), 6) AS jaccard
+FROM common c
+JOIN counts ca ON ca.doc_id = c.doc_a
+JOIN counts cb ON cb.doc_id = c.doc_b
+""",
+)
+def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard similarity between id-adjacent document
+    pairs: the verification stage of near-dup dedup (the candidate
+    generation stage is MinHash-LSH, operators/dedup.py — this keyed
+    variant is the oracle-checkable twin)."""
+    d = load_table(spark, sf_dir, "documents")
+    # Shingle-set comparison WITHOUT exploding: keep each doc's distinct
+    # 3-gram shingles as an array column, equi-join the candidate pairs
+    # (here: id-adjacent docs) and take size(array_intersect(...)).
+    # The data volume through the join is one row per doc, not one row
+    # per shingle — at 100 TB the explode+self-join alternative shuffles
+    # ~50× more rows to compute the same counts. Also: materialize the
+    # token array once per row first (feeding the raw split() expression
+    # into element_at re-splits the text per element — measured 30×
+    # slower), and repartition the single-file scan so the shingle
+    # transform parallelizes.
+    tok = (
+        d.repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", F.split(F.col("text"), " ").alias("t"))
+        .filter(F.size("t") >= 3)
+    )
+    t = F.col("t")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(t, i + 1),
+                F.element_at(t, i + 2),
+                F.element_at(t, i + 3),
+            ),
+        )
+    )
+    sh = tok.select("doc_id", shingles.alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pair = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    n_common = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    n_union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - n_common
+    return (
+        pair.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            n_common.cast("long").alias("n_common"),
+            F.round(n_common / n_union, 6).alias("jaccard"),
+        )
+        .filter(F.col("n_common") > 0)
+    )
+
+
+@register(
+    "doc_fingerprint",
+    survey_ref="M5:text",
+    oracle="""
+SELECT doc_id,
+       CAST(SUM(pos * LENGTH(tok)) % 1000000007 AS BIGINT) AS fingerprint
+FROM (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+) t GROUP BY doc_id
+""",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-weighted document fingerprint (order-sensitive rolling
+    checksum): exact integer arithmetic so the oracle matches; the
+    production-strength 64-bit variant (xxhash64 simhash) is in
+    operators/dedup.py (rows-only check)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+    )
+    return toks.groupBy("doc_id").agg(
+        (F.sum((F.col("pos0") + 1) * F.length("tok")) % 1000000007).alias("fingerprint")
+    )

@@ -1,0 +1,139 @@
+"""Similarity-search corpus over ``embeddings`` (north-star M5).
+
+Cosine math is done in float64 after explicit casts from the stored
+float32 — per-element products of float32 values are exact in float64
+(24+24 significand bits < 53) and both engines left-fold the 64-element
+sums in the same order, so scores are bit-identical before rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _sq_norm(col):
+    return F.aggregate(_as_double(col), F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+@register(
+    "embedding_norms",
+    survey_ref="M5:similarity",
+    oracle="""
+SELECT vec_id, label,
+       ROUND(SQRT(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+FROM embeddings
+""",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm per embedding via higher-order array fold — stays inside
+    whole-stage codegen, no UDF, no shuffle."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", F.round(F.sqrt(_sq_norm(F.col("embedding"))), 4).alias("l2_norm"))
+
+
+@register(
+    "cosine_topk",
+    survey_ref="M5:similarity",
+    oracle="""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+pairs AS (
+  SELECT e.vec_id, e.label,
+         list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE))) AS dot,
+         SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+         SQRT(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label, ROUND(dot / (na * nq), 6) AS cosine
+FROM pairs
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a query vector: broadcast the
+    1-row query, fold the dot product JVM-side, TakeOrderedAndProject
+    the top-k — the exact-scoring baseline ANN re-ranks against."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    pairs = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    cosine = F.round(
+        _dot(F.col("embedding"), F.col("qe"))
+        / (F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("qe")))),
+        6,
+    )
+    return (
+        pairs.select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "centroid_per_label",
+    survey_ref="M5:similarity",
+    oracle="""
+SELECT label, CAST(pos AS INTEGER) AS pos,
+       ROUND(AVG(x), 6) AS centroid_val,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT label,
+         CAST(unnest(embedding) AS DOUBLE) AS x,
+         generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+) t GROUP BY label, pos
+""",
+)
+def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class centroid (the reduce step of IVF coarse quantization /
+    k-means): posexplode + hash aggregate on (label, dim) — one shuffle
+    whose key count is n_labels × dim regardless of row count."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos0", "x")
+    )
+    return (
+        exploded.groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(F.round(F.avg("x"), 6).alias("centroid_val"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "lsh_bucket_histogram",
+    survey_ref="M5:similarity",
+    oracle="""
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+  SELECT (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings
+) t GROUP BY bucket
+""",
+)
+def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection (SimHash-style) LSH bucketing on the
+    first 4 dims: the partition-by-bucket step that makes ANN scale —
+    candidates only compare within a bucket. Bucket occupancy histogram
+    is the oracle-checkable part; the full ANN join is
+    operators/similarity.py (rows-only)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = sum(
+        F.when(F.element_at(F.col("embedding"), i + 1) >= 0, 1 << i).otherwise(0) for i in range(4)
+    )
+    return e.select(bucket.alias("bucket")).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,62 @@
+"""Parquet table catalog over the driver's star-schema fixtures.
+
+Replaces the reference's keyed NPZ/NPY dense-array scans
+(``create_train_valid_test_datasets.py:116-117``,
+``train_classification.py:171-177``) with schema-carrying columnar
+scans: ``spark.read.parquet`` gives predicate pushdown + column
+pruning for free, which the reference performed by hand
+(``train_classification.py:209-216``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table (schema comes from parquet).
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS); Spark reads it as a
+    nano-epoch long (``spark.sql.legacy.parquet.nanosAsLong``) and we
+    rebuild a microsecond timestamp here — lossless for the fixture's
+    microsecond-precision values and matching DuckDB's reading.
+    """
+    if name == "events":
+        # Dynamic SQL conf — set here (not only in our session factory)
+        # so the driver-owned SparkSession can read the nanos fixture too.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view so the SQL surface
+    (``spark.sql``) sees the same catalog the DataFrame API does."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
