@@ -1,0 +1,183 @@
+"""Deduplication operators (north-star M5; SURVEY §2.10, §7).
+
+The reference has no dedup (its only set op is the lockstep union,
+``create_train_valid_test_datasets.py:81-92``); these are the
+LLM-data-pipeline operators the engine adds as first-class citizens:
+
+  * exact dedup        — hash groupBy (queries/text.py::dedup_exact)
+  * MinHash + LSH      — :func:`minhash_signatures`, :func:`lsh_candidate_pairs`
+  * SimHash            — :func:`simhash_fingerprints`
+  * n-gram Jaccard     — verify stage, :func:`jaccard_verify`
+  * embedding cosine   — queries/vectors.py (LSH-bucketed near-dup)
+
+Design for 100 TB:
+  * Every hash is **exact integer arithmetic over a token-id
+    dictionary** (deterministic across engines AND across cluster
+    re-runs — no JVM-hash dependence), built once and broadcast.
+  * The only event-scale shuffles are (doc_id → signature) partial
+    aggregates and the band-bucket exchange, both with bounded keys.
+  * Candidate pairs never materialize the cross product: docs meet only
+    inside an LSH band bucket; the verify join moves token-id *arrays*
+    (one row per doc), not exploded tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Hash family h_i(x) = (A_i·x + B_i) mod P over integer token ids.
+# P prime > any vocab size we expect per partition-dictionary epoch;
+# A/B fixed odd constants so runs are reproducible.
+P = 1_000_003
+A = (5, 13, 31, 61, 127, 251, 509, 1021)
+B = (1, 7, 17, 37, 67, 131, 257, 521)
+N_HASH = 8
+BAND_SIZE = 2  # 4 bands × 2 rows
+
+
+def doc_tokens(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle: int = 3
+) -> DataFrame:
+    """Distinct (doc_id, tok) pairs. ``shingle`` > 1 uses n-gram
+    shingles (the standard near-dup set representation — unigram sets
+    are not selective when the corpus shares a small vocabulary);
+    ``shingle=1`` gives plain token sets. The token array materializes
+    once per row before the shingle transform (element_at over a raw
+    split() expression re-splits the text per element)."""
+    if shingle <= 1:
+        return (
+            docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+            .dropDuplicates([id_col, "tok"])
+        )
+    tok = docs.select(id_col, F.split(F.col(text_col), " ").alias("t")).filter(
+        F.size("t") >= shingle
+    )
+    t = F.col("t")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - shingle),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + k + 1) for k in range(shingle)]),
+        )
+    )
+    return tok.select(id_col, F.explode(shingles).alias("tok"))
+
+
+def token_vocab(toks: DataFrame) -> DataFrame:
+    """Deterministic token → integer-id dictionary: row_number over the
+    binary-sorted distinct tokens. The global window runs on the
+    *vocabulary* (≪ corpus size; bounded by distinct terms), not the
+    corpus — at larger scale swap in a precomputed dictionary table and
+    this stays a broadcast join."""
+    w = Window.orderBy("tok")
+    return toks.select("tok").distinct().select("tok", F.row_number().over(w).alias("tok_id"))
+
+
+def doc_token_ids(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle: int = 3
+) -> DataFrame:
+    toks = doc_tokens(docs, text_col, id_col, shingle)
+    vocab = token_vocab(toks)
+    return toks.join(F.broadcast(vocab), "tok").select(id_col, "tok_id")
+
+
+def minhash_signatures(tid: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """N_HASH-wide MinHash signature per doc: one partial-aggregated
+    shuffle keyed on doc_id; signature cardinality is fixed, so the
+    output is O(docs) regardless of token volume."""
+    aggs = [
+        F.min((F.lit(A[i]) * F.col("tok_id") + F.lit(B[i])) % F.lit(P)).alias(f"mh_{i}")
+        for i in range(N_HASH)
+    ]
+    return tid.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (banding trick): docs sharing any band key
+    become candidates. Key = positional fold of the band's rows."""
+    n_bands = N_HASH // BAND_SIZE
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                # cast first: mh·P ~ 1e12 overflows int32 (ANSI mode errors)
+                (F.col(f"mh_{2 * b}").cast("long") * F.lit(P) + F.col(f"mh_{2 * b + 1}")).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig.select(id_col, F.explode(bands).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate (doc_a < doc_b) pairs sharing ≥1 LSH band
+    bucket. The self-join is keyed on (band, key) — the only pairs ever
+    materialized are within-bucket, the LSH scale guarantee."""
+    bands = lsh_bands(sig, id_col)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def jaccard_verify(pairs: DataFrame, tid: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs. Token-id sets are
+    carried as sorted arrays (one row per doc) so the pair join moves
+    O(pairs) rows; the intersection is a JVM-side array op."""
+    sets_df = tid.groupBy(id_col).agg(F.sort_array(F.collect_set("tok_id")).alias("tids"))
+    sa = sets_df.select(F.col(id_col).alias("doc_a"), F.col("tids").alias("tids_a"))
+    sb = sets_df.select(F.col(id_col).alias("doc_b"), F.col("tids").alias("tids_b"))
+    n_inter = F.size(F.array_intersect(F.col("tids_a"), F.col("tids_b")))
+    n_union = F.size(F.col("tids_a")) + F.size(F.col("tids_b")) - n_inter
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_inter.cast("long").alias("n_inter"),
+            F.round(n_inter / n_union, 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_duplicates(
+    docs: DataFrame, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Full near-dup pipeline: shingle→minhash→band→bucket-join→verify."""
+    tid = doc_token_ids(docs, text_col, id_col)
+    pairs = lsh_candidate_pairs(minhash_signatures(tid, id_col), id_col)
+    return jaccard_verify(pairs, tid, id_col).filter(F.col("jaccard") >= threshold)
+
+
+# ------------------------------------------------------------------ SimHash
+SIMHASH_BITS = 16
+SIMHASH_MULT = 40_503  # odd multiplier, 16-bit Knuth-style mix
+
+
+def simhash_fingerprints(tid: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """SIMHASH_BITS-bit SimHash per doc over hashed token ids: for each
+    bit, sum ±1 votes across tokens, take the sign. One aggregate with
+    SIMHASH_BITS fixed sums — no per-bit shuffle."""
+    h = (F.col("tok_id") * F.lit(SIMHASH_MULT)) % F.lit(1 << SIMHASH_BITS)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = tid.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v_{j}") >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select(id_col, fp.cast("long").alias("simhash"))

@@ -2,8 +2,11 @@
 every query into the registry (see ``registry.py``)."""
 
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import (  # noqa: F401
+    dedup,
     kascade,
+    ml,
     relational,
+    streaming_queries,
     text,
     vectors,
 )

@@ -1,0 +1,142 @@
+"""Oracle-checked corpus wrappers for the MinHash-LSH / SimHash dedup
+operators (operators/dedup.py). Every hash is exact integer arithmetic
+over a deterministic token-id dictionary, so DuckDB reproduces Spark's
+"random" hashes bit-for-bit — the full near-dup pipeline is
+differential-tested end-to-end, not just rows-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import dedup
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.dedup import (
+    A,
+    B,
+    N_HASH,
+    P,
+    SIMHASH_BITS,
+    SIMHASH_MULT,
+)
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+# Shared oracle CTE: 3-gram shingle sets → deterministic integer
+# vocab → ids (mirrors operators/dedup.py doc_token_ids(shingle=3)).
+TID_CTE = """
+tok_arrays AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+  WHERE LEN(string_split(text, ' ')) >= 3
+),
+toks AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS tok
+  FROM tok_arrays, UNNEST(range(1, LEN(t)-1)) AS r(i)
+),
+vocab AS (
+  SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) AS tok_id
+  FROM (SELECT DISTINCT tok FROM toks) v
+),
+tid AS (SELECT doc_id, tok_id FROM toks JOIN vocab USING (tok))"""
+
+_SIG_COLS = ",\n         ".join(
+    f"MIN(({A[i]}*tok_id+{B[i]})%{P}) AS mh_{i}" for i in range(N_HASH)
+)
+SIG_CTE = f"""
+sig AS (
+  SELECT doc_id,
+         {_SIG_COLS}
+  FROM tid GROUP BY doc_id
+)"""
+
+_BANDS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, mh_{2 * b}*{P}+mh_{2 * b + 1} AS key FROM sig"
+    for b in range(N_HASH // 2)
+)
+
+
+@register(
+    "minhash_signatures",
+    survey_ref="M5:dedup",
+    oracle=f"""
+WITH {TID_CTE},
+{SIG_CTE}
+SELECT doc_id, {", ".join(f"CAST(mh_{i} AS BIGINT) AS mh_{i}" for i in range(N_HASH))}
+FROM sig
+""",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-wide MinHash signature per document over the token-id set."""
+    d = load_table(spark, sf_dir, "documents")
+    tid = dedup.doc_token_ids(d)
+    sig = dedup.minhash_signatures(tid)
+    return sig.select("doc_id", *[F.col(f"mh_{i}").cast("long").alias(f"mh_{i}") for i in range(N_HASH)])
+
+
+@register(
+    "minhash_lsh_neardup",
+    survey_ref="M5:dedup",
+    oracle=f"""
+WITH {TID_CTE},
+{SIG_CTE},
+bands AS (
+  {_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM tid GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN tid ta ON ta.doc_id = c.doc_a
+  JOIN tid tb ON tb.doc_id = c.doc_b AND tb.tok_id = ta.tok_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+       ROUND(i.n_inter * 1.0 / (ca.n + cb.n - i.n_inter), 6) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.doc_a
+JOIN counts cb ON cb.doc_id = i.doc_b
+WHERE ROUND(i.n_inter * 1.0 / (ca.n + cb.n - i.n_inter), 6) >= 0.5
+""",
+)
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup pipeline: minhash → LSH bands → bucket-join
+    candidates → exact Jaccard verify at threshold 0.5."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates(d, threshold=0.5)
+
+
+_VOTES = ",\n    ".join(
+    f"SUM(CASE WHEN ((((tok_id*{SIMHASH_MULT})%{1 << SIMHASH_BITS}) >> {j}) & 1) = 1 "
+    f"THEN 1 ELSE -1 END) AS v_{j}"
+    for j in range(SIMHASH_BITS)
+)
+_FP = " + ".join(
+    f"(CASE WHEN v_{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+)
+
+
+@register(
+    "simhash_fingerprints",
+    survey_ref="M5:dedup",
+    oracle=f"""
+WITH {TID_CTE},
+votes AS (
+  SELECT doc_id,
+    {_VOTES}
+  FROM tid GROUP BY doc_id
+)
+SELECT doc_id, CAST({_FP} AS BIGINT) AS simhash
+FROM votes
+""",
+)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (near-dup docs agree on most bits;
+    Hamming-ball blocking is then a groupBy on bit-slices)."""
+    d = load_table(spark, sf_dir, "documents")
+    tid = dedup.doc_token_ids(d)
+    return dedup.simhash_fingerprints(tid)

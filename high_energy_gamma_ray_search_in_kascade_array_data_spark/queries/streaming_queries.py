@@ -1,0 +1,121 @@
+"""Streaming corpus (SURVEY §2.11): each query drains the events
+fixture through the *incremental* Structured Streaming engine
+(Trigger.AvailableNow → memory sink) and returns the final result —
+which must equal the batch computation, checked by the DuckDB oracle.
+This is the replay-equivalence test streaming engines are graded on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.streaming import core
+
+
+@register(
+    "stream_tumbling_counts",
+    survey_ref="§2.11",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate, drained incrementally;
+    complete mode so every closed window is emitted."""
+    ev = core.read_events_stream(spark, sf_dir)
+    core.run_to_memory(core.tumbling_counts(ev), "stream_tumbling_counts_sink")
+    return spark.table("stream_tumbling_counts_sink")
+
+
+@register(
+    "stream_sliding_counts",
+    survey_ref="§2.11",
+    oracle="""
+WITH starts AS (
+  SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                 time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS window_start
+  FROM events
+)
+SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n
+FROM starts GROUP BY 1
+""",
+)
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2h window, 1h slide): every event lands in two
+    windows; the oracle enumerates both starts per event."""
+    ev = core.read_events_stream(spark, sf_dir)
+    core.run_to_memory(core.sliding_counts(ev), "stream_sliding_counts_sink")
+    return spark.table("stream_sliding_counts_sink")
+
+
+@register(
+    "stream_value_histogram",
+    survey_ref="§2.11,A5",
+    oracle="""
+SELECT CAST(LEAST(CAST(FLOOR(value / 10.0) AS BIGINT), 39) AS INTEGER) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS bin_count
+FROM events GROUP BY 1
+""",
+)
+def q_stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-bin histogram — the streaming reading of the
+    flagship's A5 stage: state bounded by nbins, replay-equivalent to
+    the batch histogram."""
+    ev = core.read_events_stream(spark, sf_dir)
+    core.run_to_memory(core.value_histogram(ev), "stream_value_histogram_sink")
+    return spark.table("stream_value_histogram_sink")
+
+
+@register(
+    "stream_session_windows",
+    survey_ref="§2.11",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes'
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS session_id
+  FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows (30-min gap merge) per user; the
+    oracle re-derives the same sessions with a batch lag/cumsum — the
+    classic gap-based sessionization equivalence."""
+    ev = core.read_events_stream(spark, sf_dir)
+    core.run_to_memory(core.session_counts(ev), "stream_session_windows_sink")
+    return spark.table("stream_session_windows_sink")
+
+
+@register(
+    "stream_dedup_keys",
+    survey_ref="§2.11,§2.10",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_unique
+FROM (SELECT DISTINCT user_id, event_type FROM events) t
+""",
+)
+def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type): the sink
+    holds first-seen rows per key; the checked quantity is the distinct
+    key count (first-seen *values* depend on arrival order)."""
+    ev = core.read_events_stream(spark, sf_dir)
+    dedup = ev.dropDuplicates(["user_id", "event_type"])
+    core.run_to_memory(dedup, "stream_dedup_keys_sink", output_mode="append")
+    return spark.table("stream_dedup_keys_sink").agg(F.count(F.lit(1)).alias("n_unique"))

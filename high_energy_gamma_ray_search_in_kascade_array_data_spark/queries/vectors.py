@@ -130,10 +130,106 @@ def q_lsh_bucket_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-random-projection (SimHash-style) LSH bucketing on the
     first 4 dims: the partition-by-bucket step that makes ANN scale —
     candidates only compare within a bucket. Bucket occupancy histogram
-    is the oracle-checkable part; the full ANN join is
-    operators/similarity.py (rows-only)."""
+    is the oracle-checkable part; the probe/near-dup joins are below."""
     e = load_table(spark, sf_dir, "embeddings")
     bucket = sum(
         F.when(F.element_at(F.col("embedding"), i + 1) >= 0, 1 << i).otherwise(0) for i in range(4)
     )
     return e.select(bucket.alias("bucket")).groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _bucket(col_name: str) -> "F.Column":
+    """4-bit sign-projection bucket of an embedding column."""
+    return sum(
+        F.when(F.element_at(F.col(col_name), i + 1) >= 0, 1 << i).otherwise(0) for i in range(4)
+    )
+
+
+_BUCKET_SQL = """(CASE WHEN {e}[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN {e}[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN {e}[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN {e}[4] >= 0 THEN 8 ELSE 0 END)"""
+
+_DOT_SQL = "list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+_NORM_SQL = "SQRT(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+
+
+@register(
+    "ann_lsh_probe_topk",
+    survey_ref="M5:similarity",
+    oracle=f"""
+WITH q AS (
+  SELECT embedding AS qe, {_BUCKET_SQL.format(e="embedding")} AS qb
+  FROM embeddings WHERE vec_id = 0
+),
+cand AS (
+  SELECT e.vec_id, e.label, e.embedding, q.qe
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0 AND {_BUCKET_SQL.format(e="e.embedding")} = q.qb
+)
+SELECT vec_id, label,
+       ROUND({_DOT_SQL.format(a="embedding", b="qe")}
+             / ({_NORM_SQL.format(a="embedding")} * {_NORM_SQL.format(a="qe")}), 6) AS cosine
+FROM cand
+ORDER BY cosine DESC, vec_id
+LIMIT 5
+""",
+)
+def q_ann_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN query: probe only the query vector's LSH bucket, exact
+    cosine re-rank inside it. At scale the bucket id is the shuffle /
+    storage-partition key, so a probe touches 1/2^bits of the corpus —
+    this is the IVF-style scale path next to cosine_topk's exact scan."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), _bucket("embedding").alias("qb")
+    )
+    cand = e.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q), _bucket("embedding") == F.col("qb")
+    )
+    cosine = F.round(
+        _dot(F.col("embedding"), F.col("qe"))
+        / (F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("qe")))),
+        6,
+    )
+    return (
+        cand.select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+@register(
+    "embedding_near_dup",
+    survey_ref="M5:dedup,M5:similarity",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_BUCKET_SQL.format(e="embedding")} AS bucket
+  FROM embeddings
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       ROUND({_DOT_SQL.format(a="x.embedding", b="y.embedding")}
+             / ({_NORM_SQL.format(a="x.embedding")} * {_NORM_SQL.format(a="y.embedding")}), 6) AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE ROUND({_DOT_SQL.format(a="x.embedding", b="y.embedding")}
+            / ({_NORM_SQL.format(a="x.embedding")} * {_NORM_SQL.format(a="y.embedding")}), 6) >= 0.4
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket equi-join
+    (never the raw cross product) + exact cosine ≥ threshold verify (0.4, calibrated to the synthetic fixture's similarity range) — the
+    embedding analogue of minhash_lsh_neardup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", _bucket("embedding").alias("bucket"))
+    x = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
+    y = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    pair = x.join(y, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    cosine = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(_sq_norm(F.col("ea"))) * F.sqrt(_sq_norm(F.col("eb")))),
+        6,
+    )
+    return (
+        pair.select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )

@@ -1,0 +1,117 @@
+"""Streaming building blocks over the ``events`` fixture.
+
+Each operator is a standard Structured Streaming plan:
+``readStream`` (file source) → transformation → ``writeStream`` with a
+watermark where state must be bounded. Tests and the oracle corpus run
+them with ``Trigger.AvailableNow`` into a memory sink, which replays
+the full fixture through the *incremental* engine — the result must
+equal the batch computation, and that equality is exactly what the
+DuckDB oracle checks.
+
+State-boundedness notes (the 100 TB concern):
+  * tumbling/sliding counts — state per (window, key), dropped at
+    watermark expiry;
+  * session windows — merged-on-arrival state per (user, open session);
+  * streaming dedup — state per key inside the watermark horizon
+    (``dropDuplicatesWithinWatermark``), NOT unbounded exact dedup;
+  * incremental histogram — state is nbins×n_keys counters (update
+    mode), the streaming reading of A5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Streaming file sources need an explicit schema (no inference at plan
+# time). ts arrives as nano-epoch long (nanosAsLong) and is rebuilt to
+# a microsecond timestamp exactly like the batch catalog.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The streaming file source wants a directory; the fixture dir holds
+    # every table, so glob-filter down to the events file.
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Tumbling-window count per event_type with a 1-hour watermark."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", duration).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, duration: str = "2 hours", slide: str = "1 hour") -> DataFrame:
+    """Sliding-window count: each event lands in duration/slide windows."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", duration, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+def value_histogram(events: DataFrame, nbins: int = 40, lo: float = 0.0, hi: float = 400.0) -> DataFrame:
+    """Incremental fixed-width histogram (streaming A5): state is one
+    counter per (bin) — bounded by nbins regardless of stream length."""
+    width = (hi - lo) / nbins
+    bin_col = F.least(
+        F.floor((F.col("value") - F.lit(lo)) / F.lit(width)), F.lit(nbins - 1)
+    ).cast("int")
+    return events.groupBy(bin_col.alias("bin")).agg(F.count(F.lit(1)).alias("bin_count"))
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge into
+    one session (state = open sessions per user, closed at watermark)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
+    """Drain the stream through Trigger.AvailableNow into an in-memory
+    table ``name`` and stop — the batch-replay harness for tests and
+    the oracle corpus."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
