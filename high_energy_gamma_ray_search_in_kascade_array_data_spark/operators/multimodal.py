@@ -1,0 +1,126 @@
+"""Multimodal columns (north-star M5): image/audio/video as opaque
+``binary`` payloads with typed metadata, processed by Arrow-batched
+``mapInPandas`` kernels.
+
+The container ships no image/audio codecs, so the *decode* kernels are
+split in two:
+  * a deterministic FAKE decoder (default) — payload bytes are treated
+    as the raw sample/pixel buffer, so the whole pipeline (schema,
+    partitioning, UDF signatures, Arrow batch shapes, downstream
+    feature math) is real and differential-testable;
+  * the REAL codec seam — ``decode_media(..., codec="real")`` raises
+    ``NotImplementedError`` at the exact point a PIL/ffmpeg call slots
+    in. Nothing else changes when it does: same schema, same batching.
+
+Payloads here are synthesized from ``events`` by exact integer
+arithmetic (byte i of event e = (e·7 + i·13) mod 256), which is what
+makes the fake-decode outputs oracle-checkable in DuckDB.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PAYLOAD_BYTES = 64
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("mean_intensity", DoubleType()),
+        StructField("max_intensity", IntegerType()),
+    ]
+)
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fake media table derived from ``events``: one
+    8×8 single-channel 'image' per event, payload bytes
+    (event_id·7 + i·13) mod 256."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+
+    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["event_id"].to_numpy()
+            i = np.arange(PAYLOAD_BYTES, dtype="int64")
+            # (n, PAYLOAD_BYTES) byte matrix, vectorized
+            mat = ((ids[:, None] * 7 + i[None, :] * 13) % 256).astype("uint8")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": "image",
+                    "payload": [row.tobytes() for row in mat],
+                    "width": 8,
+                    "height": 8,
+                }
+            )
+
+    return ev.mapInPandas(make, MEDIA_SCHEMA)
+
+
+def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode + feature-extract: mean/max intensity per payload.
+
+    ``codec="real"`` is the seam where an actual image library decodes
+    ``payload`` before the feature math; it is intentionally
+    unimplemented in this container.
+    """
+    if codec == "real":
+        raise NotImplementedError(
+            "real image/audio codecs are not available in this container; "
+            "plug PIL/ffmpeg into this mapInPandas kernel — schema and "
+            "batching are unchanged"
+        )
+
+    def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            mats = np.stack([np.frombuffer(p, dtype="uint8") for p in pdf["payload"]])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "n_bytes": mats.shape[1],
+                    "mean_intensity": mats.mean(axis=1),
+                    "max_intensity": mats.max(axis=1).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(features, FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every: int = 16) -> DataFrame:
+    """Frame sampling: slice every ``every``-th byte ('frame') of the
+    payload into its own row — the video-keyframe extraction shape."""
+    idx = F.sequence(F.lit(0), F.lit(PAYLOAD_BYTES - 1), F.lit(every))
+    frame = F.explode(idx).alias("frame_no")
+    return media.select("media_id", frame).withColumn(
+        "frame_no", F.col("frame_no").cast("int")
+    )

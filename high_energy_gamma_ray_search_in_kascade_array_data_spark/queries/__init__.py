@@ -6,6 +6,8 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import (  
     kascade,
     ml,
     relational,
+    relational_ext,
+    sources_multimodal,
     streaming_queries,
     text,
     vectors,

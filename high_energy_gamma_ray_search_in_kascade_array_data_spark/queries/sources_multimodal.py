@@ -1,0 +1,119 @@
+"""Corpus coverage for the source/sink layer (S2/S3/S4) and the
+multimodal binary-column operators. The multimodal payloads are exact
+integer byte formulas, so DuckDB reproduces the fake-decode features
+without ever touching bytes — the mapInPandas plumbing is
+differential-tested end-to-end."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import multimodal
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.common import SHOWER_CTE, rnd_col, shower_frame
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources import sink
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+@register(
+    "multimodal_decode_features",
+    survey_ref="M5:multimodal,§2.12",
+    oracle=f"""
+SELECT event_id AS media_id,
+       CAST({multimodal.PAYLOAD_BYTES} AS INTEGER) AS n_bytes,
+       list_avg(list_transform(range(0, {multimodal.PAYLOAD_BYTES}),
+                i -> CAST((event_id * 7 + i * 13) % 256 AS DOUBLE))) AS mean_intensity,
+       CAST(list_max(list_transform(range(0, {multimodal.PAYLOAD_BYTES}),
+                i -> (event_id * 7 + i * 13) % 256)) AS INTEGER) AS max_intensity
+FROM events
+""",
+)
+def q_multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → mapInPandas decode → per-item features.
+    The payload bytes follow an exact formula, so the oracle computes
+    the expected features from event_id arithmetic while Spark really
+    synthesizes, ships and decodes binary Arrow batches."""
+    media = multimodal.synth_media(spark, sf_dir)
+    return multimodal.decode_media(media, codec="fake")
+
+
+@register(
+    "multimodal_frame_sample",
+    survey_ref="M5:multimodal",
+    oracle=f"""
+SELECT event_id AS media_id, CAST(UNNEST(range(0, {multimodal.PAYLOAD_BYTES}, 16)) AS INTEGER) AS frame_no
+FROM events
+""",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-style sampling: every 16th 'frame' index per media row."""
+    media = multimodal.synth_media(spark, sf_dir)
+    return multimodal.frame_sample(media, every=16)
+
+
+@register(
+    "partitioned_split_sink",
+    survey_ref="S4,S3,X1",
+    oracle=f"""
+WITH {SHOWER_CTE},
+assigned AS (
+  SELECT label,
+         CASE WHEN (event_id * 2654435761 % 4294967296) / 4294967296.0 < 0.8
+              THEN 'train' ELSE 'test' END AS split
+  FROM shower
+)
+SELECT split, label, CAST(COUNT(*) AS BIGINT) AS n
+FROM assigned GROUP BY split, label
+""",
+)
+def q_partitioned_split_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through the partitioned parquet sink (the Spark form
+    of the reference's 9 NPY files): write the split-assigned events
+    with partitionBy("split"), read back ONE partition via pruning plus
+    the rest, and re-aggregate. Checks sink + partition-pruned scan."""
+    df = shower_frame(spark, sf_dir).withColumn(
+        "split", F.when(rnd_col() < 0.8, F.lit("train")).otherwise(F.lit("test"))
+    )
+    path = os.path.join(SCRATCH, "split_sink")
+    sink.write_partitioned(df.select("event_id", "label", "split"), path, ["split"])
+    back = spark.read.parquet(path)
+    return back.groupBy("split", "label").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "npz_legacy_ingest",
+    survey_ref="S2,S3",
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT 'features' AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(lg_e + ze), 4) AS checksum
+FROM shower
+""",
+)
+def q_npz_legacy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy NPZ archive → binaryFile scan → mapInPandas numpy decode
+    → DataFrame. The archive is written from the shower frame first, so
+    the decoded checksum must round-trip exactly."""
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.npz import read_npz
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, "legacy_features.npz")
+    pdf = shower_frame(spark, sf_dir).select("event_id", "lg_e", "ze").orderBy("event_id").toPandas()
+    np.savez(path, features=pdf[["lg_e", "ze"]].to_numpy(dtype="float64"))
+
+    decoded = read_npz(spark, path)
+    return (
+        decoded.filter(F.col("key") == "features")
+        .select(
+            "key",
+            (F.element_at("values", 1) + F.element_at("values", 2)).alias("s"),
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("s"), 4).alias("checksum"))
+    )

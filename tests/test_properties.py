@@ -1,0 +1,130 @@
+"""Property-based invariants from the physics semantics (SURVEY §5.2):
+checked on the deterministic shower/grid fixtures, independent of the
+DuckDB oracle."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.functions import physics
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.survival import survival_curve
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.common import detector_grid, rnd_col, shower_frame
+
+
+def test_four_rotations_compose_to_identity(spark, sf_dir):
+    """rot90 applied 4× is the identity on grid coordinates (T1)."""
+    grid = detector_grid(spark, sf_dir).select("event_id", "ix", "iy")
+    ix, iy = F.col("ix"), F.col("iy")
+    for _ in range(4):
+        ix, iy = physics.rotate_grid_index(ix, iy, 1)
+    rotated = grid.select("event_id", ix.alias("rx"), iy.alias("ry"))
+    mismatch = rotated.join(grid, "event_id").filter(
+        (F.col("rx") != F.col("ix")) | (F.col("ry") != F.col("iy"))
+    )
+    assert mismatch.count() == 0
+
+
+def test_azimuth_wraps_to_range(spark, sf_dir):
+    """Azimuth stays in [0, 360) after any rotation (F4)."""
+    df = shower_frame(spark, sf_dir)
+    for k in range(1, 4):
+        az = physics.rotate_azimuth(F.col("az"), k)
+        out = df.select(az.alias("az_rot")).filter((F.col("az_rot") < 0) | (F.col("az_rot") >= 360))
+        assert out.count() == 0, f"k={k}"
+
+
+def test_direction_cosines_unit_norm(spark, sf_dir):
+    """Direction cosines have unit norm (F2)."""
+    df = shower_frame(spark, sf_dir)
+    dx, dy, dz = physics.direction_cosines(F.col("ze"), F.col("az"))
+    bad = df.select((dx * dx + dy * dy + dz * dz).alias("n2")).filter(
+        F.abs(F.col("n2") - 1.0) > 1e-9
+    )
+    assert bad.count() == 0
+
+
+def test_scaler_roundtrip_identity(spark, sf_dir):
+    """standardize ∘ inverse ≈ id (F7)."""
+    df = shower_frame(spark, sf_dir)
+    params = df.agg(F.avg("core_x").alias("mu"), F.stddev_pop("core_x").alias("sigma"))
+    j = df.crossJoin(F.broadcast(params))
+    z = physics.standardize(F.col("core_x"), F.col("mu"), F.col("sigma"))
+    back = z * F.col("sigma") + F.col("mu")
+    bad = j.select(F.abs(back - F.col("core_x")).alias("err")).filter(F.col("err") > 1e-9)
+    assert bad.count() == 0
+
+
+def test_stratified_split_partitions_input_exactly(spark, sf_dir):
+    """The percent_rank split partitions each class to the exact
+    requested fractions and covers every row exactly once (X1)."""
+    df = shower_frame(spark, sf_dir)
+    w = Window.partitionBy("label").orderBy(rnd_col().asc(), F.col("event_id").asc())
+    assigned = df.select(
+        "event_id",
+        "label",
+        F.when(F.percent_rank().over(w) < 0.6, "train")
+        .when(F.percent_rank().over(w) < 0.8, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    assert assigned.count() == df.count()
+    assert assigned.select("event_id").distinct().count() == df.count()
+    per = {
+        (r["label"], r["split"]): r["n"]
+        for r in assigned.groupBy("label", "split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for label in (0, 1):
+        total = sum(v for (lbl, _), v in per.items() if lbl == label)
+        train = per.get((label, "train"), 0)
+        # percent_rank < 0.6 admits floor(0.6·(n-1)) + 1 rows
+        assert abs(train / total - 0.6) < 2.0 / total
+
+
+def test_survival_curve_monotone_ends_at_one(spark, sf_dir):
+    """Survival curves are monotone nondecreasing and end at 1.0 (A6)."""
+    df = shower_frame(spark, sf_dir)
+    curve = survival_curve(df, "label", "p", nbins=50).toPandas()
+    for label, grp in curve.sort_values("bin").groupby("label"):
+        fr = grp["surviving_frac"].to_numpy()
+        assert (fr[1:] >= fr[:-1] - 1e-12).all()
+        assert abs(fr[-1] - 1.0) < 1e-12
+
+
+def test_split_determinism_same_seed_same_assignment(spark, sf_dir):
+    """Same seed + same data ⇒ identical split assignment (X3)."""
+    df = shower_frame(spark, sf_dir)
+    w = Window.partitionBy("label").orderBy(rnd_col().asc(), F.col("event_id").asc())
+    expr = F.when(F.percent_rank().over(w) < 0.6, "train").otherwise("other")
+    a = df.select("event_id", expr.alias("s1"))
+    b = df.select("event_id", expr.alias("s2"))
+    diff = a.join(b, "event_id").filter(F.col("s1") != F.col("s2"))
+    assert diff.count() == 0
+
+
+def test_multimodal_real_codec_raises(spark, sf_dir):
+    """The real-codec seam is explicitly unimplemented (stub contract)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, sf_dir)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media, codec="real")
+
+
+def test_minhash_lsh_finds_exact_duplicates(spark):
+    """A doc duplicated verbatim must be caught by MinHash-LSH with
+    jaccard 1.0 (dedup recall on the easy case)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import dedup
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "one two three four five six seven"),
+        (4, "totally different words here indeed friend"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    found = dedup.minhash_near_duplicates(docs, threshold=0.9).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in found}
+    assert (1, 2) in pairs and abs(pairs[(1, 2)] - 1.0) < 1e-9
+    assert all(p == (1, 2) for p in pairs)
