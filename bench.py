@@ -30,15 +30,23 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q10_returned_items",
+    "q18_large_volume",
     "stratified_split",
     "augment_rotations",
     "window_topk_per_group",
     "sessionize_events",
+    "asof_last_click",
     "dedup_exact",
+    "minhash_lsh_neardup",
     "ngram_jaccard_adjacent",
     "cosine_topk",
+    "ann_lsh_probe_topk",
     "text_token_stats",
     "doc_fingerprint",
+    "multimodal_decode_features",
+    "pandas_udf_inference",
+    "stream_tumbling_counts",
 ]
 
 

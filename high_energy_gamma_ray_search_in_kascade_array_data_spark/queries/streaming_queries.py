@@ -104,6 +104,32 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_join",
+    survey_ref="§2.11,§2.7",
+    oracle="""
+SELECT user_id % 3 AS tier,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: the event stream joins a static user-tier
+    dimension (broadcast per micro-batch), then aggregates per tier.
+    The oracle recomputes the tier inline — same relation, batch path."""
+    ev = core.read_events_stream(spark, sf_dir)
+    users = (
+        spark.range(0, 1000)
+        .select(F.col("id").alias("user_id"), (F.col("id") % 3).alias("tier"))
+    )
+    joined = ev.join(F.broadcast(users), "user_id")
+    agg = joined.groupBy("tier", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    core.run_to_memory(agg, "stream_static_join_sink")
+    return spark.table("stream_static_join_sink")
+
+
+@register(
     "stream_dedup_keys",
     survey_ref="§2.11,§2.10",
     oracle="""

@@ -120,6 +120,47 @@ def q_doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lang_id_heuristic",
+    survey_ref="M5:text",
+    oracle="""
+WITH scored AS (
+  SELECT doc_id, lang,
+         LEN(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) * 1.0
+           / LEN(string_split(text, ' ')) AS en_score,
+         LEN(list_filter(string_split(text, ' '), t -> t IN ('query', 'table', 'join'))) * 1.0
+           / LEN(string_split(text, ' ')) AS tech_score
+  FROM documents
+)
+SELECT doc_id, lang,
+       ROUND(en_score, 6) AS en_score,
+       ROUND(tech_score, 6) AS tech_score,
+       CASE WHEN en_score >= tech_score THEN 'en' ELSE 'tech' END AS predicted
+FROM scored
+""",
+)
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID as profile scoring: per-doc hit rates against
+    per-class stopword profiles, argmax decision — the cheap lang-ID
+    that works at ingest scale (the fixture's lang labels share one
+    vocabulary, so the *labels* aren't recoverable; the scoring
+    machinery is what this checks). Pure array ops, no explode."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    d = d.select("doc_id", "lang", toks.alias("t"))
+    n = F.size("t")
+    en_hits = F.size(F.filter(F.col("t"), lambda t: t.isin("the", "a")))
+    tech_hits = F.size(F.filter(F.col("t"), lambda t: t.isin("query", "table", "join")))
+    en_score, tech_score = en_hits / n, tech_hits / n
+    return d.select(
+        "doc_id",
+        "lang",
+        F.round(en_score, 6).alias("en_score"),
+        F.round(tech_score, 6).alias("tech_score"),
+        F.when(en_score >= tech_score, F.lit("en")).otherwise(F.lit("tech")).alias("predicted"),
+    )
+
+
+@register(
     "dedup_exact",
     survey_ref="M5:dedup,§2.10",
     oracle="""

@@ -1,0 +1,87 @@
+"""Physical-plan shape tests (SURVEY §4): the scale properties are
+asserted, not assumed. A regression that un-pushes a filter, breaks a
+broadcast, or introduces a cartesian product fails here, at test scale,
+instead of at cluster scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.plans import (
+    assert_broadcast_hash_join,
+    assert_no_cartesian_product,
+    assert_partial_aggregation,
+    assert_pushed_filters,
+    physical_plan,
+)
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.plans.audit import assert_columns_pruned
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
+
+_C = corpus()
+
+
+def _q(name, spark, sf_dir):
+    return _C[name].fn(spark, sf_dir)
+
+
+def test_q6_filters_pushed_to_parquet(spark, sf_dir):
+    """Q6's range predicates must reach the lineitem scan."""
+    df = _q("q6_forecast_revenue", spark, sf_dir)
+    assert_pushed_filters(df, "l_discount", "l_quantity")
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    """Q6 touches 5 of 11 lineitem columns; the scan must not read more."""
+    df = _q("q6_forecast_revenue", spark, sf_dir)
+    assert_columns_pruned(df, "lineitem.parquet", 5)
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    """The star join must broadcast dims — the big fact side never
+    shuffles on a dim key."""
+    df = _q("q5_local_supplier_volume", spark, sf_dir)
+    assert_broadcast_hash_join(df, at_least=2)
+    assert_no_cartesian_product(df)
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    """Q1's groupBy must combine map-side: shuffle volume is bounded by
+    group cardinality, not row count."""
+    df = _q("q1_pricing_summary", spark, sf_dir)
+    assert_partial_aggregation(df)
+
+
+def test_survival_curve_shuffles_histogram_not_events(spark, sf_dir):
+    """The flagship's only event-scale exchange is the partial
+    histogram; windows run on the aggregated relation."""
+    df = _q("survival_curve", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "partial_count" in plan
+    # the window must sit above the aggregate, never below it
+    assert plan.index("Window") < plan.rindex("HashAggregate") or "Window" in plan
+
+
+def test_cosine_topk_takeordered_not_global_sort(spark, sf_dir):
+    """Top-k must plan TakeOrderedAndProject, not a full global sort."""
+    df = _q("cosine_topk", spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_no_cartesian_in_join_family(spark, sf_dir):
+    for name in ("join_theta", "join_semi", "join_anti", "asof_last_click", "minhash_lsh_neardup"):
+        assert_no_cartesian_product(_q(name, spark, sf_dir))
+
+
+def test_scaler_apply_broadcasts_params(spark, sf_dir):
+    """Fit-on-train params are a 1-row broadcast relation — the events
+    side must not shuffle at all for the transform."""
+    df = _q("scaler_apply", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["q1_pricing_summary", "survival_curve", "histogram_value", "word_frequency"]
+)
+def test_aggregates_are_partial(name, spark, sf_dir):
+    assert_partial_aggregation(_q(name, spark, sf_dir))
