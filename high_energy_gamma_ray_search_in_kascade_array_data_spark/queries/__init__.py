@@ -2,9 +2,11 @@
 every query into the registry (see ``registry.py``)."""
 
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import (  # noqa: F401
+    advanced,
     dedup,
     kascade,
     ml,
+    pipelines,
     relational,
     relational_ext,
     sources_multimodal,

@@ -80,9 +80,16 @@ grid AS (
 # Deterministic uniform pseudo-random in [0,1): Knuth multiplicative
 # hash — exact BIGINT arithmetic, identical in both engines. Used by
 # the stratified split (X1) and pseudo-sampling (X2) so the oracle can
-# reproduce Spark's "random" draws exactly.
+# reproduce Spark's "random" draws exactly. RND2 is an INDEPENDENT
+# second draw (different odd multiplier) for operations that must not
+# correlate with the split (augmentation sampling).
 RND_SQL = "(event_id * 2654435761 % 4294967296) / 4294967296.0"
+RND2_SQL = "(event_id * 2246822519 % 4294967296) / 4294967296.0"
 
 
 def rnd_col() -> F.Column:
     return (F.col("event_id") * 2654435761 % 4294967296) / F.lit(4294967296.0)
+
+
+def rnd2_col() -> F.Column:
+    return (F.col("event_id") * 2246822519 % 4294967296) / F.lit(4294967296.0)
