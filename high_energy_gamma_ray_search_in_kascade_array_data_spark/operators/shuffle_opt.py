@@ -1,0 +1,69 @@
+"""Shuffle-elimination and skew-mitigation operators (SCALE.md ground
+rules made executable).
+
+  * :func:`write_bucketed` / :func:`bucketed_join` — co-located joins:
+    both sides pre-bucketed on the join key hash means the sort-merge
+    join needs NO exchange at query time. At 100 TB this is the
+    difference between re-shuffling 100 TB per join and reading
+    co-partitioned buckets.
+  * :func:`salted_groupby_agg` — two-phase aggregation for skewed
+    keys: phase 1 aggregates on (key, salt) spreading a hot key over
+    ``n_salts`` reducers, phase 2 combines the per-salt partials.
+    Correct for any algebraic aggregate (sum/count/min/max here).
+
+AQE's skew-join splitting handles *join*-side skew automatically
+(enabled in session.py); salting is for aggregation hot keys, which
+AQE does not rebalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame, table: str, bucket_col: str, n_buckets: int = 8, sort_col: str | None = None
+) -> None:
+    """Persist as a bucketed table (catalog write — bucketing metadata
+    lives in the table catalog, not plain parquet files)."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a stale warehouse dir from a previous session's metastore blocks
+    # CREATE even with overwrite — clear it
+    import shutil
+    from urllib.parse import urlparse
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table.lower()}", ignore_errors=True)
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: str) -> DataFrame:
+    """Join two co-bucketed tables: Catalyst sees matching bucket specs
+    and plans the join without an Exchange on either side."""
+    return spark.table(left_table).join(spark.table(right_table), on)
+
+
+def salted_groupby_agg(
+    df: DataFrame, key_col: str, value_col: str, n_salts: int = 16
+) -> DataFrame:
+    """sum/count per key via salted two-phase aggregation.
+
+    Equivalent to ``df.groupBy(key).agg(sum, count)`` but a key holding
+    50% of all rows spreads across ``n_salts`` phase-1 reducers instead
+    of melting one. Phase 2 runs on ≤ n_keys × n_salts rows.
+    """
+    salt = (F.crc32(F.col(key_col).cast("string")) + F.spark_partition_id()) % n_salts
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(key_col, "_salt")
+        .agg(F.sum(value_col).alias("_s"), F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        phase1.groupBy(key_col)
+        .agg(F.sum("_s").alias(f"sum_{value_col}"), F.sum("_n").alias("n"))
+    )

@@ -104,6 +104,37 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_user_stats",
+    survey_ref="§2.11,§2.12",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MAX(value), 6) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, max) with explicit GroupState, emitted per batch.
+    The final emission per user must equal the batch aggregate —
+    checked by taking the max-count row per user from the sink."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.streaming import stateful
+
+    ev = core.read_events_stream(spark, sf_dir)
+    core.run_to_memory(
+        stateful.running_user_stats(ev), "stream_stateful_sink", output_mode="update"
+    )
+    sink = spark.table("stream_stateful_sink")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("max_value", 6).alias("max_value"))
+    )
+
+
+@register(
     "stream_static_join",
     survey_ref="§2.11,§2.7",
     oracle="""

@@ -1,0 +1,53 @@
+"""Shuffle-elimination tests: bucketed joins plan no exchange;
+salted aggregation equals direct aggregation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import shuffle_opt
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.plans import physical_plan
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Co-bucketed orders ⋈ lineitem: zero Exchange operators in the
+    join plan — the shuffle happened once at write time."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    shuffle_opt.write_bucketed(o, "orders_b", "o_orderkey", n_buckets=4)
+    shuffle_opt.write_bucketed(li, "lineitem_b", "o_orderkey", n_buckets=4)
+    # at test scale the planner prefers broadcast (which also skips the
+    # shuffle); force the sort-merge path to prove the bucketed layout
+    # carries the co-partitioning a 100 TB join would rely on
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = shuffle_opt.bucketed_join(spark, "orders_b", "lineitem_b", "o_orderkey")
+        plan = physical_plan(joined)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert "Bucketed: true" in plan, f"scan not bucketed:\n{plan}"
+        expected = o.join(li, "o_orderkey").count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_agg_equals_direct_agg(spark, sf_dir):
+    """Salted two-phase aggregation returns exactly the direct result
+    on a deliberately skewed key (one key holds ~60% of rows)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 5 < 3, F.lit("hot")).otherwise(
+            F.concat(F.lit("cold_"), (F.col("event_id") % 97).cast("string"))
+        ).alias("key"),
+        "value",
+    )
+    salted = shuffle_opt.salted_groupby_agg(ev, "key", "value", n_salts=8)
+    direct = ev.groupBy("key").agg(F.sum("value").alias("sum_value"), F.count(F.lit(1)).alias("n"))
+    s = {r["key"]: (round(r["sum_value"], 6), r["n"]) for r in salted.collect()}
+    d = {r["key"]: (round(r["sum_value"], 6), r["n"]) for r in direct.collect()}
+    assert s == d
+    # the salted phase-1 must actually split the hot key
+    assert s["hot"][1] > 0
