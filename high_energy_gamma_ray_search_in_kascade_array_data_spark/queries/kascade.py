@@ -27,7 +27,7 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog im
 # ---------------------------------------------------------------- flagship
 @register(
     "survival_curve",
-    survey_ref="P3,A5,A6,A9",
+    survey_ref="P3,P4,A5,A6,A9",
     oracle=f"""
 WITH {SHOWER_CTE},
 band AS (
