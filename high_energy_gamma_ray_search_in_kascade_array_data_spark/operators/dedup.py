@@ -85,8 +85,12 @@ def minhash_signatures(tid: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """N_HASH-wide MinHash signature per doc: one partial-aggregated
     shuffle keyed on doc_id; signature cardinality is fixed, so the
     output is O(docs) regardless of token volume."""
+    # pre-reduce ids into [0, P): (A·x + B) mod P is unchanged by
+    # x → x mod P, and full-range 64-bit ids (xxhash64 path) would
+    # overflow A·x otherwise (ANSI mode errors on long overflow)
+    t = F.pmod(F.col("tok_id"), F.lit(P))
     aggs = [
-        F.min((F.lit(A[i]) * F.col("tok_id") + F.lit(B[i])) % F.lit(P)).alias(f"mh_{i}")
+        F.min((F.lit(A[i]) * t + F.lit(B[i])) % F.lit(P)).alias(f"mh_{i}")
         for i in range(N_HASH)
     ]
     return tid.groupBy(id_col).agg(*aggs)
@@ -155,6 +159,28 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """Full near-dup pipeline: shingle→minhash→band→bucket-join→verify."""
     tid = doc_token_ids(docs, text_col, id_col)
+    pairs = lsh_candidate_pairs(minhash_signatures(tid, id_col), id_col)
+    return jaccard_verify(pairs, tid, id_col).filter(F.col("jaccard") >= threshold)
+
+
+def doc_token_ids_fast(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle: int = 3
+) -> DataFrame:
+    """Production-scale variant of :func:`doc_token_ids`: shingles hash
+    straight through ``xxhash64`` — no dictionary, no global window, no
+    broadcast join. This is the 100 TB path (the dictionary variant
+    exists because DuckDB cannot reproduce xxhash64 for the oracle);
+    ids are 64-bit so collisions are negligible at any corpus size."""
+    toks = doc_tokens(docs, text_col, id_col, shingle)
+    return toks.select(id_col, F.xxhash64("tok").alias("tok_id"))
+
+
+def minhash_near_duplicates_fast(
+    docs: DataFrame, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pipeline on the xxhash64 path — identical plan shape to
+    :func:`minhash_near_duplicates` minus the dictionary stage."""
+    tid = doc_token_ids_fast(docs, text_col, id_col)
     pairs = lsh_candidate_pairs(minhash_signatures(tid, id_col), id_col)
     return jaccard_verify(pairs, tid, id_col).filter(F.col("jaccard") >= threshold)
 

@@ -110,6 +110,21 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_duplicates(d, threshold=0.5)
 
 
+@register(
+    "minhash_lsh_neardup_fast",
+    survey_ref="M5:dedup",
+    oracle=None,  # xxhash64 is not reproducible in DuckDB: rows-only;
+    # tests/test_properties.py checks it agrees with the dictionary
+    # variant on the fixture's high-jaccard pairs.
+)
+def q_minhash_lsh_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production 100 TB near-dup path: shingles hash straight
+    through xxhash64 (no dictionary stage, no global window); plan
+    otherwise identical to minhash_lsh_neardup."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_duplicates_fast(d, threshold=0.5)
+
+
 _VOTES = ",\n    ".join(
     f"SUM(CASE WHEN ((((tok_id*{SIMHASH_MULT})%{1 << SIMHASH_BITS}) >> {j}) & 1) = 1 "
     f"THEN 1 ELSE -1 END) AS v_{j}"

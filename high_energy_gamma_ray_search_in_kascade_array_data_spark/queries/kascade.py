@@ -290,6 +290,49 @@ def q_augment_rotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "rotate_grid_wide",
+    survey_ref="T1,T6",
+    oracle="""
+SELECT event_id,
+       CAST(list_sum(list_transform(range(0, 256),
+            m -> ((event_id * (((15 - (m % 16)) * 16 + (m // 16)) + 7)) % 100) * m
+       )) AS BIGINT) AS checksum
+FROM events
+""",
+)
+def q_rotate_grid_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-form 90° rotation (T1's ArrayType representation): a dense
+    16×16 grid lives as a flat 256-element array column; the rotation
+    is an index-remap `F.transform` — new[iy·16+ix] = old[(15−ix)·16+iy]
+    — no explode, no shuffle, pure codegen. The checksum Σ new[m]·m
+    pins every element's position. (Long-form rotation: rotate_grid.)"""
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    # build the dense wide tensor: old[q] = (event_id·(q+7)) mod 100
+    old = F.transform(
+        F.sequence(F.lit(0), F.lit(255)),
+        lambda q: (F.col("event_id") * (q + 7)) % 100,
+    )
+    wide = ev.select("event_id", old.alias("arr"))
+    rotated = F.transform(
+        F.sequence(F.lit(0), F.lit(255)),
+        lambda m: F.element_at(
+            F.col("arr"), ((F.lit(15) - m % 16) * 16 + F.expr("0") + (m - m % 16) / 16).cast("int") + 1
+        ),
+    )
+    new_arr = wide.select("event_id", rotated.alias("r"))
+    checksum = F.aggregate(
+        F.zip_with(
+            F.col("r"),
+            F.sequence(F.lit(0), F.lit(255)),
+            lambda v, m: v * m,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return new_arr.select("event_id", checksum.alias("checksum"))
+
+
 # ------------------------------------------------------- stratified split
 @register(
     "stratified_split",

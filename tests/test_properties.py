@@ -112,6 +112,34 @@ def test_multimodal_real_codec_raises(spark, sf_dir):
         multimodal.decode_media(media, codec="real")
 
 
+def test_minhash_fast_agrees_with_dictionary_variant(spark, sf_dir):
+    """The xxhash64 production path and the oracle-checkable dictionary
+    path compute the same shingle-set jaccard for every pair BOTH
+    surface (candidate sets may differ slightly — different hash
+    families — but verified scores must be identical), and they agree
+    on the unambiguous pairs (jaccard ≥ 0.8)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import dedup
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    slow = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates(docs, threshold=0.5).collect()
+    }
+    fast = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.minhash_near_duplicates_fast(docs, threshold=0.5).collect()
+    }
+    for pair in set(slow) & set(fast):
+        assert abs(slow[pair] - fast[pair]) < 1e-9
+    # only exact duplicates (jaccard == 1.0) are GUARANTEED candidates
+    # under every hash family (all minhashes equal ⇒ every band
+    # collides); at j = 0.8 a single family misses with P ≈ (1−j²)⁴
+    exact_slow = {p for p, j in slow.items() if j >= 1.0 - 1e-9}
+    exact_fast = {p for p, j in fast.items() if j >= 1.0 - 1e-9}
+    assert exact_slow == exact_fast
+
+
 def test_minhash_lsh_finds_exact_duplicates(spark):
     """A doc duplicated verbatim must be caught by MinHash-LSH with
     jaccard 1.0 (dedup recall on the easy case)."""
