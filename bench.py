@@ -39,6 +39,8 @@ HEADLINE = [
     "asof_last_click",
     "dedup_exact",
     "minhash_lsh_neardup",
+    "minhash_lsh_neardup_fast",
+    "resample_ffill",
     "ngram_jaccard_adjacent",
     "cosine_topk",
     "ann_lsh_probe_topk",

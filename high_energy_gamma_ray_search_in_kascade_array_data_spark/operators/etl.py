@@ -104,6 +104,7 @@ def analysis_pipeline(
     score_weights: tuple[float, ...] = (0.8, -0.05, 1.5, 0.02),
     score_bias: float = -12.0,
     nbins: int = 100,
+    e_band: tuple[float, float] = (15.0, 16.0),
 ) -> DataFrame:
     """Entry points 3.2/3.3 analytical spine as one DAG:
 
@@ -129,7 +130,13 @@ def analysis_pipeline(
         + F.col("core_x") * w[3]
     )
     scored = scaled.withColumn("score", F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+    # the training analysis uses lg_e ∈ [15,16) and the held-out
+    # evaluation lg_e ∈ [14,15) (`train_classification.py:289` vs
+    # `evaluate_classification.py:111`) — same plan, different band
     band = scored.filter(
-        (F.col("ze") >= 0) & (F.col("ze") < 30) & (F.col("lg_e") >= 15) & (F.col("lg_e") < 16)
+        (F.col("ze") >= 0)
+        & (F.col("ze") < 30)
+        & (F.col("lg_e") >= e_band[0])
+        & (F.col("lg_e") < e_band[1])
     )
     return survival_curve(band, label_col="label", prob_col="score", nbins=nbins)

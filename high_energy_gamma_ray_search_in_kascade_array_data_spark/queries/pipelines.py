@@ -91,9 +91,45 @@ FROM binned
 """,
 )
 def q_analysis_pipeline_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entry points 3.2/3.3 analytical spine end-to-end
+    """Entry point 3.2 analytical spine end-to-end
     (`train_classification.py:264-312`): scaler-fit broadcast →
     stand-in model score → band filter → survival curve, one DAG —
     the full scientific workflow a reference user runs."""
     shower = shower_frame(spark, sf_dir)
     return etl.analysis_pipeline(shower)
+
+
+@register(
+    "analysis_pipeline_survival_eval",
+    survey_ref="§3.3,P3,A5,A6,A9",
+    oracle=f"""
+WITH {SHOWER_CTE},
+scored AS (
+  SELECT label, ze, lg_e,
+         1.0 / (1.0 + EXP(-(-12.0 + 0.8*lg_e - 0.05*ze + 1.5*p + 0.02*core_x))) AS score
+  FROM shower
+),
+band AS (
+  SELECT label, score FROM scored
+  WHERE ze >= 0 AND ze < 30 AND lg_e >= 14 AND lg_e < 15
+),
+binned AS (
+  SELECT label,
+         CAST(LEAST(CAST(FLOOR(score / 0.01) AS BIGINT), 99) AS INTEGER) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS bin_count
+  FROM band GROUP BY 1, 2
+)
+SELECT label, bin,
+       CAST(SUM(bin_count) OVER (PARTITION BY label ORDER BY bin) AS BIGINT) AS cum_count,
+       CAST(SUM(bin_count) OVER (PARTITION BY label) AS BIGINT) AS class_total,
+       CAST(SUM(bin_count) OVER (PARTITION BY label ORDER BY bin) AS DOUBLE)
+         / CAST(SUM(bin_count) OVER (PARTITION BY label) AS BIGINT) AS surviving_frac
+FROM binned
+""",
+)
+def q_analysis_pipeline_survival_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 3.3 — the held-out evaluation replay: identical
+    plan, evaluation energy band lg_e ∈ [14,15)
+    (`evaluate_classification.py:106,111-113`)."""
+    shower = shower_frame(spark, sf_dir)
+    return etl.analysis_pipeline(shower, e_band=(14.0, 15.0))

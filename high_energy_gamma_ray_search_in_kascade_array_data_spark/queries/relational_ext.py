@@ -165,6 +165,118 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_intersect_all",
+    survey_ref="§2.10",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT ALL
+SELECT s_nationkey FROM supplier
+""",
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL (min of per-side multiplicities) —
+    the bag-semantics cousin of set_intersect."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "set_except_all",
+    survey_ref="§2.10",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT ALL
+SELECT s_nationkey FROM supplier
+""",
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (multiplicity subtraction)."""
+    c = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
+@register(
+    "exact_percentiles",
+    survey_ref="§2.6",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (ordered-set aggregate). At
+    100 TB swap percentile() for percentile_approx(col, p, accuracy) —
+    a mergeable sketch whose shuffle is O(accuracy) per group; the
+    exact form here gives the oracle a deterministic target."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75"),
+    )
+
+
+@register(
+    "resample_ffill",
+    survey_ref="§2.8,§2.11",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h, AVG(value) AS v
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY user_id
+),
+grid AS (
+  SELECT b.user_id, g.h
+  FROM bounds b, UNNEST(generate_series(b.lo, b.hi, INTERVAL '1 hour')) AS g(h)
+),
+joined AS (
+  SELECT g.user_id, g.h, hr.v
+  FROM grid g LEFT JOIN hourly hr ON hr.user_id = g.user_id AND hr.h = g.h
+)
+SELECT user_id, h AS hour_ts,
+       ROUND(last_value(v IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_ffill
+FROM joined
+""",
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a regular hourly grid + forward fill:
+    per-user dense hour range via sequence/explode, left join the
+    sparse hourly aggregate, gap-fill with last(ignorenulls). The
+    hypertable-rollup shape: one aggregate + one per-key window, grid
+    rows generated not stored."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.avg("value").alias("v"))
+    )
+    bounds = hourly.groupBy("user_id").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        F.col("h").alias("hour_ts"),
+        F.round(F.last("v", ignorenulls=True).over(w), 4).alias("value_ffill"),
+    )
+
+
+@register(
     "asof_last_click",
     survey_ref="§2.7,§2.8",
     oracle="""
