@@ -12,5 +12,6 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import (  
     sources_multimodal,
     streaming_queries,
     text,
+    tpch_ext,
     vectors,
 )
