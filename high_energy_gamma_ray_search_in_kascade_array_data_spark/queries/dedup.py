@@ -155,3 +155,63 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tid = dedup.doc_token_ids(d)
     return dedup.simhash_fingerprints(tid)
+
+
+@register(
+    "neardup_components",
+    survey_ref="M5:dedup,§2.10",
+    oracle=f"""
+WITH RECURSIVE {TID_CTE},
+{SIG_CTE},
+bands AS (
+  {_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM tid GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN tid ta ON ta.doc_id = c.doc_a
+  JOIN tid tb ON tb.doc_id = c.doc_b AND tb.tok_id = ta.tok_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.doc_a
+  JOIN counts cb ON cb.doc_id = i.doc_b
+  WHERE i.n_inter * 1.0 / (ca.n + cb.n - i.n_inter) >= 0.5
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM verified
+  UNION ALL
+  SELECT doc_b, doc_a FROM verified
+),
+reach(u, v) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+  UNION
+  SELECT e.u, r.v FROM edges e JOIN reach r ON r.u = e.v
+)
+SELECT CAST(u AS BIGINT) AS doc_id, CAST(MIN(v) AS BIGINT) AS component
+FROM reach GROUP BY u
+""",
+)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: the verified MinHash-LSH pair graph
+    collapsed into connected components by iterative min-label
+    propagation (operators/dedup.py::connected_components). The oracle
+    computes the same components as a WITH RECURSIVE transitive
+    closure — O(V·E), fine for an oracle, unusable at scale; the Spark
+    loop is the distributed form (join + partial-agg per sweep,
+    lineage cut per iteration)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(d, threshold=0.5)
+    comp = dedup.connected_components(pairs)
+    return comp.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )

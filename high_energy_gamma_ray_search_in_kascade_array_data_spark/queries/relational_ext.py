@@ -313,3 +313,130 @@ def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("event_type") == "purchase") & F.col("last_click_ts").isNotNull())
         .select("event_id", "last_click_ts")
     )
+
+
+@register(
+    "unpivot_measures",
+    survey_ref="§2.5,T6",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'quantity' AS measure, ROUND(l_quantity, 4) AS val
+FROM lineitem WHERE l_orderkey % 100 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', ROUND(l_extendedprice, 4)
+FROM lineitem WHERE l_orderkey % 100 = 0
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', ROUND(l_discount, 4)
+FROM lineitem WHERE l_orderkey % 100 = 0
+""",
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of pivot_linestatus; the grid
+    wide↔long conversion T5/T6 is the same reshape). Spark's native
+    ``unpivot`` emits one row per (row, measure) without a shuffle —
+    a generate, not an exchange."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_quantity", 4).alias("quantity"),
+            F.round("l_extendedprice", 4).alias("extendedprice"),
+            F.round("l_discount", 4).alias("discount"),
+        )
+        .unpivot(
+            ids=["l_orderkey", "l_linenumber"],
+            values=["quantity", "extendedprice", "discount"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+    )
+
+
+@register(
+    "window_rank_family",
+    survey_ref="§2.8",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist
+FROM orders
+WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""",
+)
+def q_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-window family (rank / dense_rank / percent_rank /
+    cume_dist) in one pass — all four share a single sort within the
+    o_custkey partition, so the plan has exactly one exchange + one
+    sort regardless of how many ranking expressions ride on it."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "string_distance_adjacent",
+    survey_ref="M5:text,§2.4",
+    oracle="""
+SELECT a.doc_id,
+       CAST(levenshtein(SUBSTRING(a.text, 1, 40), SUBSTRING(b.text, 1, 40)) AS INTEGER)
+         AS lev_next
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 10 = 0
+""",
+)
+def q_string_distance_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between adjacent documents' 40-char prefixes —
+    the fuzzy-match scalar for record-linkage-style dedup. Levenshtein
+    is O(n·m) per pair: at scale always block first (LSH/SimHash) and
+    cap compared prefixes, exactly as here."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.substring("text", 1, 40).alias("ta")
+    )
+    b = d.select((F.col("doc_id") - 1).alias("doc_id"), F.substring("text", 1, 40).alias("tb"))
+    return a.join(b, "doc_id").select(
+        "doc_id", F.levenshtein("ta", "tb").cast("int").alias("lev_next")
+    )
+
+
+@register(
+    "array_function_suite",
+    survey_ref="§2.5,M5:similarity",
+    oracle="""
+SELECT vec_id,
+       CAST(LEN(embedding) AS INTEGER) AS dim,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 4) AS vmax,
+       ROUND(CAST(list_min(embedding) AS DOUBLE), 4) AS vmin,
+       ROUND(CAST(list_sort(embedding)[1] AS DOUBLE), 4) AS sorted_first,
+       ROUND(CAST(list_sort(embedding)[8] AS DOUBLE), 4) AS sorted_eighth,
+       CAST(LEN(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos
+FROM embeddings WHERE vec_id % 20 = 0
+""",
+)
+def q_array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array built-ins over the embedding column (size / min / max /
+    sort / index / higher-order filter) — all JVM-side codegen'd
+    expressions, the zero-UDF toolkit multimodal and vector columns
+    lean on."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 20 == 0)
+    emb = F.col("embedding")
+    srt = F.sort_array(emb)
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.round(F.array_max(emb).cast("double"), 4).alias("vmax"),
+        F.round(F.array_min(emb).cast("double"), 4).alias("vmin"),
+        F.round(F.element_at(srt, 1).cast("double"), 4).alias("sorted_first"),
+        F.round(F.element_at(srt, 8).cast("double"), 4).alias("sorted_eighth"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+    )
