@@ -150,3 +150,121 @@ def q_ivf_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
     best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return best.groupBy("cell").agg(F.count(F.lit(1)).alias("n_assigned"))
+
+
+@register(
+    "ivf_probe_topk",
+    survey_ref="M5:similarity",
+    oracle="""
+WITH exploded AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS cell, list(c ORDER BY pos) AS cvec
+  FROM (SELECT label, pos, AVG(x) AS c FROM exploded GROUP BY label, pos) t
+  GROUP BY label
+),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cellscore AS (
+  SELECT c.cell,
+         list_sum(list_transform(range(1, 65),
+                  i -> CAST(q.qe[i] AS DOUBLE) * c.cvec[i]))
+           / (SQRT(list_sum(list_transform(q.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+              * SQRT(list_sum(list_transform(c.cvec, v -> v * v)))) AS cos
+  FROM cent c, qv q
+),
+probed AS (SELECT cell FROM cellscore ORDER BY cos DESC, cell LIMIT 2),
+scored AS (
+  SELECT e.vec_id, c.cell,
+         list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))
+           / (SQRT(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+              * SQRT(list_sum(list_transform(c.cvec, v -> v * v)))) AS cos
+  FROM embeddings e, cent c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+    FROM scored) b
+  WHERE rn = 1
+),
+exact AS (
+  SELECT e.vec_id, a.cell,
+         list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+           / (SQRT(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+              * SQRT(list_sum(list_transform(q.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine
+  FROM embeddings e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN probed p ON p.cell = a.cell, qv q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, cell, ROUND(cosine, 6) AS cosine
+FROM exact ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+)
+def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN search: score the query against the (tiny,
+    broadcast) centroid table, probe the nprobe=2 nearest cells, and
+    run exact cosine only over vectors assigned to probed cells —
+    the scale path where the exact scan shrinks from N to
+    N·nprobe/n_cells. Cell assignment reuses the ivf_assign_cells
+    argmin; at 100 TB the assignment is precomputed and the table is
+    partitioned by cell, so probing = partition pruning."""
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    exploded = e.select("label", F.posexplode(as_double).alias("pos", "x"))
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("cell"), "cvec")
+    )
+
+    def _cos(vec, cvec):
+        dot = F.aggregate(
+            F.zip_with(vec, cvec, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        nv = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+        nc = F.sqrt(F.aggregate(F.transform(cvec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+        return dot / (nv * nc)
+
+    qv = e.filter(F.col("vec_id") == 0).select(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("qe")
+    )
+    probed = (
+        cent.join(F.broadcast(qv))
+        .select("cell", _cos(F.col("qe"), F.col("cvec")).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("cell"))
+        .limit(2)
+        .select("cell")
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cell", _cos(as_double, F.col("cvec")).alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select("vec_id", "cell")
+    )
+    cand = assigned.join(F.broadcast(probed), "cell").filter(F.col("vec_id") != 0)
+    return (
+        e.join(cand, "vec_id")
+        .join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(_cos(F.transform(F.col("embedding"), lambda x: x.cast("double")), F.col("qe")), 6).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -176,3 +176,27 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = ev.dropDuplicates(["user_id", "event_type"])
     core.run_to_memory(dedup, "stream_dedup_keys_sink", output_mode="append")
     return spark.table("stream_dedup_keys_sink").agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+@register(
+    "stream_stream_join",
+    survey_ref="§2.11,§2.7",
+    oracle="""
+SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id
+FROM events v JOIN events p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL '1 hour'
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+""",
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream inner join (views → same-user purchases within
+    1h) with watermarks on both sides bounding join state — drained
+    via AvailableNow and checked against the batch self-join, the
+    replay-equivalence contract."""
+    ev = core.read_events_stream(spark, sf_dir)
+    joined = core.view_purchase_join(ev)
+    core.run_to_memory(
+        joined, "stream_stream_join_sink", output_mode="append", state_partitions=4
+    )
+    return spark.table("stream_stream_join_sink")

@@ -102,16 +102,72 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> None:
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> None:
     """Drain the stream through Trigger.AvailableNow into an in-memory
     table ``name`` and stop — the batch-replay harness for tests and
-    the oracle corpus."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    the oracle corpus.
+
+    ``state_partitions`` temporarily pins spark.sql.shuffle.partitions
+    for the query's lifetime: a stateful query's state-partition count
+    is frozen at first start, and every state partition pays a
+    store-open/commit cost per microbatch — at fixture scale 32
+    partitions × 2 join state stores is pure overhead (~25s), while a
+    real cluster run sizes it to state volume instead."""
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def view_purchase_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream–stream inner join: views matched to same-user purchases
+    within ``horizon``. Both sides carry watermarks and the join
+    condition bounds event-time distance, so each side's buffered
+    state expires once the other side's watermark passes the horizon —
+    the state-boundedness contract stream–stream joins require."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
     )
-    q.awaitTermination()
-    q.stop()
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+    )
