@@ -30,7 +30,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
     "q10_returned_items",
+    "q13_customer_distribution",
     "q18_large_volume",
     "stratified_split",
     "augment_rotations",
@@ -40,15 +42,18 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_neardup",
     "minhash_lsh_neardup_fast",
+    "neardup_components",
     "resample_ffill",
     "ngram_jaccard_adjacent",
     "cosine_topk",
     "ann_lsh_probe_topk",
+    "ivf_probe_topk",
     "text_token_stats",
     "doc_fingerprint",
     "multimodal_decode_features",
     "pandas_udf_inference",
     "stream_tumbling_counts",
+    "stream_stream_join",
 ]
 
 

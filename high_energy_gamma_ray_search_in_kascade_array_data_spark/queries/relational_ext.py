@@ -440,3 +440,26 @@ def q_array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(srt, 8).cast("double"), 4).alias("sorted_eighth"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
     )
+
+
+@register(
+    "sketch_aggregates",
+    survey_ref="§2.6",
+    oracle=None,  # sketches are engine-specific (HLL++ / KLL): no
+    # cross-engine hash match possible; tests/test_properties.py
+    # asserts both estimates land within their documented error bounds
+    # of the exact values.
+)
+def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch aggregates that replace their exact
+    cousins at 100 TB: approx_count_distinct (HLL++, rsd 1%) for
+    COUNT(DISTINCT) without the per-group hash set, and
+    approx_percentile (KLL-style, accuracy 10⁴) for percentiles
+    without a global sort. Both are partial-aggregable: the shuffle
+    carries fixed-size sketch state instead of values."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.round(F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 4).alias("approx_p50"),
+        F.count(F.lit(1)).alias("n"),
+    )

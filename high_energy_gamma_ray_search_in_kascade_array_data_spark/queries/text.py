@@ -9,7 +9,7 @@ sf0.01 while the unkeyed LSH variants live in ``operators/dedup.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
@@ -319,4 +319,127 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return toks.groupBy("doc_id").agg(
         (F.sum((F.col("pos0") + 1) * F.length("tok")) % 1000000007).alias("fingerprint")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    survey_ref="M5:text,§2.6,§2.8",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)) AS tfidf
+  FROM tf JOIN df USING (tok), n
+),
+ranked AS (
+  SELECT doc_id, tok, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+  FROM scored
+)
+SELECT doc_id, tok, ROUND(tfidf, 6) AS tfidf, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= 3
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with top-3 terms per document: term frequency (explode +
+    groupBy), document frequency (aggregate-bounded by vocabulary),
+    smoothed idf, per-doc ranking window. The df relation is
+    vocab-sized and broadcast back onto tf — the only event-scale
+    shuffles are the two token aggregations."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        (F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", F.round("tfidf", 6).alias("tfidf"), F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@register(
+    "bpe_pretokenize_counts",
+    survey_ref="M5:text",
+    oracle=r"""
+SELECT doc_id,
+       CAST(LEN(regexp_extract_all(text, '\w+|[^\w\s]')) AS BIGINT) AS n_pieces,
+       CAST(LEN(regexp_extract_all(text, '[^\w\s]')) AS BIGINT) AS n_punct,
+       CAST(LEN(regexp_extract_all(text, '\d+')) AS BIGINT) AS n_numeric
+FROM documents WHERE doc_id % 5 = 0
+""",
+)
+def q_bpe_pretokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pre-tokenizer accounting: word/punctuation piece
+    counts via regex extraction (the GPT-2-ish `\\w+|[^\\w\\s]` split) —
+    the token-budget estimator a training-data pipeline runs before
+    the real tokenizer. Row-local regex, codegen'd, no shuffle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"\w+|[^\w\s]"), F.lit(0))).cast("long").alias("n_pieces"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), F.lit(0))).cast("long").alias("n_punct"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\d+"), F.lit(0))).cast("long").alias("n_numeric"),
+    )
+
+
+@register(
+    "corpus_filter_pipeline",
+    survey_ref="M5:text,M5:dedup,§3.1",
+    oracle="""
+WITH metrics AS (
+  SELECT doc_id, text, lang,
+         LEN(string_split(text, ' ')) AS n_tokens,
+         LEN(list_distinct(string_split(text, ' '))) * 1.0
+           / LEN(string_split(text, ' ')) AS ttr
+  FROM documents
+),
+keep_first AS (
+  SELECT doc_id, MIN(doc_id) OVER (PARTITION BY text) AS canonical
+  FROM documents
+)
+SELECT m.doc_id, m.lang,
+       CAST(m.n_tokens AS BIGINT) AS n_tokens,
+       ROUND(m.ttr, 6) AS ttr
+FROM metrics m JOIN keep_first k ON m.doc_id = k.doc_id
+WHERE m.n_tokens >= 5 AND m.ttr >= 0.3 AND m.doc_id = k.canonical
+""",
+)
+def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation in one DAG: quality gates
+    (length + lexical diversity) and exact-dup keep-first (min doc_id
+    per identical text, a window — at 100 TB a groupBy on a text hash
+    joined back, same semantics). What survives is the clean corpus;
+    the lineage stays declarative so Catalyst fuses the gates into the
+    scan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+    )
+    w = Window.partitionBy("text")
+    m = m.withColumn("canonical", F.min("doc_id").over(w))
+    return (
+        m.filter((F.col("n_tokens") >= 5) & (F.col("ttr") >= 0.3) & (F.col("doc_id") == F.col("canonical")))
+        .select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"), F.round("ttr", 6).alias("ttr"))
     )

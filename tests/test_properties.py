@@ -156,3 +156,60 @@ def test_minhash_lsh_finds_exact_duplicates(spark):
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in found}
     assert (1, 2) in pairs and abs(pairs[(1, 2)] - 1.0) < 1e-9
     assert all(p == (1, 2) for p in pairs)
+
+
+def test_connected_components_invariants(spark, sf_dir):
+    """Connected components (M5:dedup): every edge's endpoints share a
+    component; every component's label is the min doc_id among its
+    members; labels are members of their own component."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import dedup as dd
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+    comp = dd.connected_components(pairs).cache()
+    ca = comp.select(F.col("doc_id").alias("doc_a"), F.col("component").alias("comp_a"))
+    cb = comp.select(F.col("doc_id").alias("doc_b"), F.col("component").alias("comp_b"))
+    split_edges = (
+        pairs.join(ca, "doc_a").join(cb, "doc_b").filter(F.col("comp_a") != F.col("comp_b"))
+    )
+    assert split_edges.count() == 0
+    # label = min member of the component
+    bad_label = (
+        comp.groupBy("component")
+        .agg(F.min("doc_id").alias("min_member"))
+        .filter(F.col("component") != F.col("min_member"))
+    )
+    assert bad_label.count() == 0
+
+
+def test_sketch_aggregates_within_error_bounds(spark, sf_dir):
+    """approx_count_distinct (rsd 1%) and approx_percentile
+    (accuracy 10⁴) stay within documented error of the exact values."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import spark_queries
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    approx = {
+        r["event_type"]: r
+        for r in spark_queries()["sketch_aggregates"](spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        ap = approx[et]
+        # HLL++ rsd 1%: allow 5% slack at tiny cardinalities
+        assert abs(ap["approx_users"] - ex["users"]) <= max(1, 0.05 * ex["users"])
+        # percentile_approx at accuracy 1e4 is near-exact on small data
+        spread = ex["vmax"] - ex["vmin"]
+        assert abs(ap["approx_p50"] - ex["p50"]) <= 0.01 * spread + 1e-6
