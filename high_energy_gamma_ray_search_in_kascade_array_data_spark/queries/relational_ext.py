@@ -463,3 +463,41 @@ def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 4).alias("approx_p50"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "sql_surface_revenue_share",
+    survey_ref="§2.8,§2.6,§3.1",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_cents
+  FROM lineitem WHERE l_orderkey % 200 = 0
+)
+SELECT l_orderkey, l_linenumber,
+       ROUND(rev_cents / 100.0, 2) AS line_revenue,
+       ROUND(rev_cents * 1.0 / SUM(rev_cents) OVER (PARTITION BY l_orderkey), 6)
+         AS order_share
+FROM li
+""",
+)
+def q_sql_surface_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL layer end-to-end: tables registered as temp
+    views, the query authored in Spark SQL text (not DataFrame calls),
+    parsed/analyzed/optimized by Catalyst identically to the DataFrame
+    corpus — same windowed revenue-share computation both ways."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql("""
+        WITH li AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS rev_cents
+          FROM lineitem_v WHERE l_orderkey % 200 = 0
+        )
+        SELECT l_orderkey, l_linenumber,
+               ROUND(CAST(rev_cents AS DOUBLE) / CAST(100 AS DOUBLE), 2) AS line_revenue,
+               ROUND(CAST(rev_cents AS DOUBLE)
+                     / CAST(SUM(rev_cents) OVER (PARTITION BY l_orderkey) AS DOUBLE), 6)
+                 AS order_share
+        FROM li
+    """)  # doubles cast explicitly: Spark SQL parses 100.0 as DECIMAL(3,1)
+    # and decimal division would yield DecimalType, mismatching the oracle

@@ -30,7 +30,7 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregate, drained incrementally;
     complete mode so every closed window is emitted."""
     ev = core.read_events_stream(spark, sf_dir)
-    core.run_to_memory(core.tumbling_counts(ev), "stream_tumbling_counts_sink")
+    core.run_to_memory(core.tumbling_counts(ev), "stream_tumbling_counts_sink", state_partitions=8)
     return spark.table("stream_tumbling_counts_sink")
 
 
@@ -51,7 +51,7 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (2h window, 1h slide): every event lands in two
     windows; the oracle enumerates both starts per event."""
     ev = core.read_events_stream(spark, sf_dir)
-    core.run_to_memory(core.sliding_counts(ev), "stream_sliding_counts_sink")
+    core.run_to_memory(core.sliding_counts(ev), "stream_sliding_counts_sink", state_partitions=8)
     return spark.table("stream_sliding_counts_sink")
 
 
@@ -69,7 +69,7 @@ def q_stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagship's A5 stage: state bounded by nbins, replay-equivalent to
     the batch histogram."""
     ev = core.read_events_stream(spark, sf_dir)
-    core.run_to_memory(core.value_histogram(ev), "stream_value_histogram_sink")
+    core.run_to_memory(core.value_histogram(ev), "stream_value_histogram_sink", state_partitions=8)
     return spark.table("stream_value_histogram_sink")
 
 
@@ -99,7 +99,7 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the same sessions with a batch lag/cumsum — the
     classic gap-based sessionization equivalence."""
     ev = core.read_events_stream(spark, sf_dir)
-    core.run_to_memory(core.session_counts(ev), "stream_session_windows_sink")
+    core.run_to_memory(core.session_counts(ev), "stream_session_windows_sink", state_partitions=8)
     return spark.table("stream_session_windows_sink")
 
 
@@ -121,7 +121,10 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = core.read_events_stream(spark, sf_dir)
     core.run_to_memory(
-        stateful.running_user_stats(ev), "stream_stateful_sink", output_mode="update"
+        stateful.running_user_stats(ev),
+        "stream_stateful_sink",
+        output_mode="update",
+        state_partitions=8,
     )
     sink = spark.table("stream_stateful_sink")
     from pyspark.sql import Window
@@ -156,7 +159,7 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = ev.join(F.broadcast(users), "user_id")
     agg = joined.groupBy("tier", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    core.run_to_memory(agg, "stream_static_join_sink")
+    core.run_to_memory(agg, "stream_static_join_sink", state_partitions=8)
     return spark.table("stream_static_join_sink")
 
 
@@ -174,7 +177,7 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     key count (first-seen *values* depend on arrival order)."""
     ev = core.read_events_stream(spark, sf_dir)
     dedup = ev.dropDuplicates(["user_id", "event_type"])
-    core.run_to_memory(dedup, "stream_dedup_keys_sink", output_mode="append")
+    core.run_to_memory(dedup, "stream_dedup_keys_sink", output_mode="append", state_partitions=8)
     return spark.table("stream_dedup_keys_sink").agg(F.count(F.lit(1)).alias("n_unique"))
 
 

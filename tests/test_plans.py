@@ -85,3 +85,38 @@ def test_scaler_apply_broadcasts_params(spark, sf_dir):
 )
 def test_aggregates_are_partial(name, spark, sf_dir):
     assert_partial_aggregation(_q(name, spark, sf_dir))
+
+
+def test_q7_broadcasts_all_dimensions(spark, sf_dir):
+    """Q7's five dimension legs (orders may shuffle; customer,
+    supplier, nation×2 must broadcast) — the fact side never shuffles
+    on a dim key, and the date filter reaches the scan."""
+    df = _q("q7_volume_shipping", spark, sf_dir)
+    assert_broadcast_hash_join(df, at_least=4)
+    assert_no_cartesian_product(df)
+    assert_pushed_filters(df, "l_shipdate")
+
+
+def test_q19_stays_hash_join(spark, sf_dir):
+    """Q19's OR-of-ANDs must not degrade to a nested-loop join:
+    Catalyst extracts the common p_partkey equi-key."""
+    df = _q("q19_disjunctive_revenue", spark, sf_dir)
+    assert_no_cartesian_product(df)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_partial_aggregation(spark, sf_dir):
+    """Both token aggregations (tf, df) must map-side combine; the
+    vocab-sized df relation broadcasts back onto tf."""
+    df = _q("tfidf_top_terms", spark, sf_dir)
+    assert_partial_aggregation(df)
+    assert_broadcast_hash_join(df, at_least=1)
+
+
+def test_q22_anti_join_not_cartesian(spark, sf_dir):
+    """NOT EXISTS compiles to a broadcast/shuffled anti join; the
+    1-row AVG scalar is the only permitted nested-loop (cross) input."""
+    df = _q("q22_idle_customers", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
