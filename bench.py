@@ -64,6 +64,12 @@ def main() -> int:
     names = [n for n in HEADLINE if n in reg]
     # prime: JVM + catalog warm (not counted)
     reg[names[0]].fn(spark, sf_dir).limit(1).count()
+    # prime the Python worker pool too — one trivial Arrow batch per
+    # core, so the first pandas-UDF query isn't charged ~32 interpreter
+    # startups (a fixed cost a long-lived cluster pays once)
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, "id long").count()
     timings: dict[str, float] = {}
     t_total0 = time.time()
     for name in names:

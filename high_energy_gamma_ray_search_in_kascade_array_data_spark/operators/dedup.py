@@ -45,6 +45,10 @@ def doc_tokens(
     ``shingle=1`` gives plain token sets. The token array materializes
     once per row before the shingle transform (element_at over a raw
     split() expression re-splits the text per element)."""
+    # single-file fixture scans arrive as ONE input split; the explode
+    # below multiplies rows ~100×, so spread the scan first (a real
+    # cluster's scan is already split — this is a no-op there)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     if shingle <= 1:
         return (
             docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))

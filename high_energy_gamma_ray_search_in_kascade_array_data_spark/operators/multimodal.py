@@ -62,7 +62,13 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     (event_id·7 + i·13) mod 256."""
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
 
-    ev = load_table(spark, sf_dir, "events").select("event_id")
+    # spread the single-file scan before the Python stages so the
+    # mapInPandas kernels run on every core, not one input split
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
