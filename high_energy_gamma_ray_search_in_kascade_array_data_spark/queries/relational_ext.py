@@ -501,3 +501,37 @@ def q_sql_surface_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM li
     """)  # doubles cast explicitly: Spark SQL parses 100.0 as DECIMAL(3,1)
     # and decimal division would yield DecimalType, mismatching the oracle
+
+
+@register(
+    "window_range_interval",
+    survey_ref="§2.8,§2.11",
+    oracle="""
+SELECT event_id, user_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+       ROUND(SUM(value) OVER w, 4) AS sum_last_hour
+FROM events
+WHERE user_id % 25 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over event time: per-user trailing-hour
+    count/sum — the value-based frame (rangeBetween on the timestamp,
+    not row offsets) that powers moving aggregates; the streaming
+    sliding window is this frame's incremental twin. One shuffle on
+    user_id, frame evaluated in a single sorted pass."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.round(F.sum("value").over(w), 4).alias("sum_last_hour"),
+    )

@@ -1,0 +1,49 @@
+"""Hypothesis-driven invariants for the physics scalar library
+(SURVEY §5.2): generated inputs, not just fixture rows. Values are
+checked through a real Spark plan (createDataFrame → column
+expressions → collect) so the tested artifact is the engine's
+expression library, not a Python reimplementation."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from hypothesis import given, settings, strategies as st
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.functions import physics
+
+_angles = st.floats(min_value=0.0, max_value=360.0, exclude_max=True,
+                    allow_nan=False, allow_infinity=False)
+_zeniths = st.floats(min_value=0.0, max_value=89.0,
+                     allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.tuples(_zeniths, _angles), min_size=1, max_size=16))
+def test_spherical_roundtrip_on_generated_angles(spark, pairs):
+    """cartesian∘spherical ≈ id for any (ze, az) batch."""
+    df = spark.createDataFrame(pairs, "ze double, az double")
+    dx, dy, dz = physics.direction_cosines(F.col("ze"), F.col("az"))
+    ze2, az2 = physics.cartesian_to_spherical(dx, dy, dz)
+    rows = df.select("ze", "az", ze2.alias("ze2"), az2.alias("az2")).collect()
+    for r in rows:
+        assert math.isclose(r.ze, r.ze2, abs_tol=1e-7)
+        d_az = abs(r.az - r.az2) % 360.0
+        # azimuth is undefined at the pole (ze=0); tolerance scales
+        assert min(d_az, 360.0 - d_az) < 1e-5 / max(math.sin(math.radians(r.ze)), 1e-9)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(_angles, min_size=1, max_size=16), st.integers(min_value=0, max_value=7))
+def test_rotation_composition_wraps(spark, azs, k):
+    """k 90° steps ≡ one (k mod 4)·90° step, and output ∈ [0, 360)."""
+    df = spark.createDataFrame([(a,) for a in azs], "az double")
+    step = F.col("az")
+    for _ in range(k):
+        step = physics.rotate_azimuth(step, 1)
+    direct = physics.rotate_azimuth(F.col("az"), k % 4)
+    rows = df.select(step.alias("stepped"), direct.alias("direct")).collect()
+    for r in rows:
+        assert 0.0 <= r.stepped < 360.0
+        assert math.isclose(r.stepped % 360.0, r.direct % 360.0, abs_tol=1e-9)
