@@ -34,6 +34,8 @@ HEADLINE = [
     "q10_returned_items",
     "q13_customer_distribution",
     "q18_large_volume",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
     "stratified_split",
     "augment_rotations",
     "window_topk_per_group",
@@ -48,9 +50,11 @@ HEADLINE = [
     "cosine_topk",
     "ann_lsh_probe_topk",
     "ivf_probe_topk",
+    "ann_int8_quantized_topk",
     "text_token_stats",
     "doc_fingerprint",
     "multimodal_decode_features",
+    "multimodal_resize",
     "pandas_udf_inference",
     "stream_tumbling_counts",
     "stream_stream_join",

@@ -130,3 +130,44 @@ def frame_sample(media: DataFrame, every: int = 16) -> DataFrame:
     return media.select("media_id", frame).withColumn(
         "frame_no", F.col("frame_no").cast("int")
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("py", IntegerType()),
+        StructField("px", IntegerType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def resize_media(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Mean-pool resize (width/factor × height/factor): the image
+    downsample kernel of the multimodal pipeline, vectorized over the
+    Arrow batch — payloads reshape to (n, H, W) once, pooling is one
+    numpy reduction, output is long-form (media_id, py, px, value).
+    A real resampler (PIL.Image.resize) slots into the same kernel with
+    schema and batching unchanged."""
+
+    def pool(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            side = int(PAYLOAD_BYTES ** 0.5)
+            out = side // factor
+            mats = np.frombuffer(b"".join(pdf["payload"]), dtype="uint8").reshape(n, side, side)
+            pooled = mats.reshape(n, out, factor, out, factor).mean(axis=(2, 4))
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), out * out),
+                    "py": np.tile(np.repeat(np.arange(out, dtype="int32"), out), n),
+                    "px": np.tile(np.arange(out, dtype="int32"), out * n),
+                    "value": pooled.reshape(-1),
+                }
+            )
+
+    return media.mapInPandas(pool, RESIZE_SCHEMA)

@@ -117,3 +117,23 @@ def q_npz_legacy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("s"), 4).alias("checksum"))
     )
+
+
+@register(
+    "multimodal_resize",
+    survey_ref="M5:multimodal,§2.12",
+    oracle=f"""
+SELECT event_id AS media_id, CAST(py AS INTEGER) AS py, CAST(px AS INTEGER) AS px,
+       ( CAST((event_id * 7 + ((2*py)*8 + 2*px) * 13) % 256 AS DOUBLE)
+       + CAST((event_id * 7 + ((2*py)*8 + 2*px + 1) * 13) % 256 AS DOUBLE)
+       + CAST((event_id * 7 + ((2*py+1)*8 + 2*px) * 13) % 256 AS DOUBLE)
+       + CAST((event_id * 7 + ((2*py+1)*8 + 2*px + 1) * 13) % 256 AS DOUBLE) ) / 4.0 AS value
+FROM events, UNNEST(range(0, 4)) AS r1(py), UNNEST(range(0, 4)) AS r2(px)
+""",
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8×8 fake image → 2×2 mean-pool resize → 4×4 long-form pixels.
+    The oracle reproduces the pooled values from event_id arithmetic
+    while Spark really ships binary payloads through the Arrow kernel."""
+    media = multimodal.synth_media(spark, sf_dir)
+    return multimodal.resize_media(media, factor=2)

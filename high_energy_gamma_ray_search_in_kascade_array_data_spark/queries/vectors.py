@@ -233,3 +233,77 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair.select("vec_a", "vec_b", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.4)
     )
+
+
+@register(
+    "ann_int8_quantized_topk",
+    survey_ref="M5:similarity",
+    oracle="""
+WITH s AS (
+  SELECT vec_id, label, embedding,
+         GREATEST(list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))), 1e-30) AS m
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> FLOOR(CAST(x AS DOUBLE) * 127.0 / m + 0.5)) AS q
+  FROM s
+),
+qq AS (SELECT q AS qe FROM qv WHERE vec_id = 0),
+pairs AS (
+  SELECT v.vec_id, v.label,
+         list_sum(list_transform(range(1, 65), i -> v.q[i] * qq.qe[i])) AS dot,
+         SQRT(list_sum(list_transform(v.q, x -> x * x))) AS na,
+         SQRT(list_sum(list_transform(qq.qe, x -> x * x))) AS nq
+  FROM qv v, qq
+  WHERE v.vec_id <> 0
+)
+SELECT vec_id, label, ROUND(dot / (na * nq), 6) AS cosine_q
+FROM pairs
+ORDER BY cosine_q DESC, vec_id
+LIMIT 10
+""",
+)
+def q_ann_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) cosine top-k: per-vector symmetric
+    quantization q_i = floor(127·x_i/max|x| + 0.5), integer dot
+    products, exact re-rankable scores. This is the memory-bound scale
+    path — at 100 TB the quantized corpus is 4× smaller than float32
+    (and its integer dots SIMD-vectorize), so 4× more vectors fit per
+    executor before the scan spills; products ≤ 127²·64 stay exact in
+    doubles, making the score deterministic across engines. The
+    quantization scale is materialized as a column BEFORE the
+    per-element lambda (an inline array_max would re-reduce the array
+    per element — the expression-recompute trap)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    m = F.greatest(
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    )
+    quantized = e.select(
+        "vec_id", "label", "embedding", m.alias("m")
+    ).select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 127.0 / F.col("m") + 0.5),
+        ).alias("q"),
+    )
+    qq = quantized.filter(F.col("vec_id") == 0).select(F.col("q").alias("qe"))
+    pairs = quantized.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qq))
+    dot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qe"), lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.transform(c, lambda x: x * x), F.lit(0.0), lambda a, x: a + x)
+    )
+    return (
+        pairs.select(
+            "vec_id",
+            "label",
+            F.round(dot / (norm(F.col("q")) * norm(F.col("qe"))), 6).alias("cosine_q"),
+        )
+        .orderBy(F.desc("cosine_q"), F.asc("vec_id"))
+        .limit(10)
+    )
