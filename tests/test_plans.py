@@ -120,3 +120,59 @@ def test_q22_anti_join_not_cartesian(spark, sf_dir):
     df = _q("q22_idle_customers", spark, sf_dir)
     plan = physical_plan(df)
     assert "LeftAnti" in plan
+
+
+def test_q2_window_min_no_cartesian(spark, sf_dir):
+    """Q2's decorrelated MIN is a window over l_partkey on the
+    aggregated surrogate — no correlated re-scan, no cartesian; the
+    part-side filters reach its scan."""
+    df = _q("q2_min_cost_supplier", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    assert_no_cartesian_product(df)
+    assert_pushed_filters(df, "p_type", "p_size")
+
+
+def test_q16_anti_join_and_distinct_agg(spark, sf_dir):
+    """NOT IN compiles to a left-anti join; COUNT(DISTINCT) plans the
+    two-phase distinct aggregate (Expand/partial pair), never a global
+    de-dup sort."""
+    df = _q("q16_supplier_cnt", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan
+    assert "HashAggregate" in plan
+
+
+def test_q20_semi_joins(spark, sf_dir):
+    """Both nested INs must become semi joins (part prefilter and
+    qualifying-supplier probe), not inner joins that would duplicate
+    rows before the final projection."""
+    df = _q("q20_potential_promotion", spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("LeftSemi") >= 2
+    assert_no_cartesian_product(df)
+
+
+def test_q21_single_lineitem_shuffle_chain(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS rewrite aggregates lineitem once at
+    (order, supplier) grain and once at order grain — no l1⋈l2⋈l3
+    triple self-join, no cartesian, partial aggregation throughout."""
+    df = _q("q21_waiting_suppliers", spark, sf_dir)
+    assert_no_cartesian_product(df)
+    assert_partial_aggregation(df)
+
+
+def test_int8_topk_takeordered(spark, sf_dir):
+    """Quantized top-k must plan TakeOrderedAndProject over the
+    broadcast-probed scan, like its float sibling."""
+    df = _q("ann_int8_quantized_topk", spark, sf_dir)
+    assert "TakeOrderedAndProject" in physical_plan(df)
+
+
+def test_resize_is_arrow_batched(spark, sf_dir):
+    """The resize kernel must be a vectorized Arrow mapInPandas stage,
+    not a row-at-a-time Python UDF."""
+    df = _q("multimodal_resize", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
