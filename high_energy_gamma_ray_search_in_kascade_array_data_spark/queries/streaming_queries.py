@@ -203,3 +203,38 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined, "stream_stream_join_sink", output_mode="append", state_partitions=4
     )
     return spark.table("stream_stream_join_sink")
+
+
+@register(
+    "stream_foreach_batch_sink",
+    survey_ref="§2.11,S4",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS sum_value
+FROM events GROUP BY event_type
+""",
+)
+def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch → parquet sink round-trip: the stream drains
+    through a per-micro-batch callback into a parquet directory (with a
+    streaming checkpoint tracking delivered batch ids), then the sink
+    is read back batch-side and aggregated — the written bytes, not the
+    in-flight stream, are what the oracle must match."""
+    import os
+    import shutil
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.sources_multimodal import SCRATCH
+
+    sink_path = os.path.join(SCRATCH, "feb_sink")
+    ckpt_path = os.path.join(SCRATCH, "feb_ckpt")
+    for p in (sink_path, ckpt_path):
+        shutil.rmtree(p, ignore_errors=True)
+    ev = core.read_events_stream(spark, sf_dir)
+    core.drain_foreach_batch_to_parquet(ev, sink_path, ckpt_path)
+    back = spark.read.parquet(sink_path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")) / 100.0, 2
+        ).alias("sum_value"),
+    )

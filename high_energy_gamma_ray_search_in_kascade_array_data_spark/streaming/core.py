@@ -171,3 +171,27 @@ def view_purchase_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
         "view_id",
         "purchase_id",
     )
+
+
+def drain_foreach_batch_to_parquet(
+    events: DataFrame, sink_path: str, checkpoint_path: str
+) -> None:
+    """foreachBatch sink: the production pattern for sinks Structured
+    Streaming has no native writer for (JDBC upserts, MERGEs, multi-
+    table fan-out). Each micro-batch arrives as a *batch* DataFrame the
+    callback writes transactionally; the checkpoint records the batch id
+    so a restarted query re-delivers only uncommitted batches
+    (at-least-once; the callback's write must be idempotent per
+    batch_id for exactly-once)."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(sink_path)
+
+    q = (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
