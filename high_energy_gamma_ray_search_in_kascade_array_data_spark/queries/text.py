@@ -443,3 +443,128 @@ def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.filter((F.col("n_tokens") >= 5) & (F.col("ttr") >= 0.3) & (F.col("doc_id") == F.col("canonical")))
         .select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"), F.round("ttr", 6).alias("ttr"))
     )
+
+
+@register(
+    "udtf_chunk_documents",
+    survey_ref="§2.12,M5:text",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tk,
+         LEN(string_split(text, ' ')) AS n
+  FROM documents
+),
+k AS (
+  SELECT doc_id, tk, n, UNNEST(range(0, CAST(CEIL(n / 24.0) AS BIGINT))) AS c
+  FROM t
+)
+SELECT doc_id, CAST(c AS INTEGER) AS chunk_no,
+       CAST(LEAST(n - c * 24, 32) AS INTEGER) AS n_tokens,
+       array_to_string(tk[c * 24 + 1 : LEAST(c * 24 + 32, n)], ' ') AS chunk_text
+FROM k
+""",
+)
+def q_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking via a Python UDTF called through LATERAL —
+    the sliding-window chunker of a training-data/RAG pipeline (window
+    32 tokens, stride 24, tail chunks shorter), and the corpus's
+    genuine table-function surface (one input row → N output rows with
+    per-row Python logic; contrast the pure-SQL exploders elsewhere).
+    Row-at-a-time Python is the slow path — the UDTF is the API
+    demonstration; the same chunking at 100 TB belongs in a
+    whole-stage-codegen slice expression or a mapInPandas kernel."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_no int, n_tokens int, chunk_text string")
+    class ChunkText:
+        def eval(self, text: str):
+            if not text:
+                return
+            toks = text.split(" ")
+            window, stride = 32, 24
+            for k in range((len(toks) + stride - 1) // stride):
+                start = k * stride
+                if start >= len(toks):
+                    break
+                chunk = toks[start : start + window]
+                yield k, len(chunk), " ".join(chunk)
+
+    spark.udtf.register("chunk_text_udtf", ChunkText)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_for_chunking")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_no, c.n_tokens, c.chunk_text
+        FROM documents_for_chunking d, LATERAL chunk_text_udtf(d.text) c
+        """
+    )
+
+
+@register(
+    "bigram_association_lift",
+    survey_ref="M5:text,§2.6",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents) s,
+       UNNEST(range(1, LEN(t))) AS r(i)
+),
+uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents
+  ) u GROUP BY w
+),
+big AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM tok GROUP BY w1, w2
+),
+n_tot AS (SELECT SUM(c) AS n FROM uni)
+SELECT b.w1, b.w2, b.c_ab,
+       ROUND(b.c_ab * n_tot.n * 1.0 / (ua.c * ub.c), 6) AS lift
+FROM big b
+JOIN uni ua ON ua.w = b.w1
+JOIN uni ub ON ub.w = b.w2
+CROSS JOIN n_tot
+WHERE b.c_ab >= 8
+""",
+)
+def q_bigram_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: association lift of adjacent-token bigrams,
+    lift(a,b) = P(ab) / (P(a)·P(b)) computed as the exact integer ratio
+    c_ab·N / (c_a·c_b) — PMI without the log, so the score is a single
+    IEEE division identical across engines. Bigram and unigram counts
+    partial-aggregate map-side; the unigram table is vocabulary-sized,
+    so both probability joins broadcast — at 100 TB the only
+    corpus-scale shuffle is the bigram count itself."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("t"))
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    n_tot = uni.agg(F.sum("c").alias("n"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    return (
+        big.filter(F.col("c_ab") >= 8)
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .join(F.broadcast(n_tot))
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            F.round(F.col("c_ab") * F.col("n") * 1.0 / (F.col("c_a") * F.col("c_b")), 6).alias(
+                "lift"
+            ),
+        )
+    )
