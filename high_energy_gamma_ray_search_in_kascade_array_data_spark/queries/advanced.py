@@ -268,3 +268,135 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "ivf_partitioned_index_probe",
+    survey_ref="M5:similarity,S4",
+    oracle="""
+WITH exploded AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent AS (
+  SELECT label AS cell, list(c ORDER BY pos) AS cvec
+  FROM (SELECT label, pos, AVG(x) AS c FROM exploded GROUP BY label, pos) t
+  GROUP BY label
+),
+qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+cellscore AS (
+  SELECT c.cell,
+         list_sum(list_transform(range(1, 65),
+                  i -> CAST(q.qe[i] AS DOUBLE) * c.cvec[i]))
+           / (SQRT(list_sum(list_transform(q.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+              * SQRT(list_sum(list_transform(c.cvec, v -> v * v)))) AS cos
+  FROM cent c, qv q
+),
+probed AS (SELECT cell FROM cellscore ORDER BY cos DESC, cell LIMIT 2),
+scored AS (
+  SELECT e.vec_id, c.cell,
+         list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * c.cvec[i]))
+           / (SQRT(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+              * SQRT(list_sum(list_transform(c.cvec, v -> v * v)))) AS cos
+  FROM embeddings e, cent c
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell) AS rn
+    FROM scored) b
+  WHERE rn = 1
+),
+exact AS (
+  SELECT e.vec_id, a.cell,
+         list_sum(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+           / (SQRT(list_sum(list_transform(e.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+              * SQRT(list_sum(list_transform(q.qe, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cosine
+  FROM embeddings e
+  JOIN assigned a ON a.vec_id = e.vec_id
+  JOIN probed p ON p.cell = a.cell, qv q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, cell, ROUND(cosine, 6) AS cosine
+FROM exact ORDER BY cosine DESC, vec_id LIMIT 10
+""",
+)
+def q_ivf_partitioned_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The *materialized* IVF index: vectors are written to parquet
+    ``partitionBy(cell)`` (the index build), and a probe reads back
+    only the nprobe=2 nearest cells' directories — the filter on the
+    partition column becomes PartitionFilters in the scan, so a probe
+    physically touches nprobe/n_cells of the stored bytes. This is the
+    lifecycle form of ivf_probe_topk (same result, same oracle): build
+    once, probe many, refresh on drift. The probed cell ids are
+    collected to the driver first — index *metadata*, O(n_cells), the
+    legitimate driver-side step that unlocks partition pruning."""
+    import os
+    import shutil
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.sources_multimodal import SCRATCH
+
+    e = load_table(spark, sf_dir, "embeddings")
+    as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def _cos(vec, cvec):
+        dot = F.aggregate(
+            F.zip_with(vec, cvec, lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        nv = F.sqrt(F.aggregate(F.transform(vec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+        nc = F.sqrt(F.aggregate(F.transform(cvec, lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+        return dot / (nv * nc)
+
+    exploded = e.select("label", F.posexplode(as_double).alias("pos", "x"))
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("cell"), "cvec")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cell", _cos(as_double, F.col("cvec")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell")
+    )
+
+    index_path = os.path.join(SCRATCH, "ivf_index")
+    shutil.rmtree(index_path, ignore_errors=True)
+    assigned.write.partitionBy("cell").parquet(index_path)
+
+    qv = e.filter(F.col("vec_id") == 0).select(as_double.alias("qe"))
+    probed_cells = [
+        r["cell"]
+        for r in cent.join(F.broadcast(qv))
+        .select("cell", _cos(F.col("qe"), F.col("cvec")).alias("cos"))
+        .orderBy(F.desc("cos"), F.asc("cell"))
+        .limit(2)
+        .collect()
+    ]
+
+    index = spark.read.parquet(index_path).filter(
+        F.col("cell").isin(probed_cells) & (F.col("vec_id") != 0)
+    )
+    return (
+        index.join(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "cell",
+            F.round(
+                _cos(F.transform(F.col("embedding"), lambda x: x.cast("double")), F.col("qe")), 6
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

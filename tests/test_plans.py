@@ -176,3 +176,12 @@ def test_resize_is_arrow_batched(spark, sf_dir):
     plan = physical_plan(df)
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ivf_index_probe_prunes_partitions(spark, sf_dir):
+    """The materialized-index probe must read only the probed cells'
+    directories: the cell predicate appears as a partition filter on
+    the index scan, not a post-scan filter."""
+    df = _q("ivf_partitioned_index_probe", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
