@@ -535,3 +535,50 @@ def q_window_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
         F.round(F.sum("value").over(w), 4).alias("sum_last_hour"),
     )
+
+
+@register(
+    "asof_tolerance_attribution",
+    survey_ref="§2.7,§2.8",
+    oracle="""
+SELECT event_id, last_click_ts
+FROM (
+  SELECT p.event_id, c.ts AS last_click_ts, p.ts AS p_ts
+  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+  ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    ON p.user_id = c.user_id AND p.ts >= c.ts
+) m
+WHERE p_ts - last_click_ts <= INTERVAL 45 MINUTE
+""",
+)
+def q_asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas merge_asof(tolerance=...)
+    semantics): a purchase attributes to the user's most recent click
+    only if it happened within 45 minutes — the attribution-window
+    rule of marketing/feature pipelines. Same single per-user window
+    pass as asof_last_click (one shuffle, no range cross-join); the
+    tolerance is a post-window filter, so stale matches drop without
+    widening state."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("tie"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        merged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click_ts").isNotNull()
+            & (F.col("ts") - F.col("last_click_ts") <= F.expr("INTERVAL 45 MINUTE"))
+        )
+        .select("event_id", "last_click_ts")
+    )
