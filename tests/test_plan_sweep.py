@@ -1,0 +1,33 @@
+"""Corpus-wide plan-hygiene sweep: no query may plan a cartesian
+product or a row-at-a-time Python eval, ever — the two silent
+scale-killers. Queries with plan-time side effects (streaming drains,
+sink round-trips) are exercised by their own dedicated tests instead."""
+
+from __future__ import annotations
+
+import pytest
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.plans import physical_plan
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
+
+_C = corpus()
+
+# plan construction itself drains a stream / writes a sink for these
+_SIDE_EFFECT_PREFIXES = ("stream_", "npz_legacy", "partitioned_split", "ivf_partitioned")
+
+# the UDTF is the documented row-at-a-time API demonstration
+_ROW_PYTHON_ALLOWED = {"udtf_chunk_documents"}
+
+_NAMES = [
+    n
+    for n in sorted(_C)
+    if not n.startswith(_SIDE_EFFECT_PREFIXES)
+]
+
+
+@pytest.mark.parametrize("name", _NAMES)
+def test_no_cartesian_no_row_python(name, spark, sf_dir):
+    plan = physical_plan(_C[name].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in _ROW_PYTHON_ALLOWED:
+        assert "BatchEvalPython" not in plan, f"{name} plans row-at-a-time Python"
