@@ -582,3 +582,93 @@ def q_asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_id", "last_click_ts")
     )
+
+
+@register(
+    "cdc_merge_apply",
+    survey_ref="§2.7,§2.10",
+    oracle="""
+WITH changes AS (
+  SELECT c_custkey AS k, FLOOR((c_acctbal + 100.0) * 100 + 0.5) / 100.0 AS new_bal, 'U' AS op
+  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 13 <> 0
+  UNION ALL
+  SELECT c_custkey, NULL, 'D' FROM customer WHERE c_custkey % 13 = 0
+  UNION ALL
+  SELECT c_custkey + 10000000, FLOOR(c_acctbal / 2.0 * 100 + 0.5) / 100.0, 'I'
+  FROM customer WHERE c_custkey % 11 = 0
+)
+SELECT COALESCE(ch.k, s.c_custkey) AS c_custkey,
+       COALESCE(ch.new_bal, FLOOR(s.c_acctbal * 100 + 0.5) / 100.0) AS acctbal
+FROM customer s
+FULL OUTER JOIN changes ch ON ch.k = s.c_custkey
+WHERE ch.op IS NULL OR ch.op <> 'D'
+""",
+)
+def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style changeset apply (the CDC/compaction core a lakehouse
+    MERGE INTO compiles to, engine-level form): upserts override the
+    snapshot row, deletes drop it, inserts add new keys — one full
+    outer join on the key. At 100 TB both sides hash-partition on the
+    key (changesets are usually ≪ snapshot, so AQE picks a broadcast
+    or shuffled-hash join); the WHERE keeps tombstones out of the
+    output, which is exactly a partition-overwrite rewrite when the
+    snapshot is key-bucketed."""
+    cust = load_table(spark, sf_dir, "customer")
+    updates = (
+        cust.filter((F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 13 != 0))
+        .select(
+            F.col("c_custkey").alias("k"),
+            (F.floor((F.col("c_acctbal") + 100.0) * 100 + 0.5) / 100.0).alias("new_bal"),
+            F.lit("U").alias("op"),
+        )
+    )
+    deletes = cust.filter(F.col("c_custkey") % 13 == 0).select(
+        F.col("c_custkey").alias("k"), F.lit(None).cast("double").alias("new_bal"), F.lit("D").alias("op")
+    )
+    inserts = cust.filter(F.col("c_custkey") % 11 == 0).select(
+        (F.col("c_custkey") + 10000000).alias("k"),
+        (F.floor(F.col("c_acctbal") / 2.0 * 100 + 0.5) / 100.0).alias("new_bal"),
+        F.lit("I").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    merged = cust.join(changes, changes["k"] == cust["c_custkey"], "full_outer")
+    return merged.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce(F.col("k"), F.col("c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("new_bal"), F.floor(F.col("c_acctbal") * 100 + 0.5) / 100.0).alias("acctbal"),
+    )
+
+
+@register(
+    "compact_latest_per_key",
+    survey_ref="§2.8,§2.10",
+    oracle="""
+SELECT user_id, event_type, event_id AS latest_event_id, value AS latest_value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+""",
+)
+def q_compact_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest compaction: the newest row per (user, event_type) —
+    the dedup rule of upsert log compaction (SCD type 1). One window
+    shuffle on the key; event_id breaks timestamp ties so the winner
+    is deterministic under any partitioning. At scale this replaces a
+    full self-join anti pattern and is exactly the rewrite a MERGE of
+    an append log into a keyed table performs."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("latest_event_id"),
+            F.col("value").alias("latest_value"),
+        )
+    )
