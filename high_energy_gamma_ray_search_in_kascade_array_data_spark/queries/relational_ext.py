@@ -672,3 +672,67 @@ def q_compact_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("value").alias("latest_value"),
         )
     )
+
+
+@register(
+    "stat_corr_covar_suffstats",
+    survey_ref="§2.6,A1",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sx,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sy,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+             * CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sxx,
+         SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+             * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS syy,
+         SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)
+             * CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS corr_qty_price,
+       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) / 10000.0, 4)
+         AS covar_samp_qty_price
+FROM s
+""",
+)
+def q_stat_corr_covar_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance per return flag via
+    sufficient statistics: one partial-aggregated pass collects exact
+    integer sums (Σx, Σy, Σx², Σy², Σxy on cent-scaled values — BIGINT,
+    summation-order independent), the moments formula then runs on the
+    1-row-per-group result. This is how corr/covar distribute at
+    100 TB — the built-in CORR's streaming merge is the same math, but
+    the integer sums make the answer bit-identical across engines and
+    across any partitioning. Covariance is de-scaled by 100² back to
+    natural units."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
+    corr = (nd * F.col("sxy") - sxd * F.col("sy")) / (
+        F.sqrt(nd * F.col("sxx") - sxd * F.col("sx"))
+        * F.sqrt(nd * F.col("syy") - syd * F.col("sy"))
+    )
+    covar = (F.col("sxy").cast("double") - sxd * F.col("sy") / F.col("n")) / (
+        F.col("n") - 1
+    ) / 10000.0
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(corr, 6).alias("corr_qty_price"),
+        F.round(covar, 4).alias("covar_samp_qty_price"),
+    )
