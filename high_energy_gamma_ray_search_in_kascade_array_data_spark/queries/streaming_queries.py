@@ -238,3 +238,77 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")) / 100.0, 2
         ).alias("sum_value"),
     )
+
+
+@register(
+    "stream_survival_curve",
+    survey_ref="§2.11,A5,A6,A9",
+    oracle="""
+WITH shower AS (
+  SELECT event_id,
+         CAST(event_id % 2 AS INTEGER) AS label,
+         14.0 + (event_id * 131 % 2500) / 1000.0 AS lg_e,
+         CAST(event_id * 17 % 45 AS DOUBLE) AS ze,
+         (event_id * 37 % 1000) / 1000.0 AS p
+  FROM events
+),
+band AS (
+  SELECT label, p FROM shower
+  WHERE ze >= 0 AND ze < 30 AND lg_e >= 15 AND lg_e < 16
+),
+binned AS (
+  SELECT label,
+         CAST(LEAST(CAST(FLOOR(p / 0.01) AS BIGINT), 99) AS INTEGER) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS bin_count
+  FROM band GROUP BY 1, 2
+)
+SELECT label, bin, bin_count,
+       CAST(SUM(bin_count) OVER (PARTITION BY label ORDER BY bin) AS BIGINT) AS cum_count,
+       CAST(SUM(bin_count) OVER (PARTITION BY label) AS BIGINT) AS class_total,
+       CAST(SUM(bin_count) OVER (PARTITION BY label ORDER BY bin) AS DOUBLE)
+         / CAST(SUM(bin_count) OVER (PARTITION BY label) AS BIGINT) AS surviving_frac
+FROM binned
+""",
+)
+def q_stream_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship, incrementally (SURVEY §7 M4): the per-class score
+    histogram is maintained by the streaming engine (state = 2 labels ×
+    100 bins, bounded forever), and the survival curve — cumulative
+    window + per-class normalize — is recomputed batch-side from those
+    200 rows after each drain. At 100 TB this is the production shape:
+    the unbounded event stream never re-scans; the curve refresh costs
+    O(nbins), not O(events). Must equal the batch survival_curve —
+    same oracle."""
+    from pyspark.sql import Window
+
+    ev = core.read_events_stream(spark, sf_dir)
+    eid = F.col("event_id")
+    shower = ev.select(
+        (eid % 2).cast("int").alias("label"),
+        (F.lit(14.0) + (eid * 131 % 2500) / F.lit(1000.0)).alias("lg_e"),
+        (eid * 17 % 45).cast("double").alias("ze"),
+        ((eid * 37 % 1000) / F.lit(1000.0)).alias("p"),
+    )
+    band = shower.filter(
+        (F.col("ze") >= 0) & (F.col("ze") < 30) & (F.col("lg_e") >= 15) & (F.col("lg_e") < 16)
+    )
+    binned = band.groupBy(
+        "label",
+        F.least(F.floor(F.col("p") / 0.01), F.lit(99)).cast("int").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("bin_count"))
+    core.run_to_memory(binned, "stream_survival_sink", state_partitions=8)
+    hist = spark.table("stream_survival_sink")
+    w_cum = (
+        Window.partitionBy("label").orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("label")
+    return hist.select(
+        "label",
+        "bin",
+        "bin_count",
+        F.sum("bin_count").over(w_cum).alias("cum_count"),
+        F.sum("bin_count").over(w_tot).alias("class_total"),
+        (F.sum("bin_count").over(w_cum).cast("double") / F.sum("bin_count").over(w_tot)).alias(
+            "surviving_frac"
+        ),
+    )
