@@ -36,6 +36,9 @@ HEADLINE = [
     "q18_large_volume",
     "q2_min_cost_supplier",
     "q21_waiting_suppliers",
+    "cdc_merge_apply",
+    "compact_latest_per_key",
+    "stat_corr_covar_suffstats",
     "stratified_split",
     "augment_rotations",
     "window_topk_per_group",
@@ -58,6 +61,7 @@ HEADLINE = [
     "pandas_udf_inference",
     "stream_tumbling_counts",
     "stream_stream_join",
+    "stream_survival_curve",
 ]
 
 
