@@ -736,3 +736,54 @@ def q_stat_corr_covar_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(corr, 6).alias("corr_qty_price"),
         F.round(covar, 4).alias("covar_samp_qty_price"),
     )
+
+
+@register(
+    "observe_quality_metrics",
+    survey_ref="§2.6,§3.1",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_props,
+       CAST(SUM(CASE WHEN value < 0 OR value > 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_range,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events
+""",
+)
+def q_observe_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality counters via the Observation API: the metrics
+    (row count, null rate, out-of-range count, value bounds) are
+    accumulated DURING the pipeline's own pass — no second scan, no
+    separate quality job. This is the production observability pattern
+    for ETL at 100 TB: the counters ride the tasks' existing scan and
+    arrive at the driver with the action. The observed values are then
+    surfaced as a 1-row DataFrame (what a quality gate would assert
+    on); the oracle recomputes them relationally."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("quality")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("n_null_props"),
+        F.sum(F.when((F.col("value") < 0) | (F.col("value") > 400), 1).otherwise(0)).alias(
+            "n_out_of_range"
+        ),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    observed.count()  # the pipeline's action; metrics ride along
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_null_props"]),
+                int(m["n_out_of_range"]),
+                float(m["min_value"]),
+                float(m["max_value"]),
+            )
+        ],
+        "n_rows long, n_null_props long, n_out_of_range long, min_value double, max_value double",
+    )
