@@ -137,3 +137,24 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     while Spark really ships binary payloads through the Arrow kernel."""
     media = multimodal.synth_media(spark, sf_dir)
     return multimodal.resize_media(media, factor=2)
+
+
+@register(
+    "multimodal_decode_arrow",
+    survey_ref="M5:multimodal,§2.12",
+    oracle=f"""
+SELECT event_id AS media_id,
+       CAST({multimodal.PAYLOAD_BYTES} AS INTEGER) AS n_bytes,
+       list_avg(list_transform(range(0, {multimodal.PAYLOAD_BYTES}),
+                i -> CAST((event_id * 7 + i * 13) % 256 AS DOUBLE))) AS mean_intensity,
+       CAST(list_max(list_transform(range(0, {multimodal.PAYLOAD_BYTES}),
+                i -> (event_id * 7 + i * 13) % 256)) AS INTEGER) AS max_intensity
+FROM events
+""",
+)
+def q_multimodal_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow twin of multimodal_decode_features: identical
+    result (same oracle), kernel fed raw Arrow RecordBatches instead
+    of pandas frames — the zero-copy seam for binary-heavy columns."""
+    media = multimodal.synth_media(spark, sf_dir)
+    return multimodal.decode_media_arrow(media)
