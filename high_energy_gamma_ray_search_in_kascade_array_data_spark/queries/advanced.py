@@ -400,3 +400,43 @@ def q_ivf_partitioned_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "pandas_udaf_rolling_median",
+    survey_ref="§2.12,§2.8",
+    oracle="""
+SELECT event_id, user_id,
+       ROUND(MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+         AS rolling_median
+FROM events
+WHERE user_id % 20 = 0
+""",
+)
+def q_pandas_udaf_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom pandas UDAF evaluated over a WINDOW frame (not a
+    groupBy): rolling 4-row median per user — the API that lets any
+    vectorized Python aggregate slide along event time. The frame is
+    row-bounded, so each evaluation sees ≤4 values; state never grows
+    with history. event_id breaks timestamp ties so the frame content
+    is deterministic under any partitioning."""
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    @F.pandas_udf(DoubleType())
+    def median_udaf(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(median_udaf("value").over(w), 6).alias("rolling_median"),
+    )
