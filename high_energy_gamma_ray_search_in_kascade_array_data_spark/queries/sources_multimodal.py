@@ -158,3 +158,33 @@ def q_multimodal_decode_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     of pandas frames — the zero-copy seam for binary-heavy columns."""
     media = multimodal.synth_media(spark, sf_dir)
     return multimodal.decode_media_arrow(media)
+
+
+@register(
+    "orc_roundtrip_sink",
+    survey_ref="S4,S3",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+""",
+)
+def q_orc_roundtrip_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source round-trip: events written as ORC (Spark's
+    second native columnar format — same pushdown/pruning machinery as
+    parquet), read back, re-aggregated; the oracle checks the
+    round-tripped aggregate against the original table, so any
+    write/read corruption surfaces as a value mismatch."""
+    import shutil
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    path = os.path.join(SCRATCH, "events_orc")
+    shutil.rmtree(path, ignore_errors=True)
+    ev.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("sum_cents"),
+    )

@@ -24,15 +24,20 @@ def test_pipeline_model_persistence_roundtrip(spark, sf_dir):
     weighted = pipeline.add_class_weights(df, boost={1: 2.0})
     model = pipeline.fit_lr(weighted, ["lg_e", "ze", "p"])
 
-    path = os.path.join(SCRATCH, "lr_model")
+    # per-process path: a reused dir can hit transient rename conflicts
+    # in the Hadoop local committer when a previous run's dir lingers
+    path = os.path.join(SCRATCH, f"lr_model_{os.getpid()}")
     shutil.rmtree(path, ignore_errors=True)
-    model.write().overwrite().save(path)
-    reloaded = PipelineModel.load(path)
+    try:
+        model.write().overwrite().save(path)
+        reloaded = PipelineModel.load(path)
 
-    a = model.transform(df).select("event_id", "prediction")
-    b = reloaded.transform(df).select("event_id", F.col("prediction").alias("p2"))
-    diff = a.join(b, "event_id").filter(F.col("prediction") != F.col("p2"))
-    assert diff.count() == 0
+        a = model.transform(df).select("event_id", "prediction")
+        b = reloaded.transform(df).select("event_id", F.col("prediction").alias("p2"))
+        diff = a.join(b, "event_id").filter(F.col("prediction") != F.col("p2"))
+        assert diff.count() == 0
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def test_sample_with_replacement_fraction(spark, sf_dir):
