@@ -185,3 +185,19 @@ def test_ivf_index_probe_prunes_partitions(spark, sf_dir):
     df = _q("ivf_partitioned_index_probe", spark, sf_dir)
     plan = physical_plan(df)
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_join_strategy_hints_honored(spark, sf_dir):
+    """Join-strategy hints are the manual override when AQE's choice is
+    wrong for a known workload: SHUFFLE_HASH avoids the sort of a
+    sort-merge for build-side-fits-memory joins; MERGE forces the
+    sort-merge for monotonic-key spill safety. Both must survive
+    planning."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    hashed = li.join(orders.hint("shuffle_hash"), li["l_orderkey"] == orders["o_orderkey"])
+    assert "ShuffledHashJoin" in physical_plan(hashed)
+    merged = li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
+    assert "SortMergeJoin" in physical_plan(merged)
