@@ -759,12 +759,14 @@ def q_observe_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive at the driver with the action. The observed values are then
     surfaced as a 1-row DataFrame (what a quality gate would assert
     on); the oracle recomputes them relationally."""
-    from pyspark.sql import Observation
-
+    # string-named observe, NOT the pyspark Observation helper: the
+    # helper registers the session ObservationManager in a way that
+    # leaks a non-serializable reference into later task closures on
+    # this session (breaks any subsequent MLlib job with
+    # "Task not serializable: ObservationManager")
     ev = load_table(spark, sf_dir, "events")
-    obs = Observation("quality")
     observed = ev.observe(
-        obs,
+        "quality",
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("n_null_props"),
         F.sum(F.when((F.col("value") < 0) | (F.col("value") > 400), 1).otherwise(0)).alias(
@@ -773,16 +775,20 @@ def q_observe_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
-    observed.count()  # the pipeline's action; metrics ride along
-    m = obs.get
+    # metrics attach to the QueryExecution that actually runs, so the
+    # action must go through a frame BUILT ON the observed node — here
+    # the pipeline's own (tiny) downstream aggregate
+    downstream = observed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    downstream.collect()  # the pipeline's action; metrics ride along
+    jrow = downstream._jdf.queryExecution().observedMetrics().get("quality").get()
     return spark.createDataFrame(
         [
             (
-                int(m["n_rows"]),
-                int(m["n_null_props"]),
-                int(m["n_out_of_range"]),
-                float(m["min_value"]),
-                float(m["max_value"]),
+                jrow.getLong(0),
+                jrow.getLong(1),
+                jrow.getLong(2),
+                float(jrow.getDouble(3)),
+                float(jrow.getDouble(4)),
             )
         ],
         "n_rows long, n_null_props long, n_out_of_range long, min_value double, max_value double",
