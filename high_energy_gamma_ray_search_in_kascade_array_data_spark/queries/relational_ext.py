@@ -793,3 +793,39 @@ def q_observe_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, n_null_props long, n_out_of_range long, min_value double, max_value double",
     )
+
+
+@register(
+    "table_checksum",
+    survey_ref="§2.6,§3.1",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM((event_id * 1000003 + user_id * 8191
+                 + CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) % 2147483647) AS BIGINT)
+         AS checksum,
+       CAST(SUM(CASE WHEN ((event_id * 1000003 + user_id * 8191
+                 + CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) % 2147483647) % 2 = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+FROM events
+""",
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprint: a per-row polynomial hash
+    (exact integer arithmetic — reproducible on any engine, unlike
+    xxhash64) summed across the table. Two copies of a dataset on
+    different clusters/engines agree iff their checksums agree, at the
+    cost of one partial-aggregated scan and an 8-byte shuffle per
+    partition — the migration/replication validation primitive. The
+    production variant swaps the polynomial for xxhash64 when both
+    sides are Spark."""
+    ev = load_table(spark, sf_dir, "events")
+    row_hash = (
+        F.col("event_id") * 1000003
+        + F.col("user_id") * 8191
+        + F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    ) % 2147483647
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).alias("checksum"),
+        F.sum(F.when(row_hash % 2 == 0, 1).otherwise(0)).alias("n_even"),
+    )
