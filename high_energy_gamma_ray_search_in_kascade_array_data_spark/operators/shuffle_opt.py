@@ -67,3 +67,32 @@ def salted_groupby_agg(
         phase1.groupBy(key_col)
         .agg(F.sum("_s").alias(f"sum_{value_col}"), F.sum("_n").alias("n"))
     )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Skew-mitigated equi-join: the big side gets a deterministic salt
+    (``salt_src`` column hashed into [0, n_salts)), the small side is
+    replicated once per salt value, and the join runs on (key, salt) —
+    a hot key's rows spread over ``n_salts`` reducers instead of one.
+
+    The manual fallback for joins AQE cannot rebalance (stream–static
+    joins, or a hot key so large that even a split partition spills).
+    Cost: the small side shuffles/broadcasts n_salts× — acceptable by
+    definition, that side is small. Result is salt-invariant: exactly
+    the plain join's rows."""
+    salt_col = (
+        F.pmod(F.col(salt_src), F.lit(n_salts))
+        if salt_src
+        else F.pmod(F.crc32(F.col(key).cast("string")) + F.spark_partition_id(), F.lit(n_salts))
+    )
+    big_salted = big.withColumn("_salt", salt_col.cast("int"))
+    small_salted = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("int"))
+    return big_salted.join(small_salted, [key, "_salt"]).drop("_salt")

@@ -829,3 +829,50 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(row_hash).alias("checksum"),
         F.sum(F.when(row_hash % 2 == 0, 1).otherwise(0)).alias("n_even"),
     )
+
+
+@register(
+    "skew_salted_join",
+    survey_ref="§2.7,§2.6",
+    oracle="""
+WITH big AS (
+  SELECT CASE WHEN user_id % 5 = 0 THEN 0 ELSE user_id % 50 END AS tier_id, value
+  FROM events
+),
+dim AS (
+  SELECT CAST(r AS BIGINT) AS tier_id, CAST(r * 10 AS DOUBLE) AS tier_weight
+  FROM UNNEST(range(0, 50)) AS t(r)
+)
+SELECT b.tier_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(b.value * d.tier_weight * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS weighted_cents
+FROM big b JOIN dim d ON d.tier_id = b.tier_id
+GROUP BY b.tier_id
+""",
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under manufactured skew: ~20% of events collapse
+    onto tier 0 (the hot key), the 50-row dim is replicated once per
+    salt, and the join key becomes (tier, salt) so the hot tier spreads
+    over 16 reducers. The oracle is the PLAIN join — salting must be
+    invisible in the result. Salt here derives from event_id (exact,
+    reproducible); production uses any uniform per-row source."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.shuffle_opt import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    big = ev.select(
+        F.when(F.col("user_id") % 5 == 0, 0).otherwise(F.col("user_id") % 50).alias("tier_id"),
+        "value",
+        "event_id",
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("tier_id"), (F.col("id") * 10.0).alias("tier_weight")
+    )
+    joined = salted_join(big, dim, "tier_id", n_salts=16, salt_src="event_id")
+    return joined.groupBy("tier_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.floor(F.col("value") * F.col("tier_weight") * 100 + 0.5).cast("bigint")
+        ).alias("weighted_cents"),
+    )
