@@ -876,3 +876,38 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * F.col("tier_weight") * 100 + 0.5).cast("bigint")
         ).alias("weighted_cents"),
     )
+
+
+@register(
+    "variant_semistructured",
+    survey_ref="§2.4 note,§1.2",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+       CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_with_missing
+FROM events GROUP BY event_type
+""",
+)
+def q_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    parse_json once into the binary variant encoding, then typed-path
+    extraction (variant_get) — the open-schema column pattern that
+    replaces stringly get_json_object reparsing. At 100 TB the win is
+    that variant parses each JSON document once per row (and pushes
+    typed extraction into the scan when stored as a variant column);
+    absent paths are NULL, not errors. DuckDB mirrors with
+    json_extract on the raw strings."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "bigint")
+    missing = F.variant_get(v, "$.missing", "bigint")
+    return ev.select("event_type", k.alias("k"), missing.alias("m")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias("n_with_k"),
+        F.sum(F.when(F.col("m").isNotNull(), 1).otherwise(0)).alias("n_with_missing"),
+    )
