@@ -213,3 +213,53 @@ def test_sketch_aggregates_within_error_bounds(spark, sf_dir):
         # percentile_approx at accuracy 1e4 is near-exact on small data
         spread = ex["vmax"] - ex["vmin"]
         assert abs(ap["approx_p50"] - ex["p50"]) <= 0.01 * spread + 1e-6
+
+
+def test_table_checksum_partition_invariant(spark, sf_dir):
+    """The table fingerprint must not depend on physical layout: any
+    repartitioning yields the same checksum (the property that makes
+    it usable for cross-cluster dataset equality)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    base = corpus()["table_checksum"].fn(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events")
+    row_hash = (
+        F.col("event_id") * 1000003
+        + F.col("user_id") * 8191
+        + F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    ) % 2147483647
+    for n_parts in (1, 7):
+        alt = (
+            ev.repartition(n_parts)
+            .agg(F.sum(row_hash).alias("checksum"))
+            .collect()[0]["checksum"]
+        )
+        assert alt == base["checksum"], f"checksum changed at {n_parts} partitions"
+
+
+def test_salted_join_salt_invariant(spark, sf_dir):
+    """Salting is pure skew plumbing: for ANY n_salts the joined rows
+    equal the plain join's (count + keyed aggregate equality)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.shuffle_opt import salted_join
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    big = ev.select((F.col("user_id") % 10).alias("k"), "value", "event_id")
+    dim = spark.range(0, 10).select(F.col("id").alias("k"), (F.col("id") + 1.0).alias("w"))
+    plain = (
+        big.join(dim, "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value") * F.col("w")).alias("s"))
+    )
+    expected = {r["k"]: (r["n"], round(r["s"], 6)) for r in plain.collect()}
+    for n_salts in (1, 4, 64):
+        got = {
+            r["k"]: (r["n"], round(r["s"], 6))
+            for r in salted_join(big, dim, "k", n_salts=n_salts, salt_src="event_id")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("value") * F.col("w")).alias("s"))
+            .collect()
+        }
+        assert got == expected, f"salted join diverged at n_salts={n_salts}"
