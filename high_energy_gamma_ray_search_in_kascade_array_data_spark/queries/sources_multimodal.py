@@ -188,3 +188,42 @@ def q_orc_roundtrip_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("sum_cents"),
     )
+
+
+@register(
+    "npz_python_datasource",
+    survey_ref="S2,S3,§2.12",
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT 'features' AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(lg_e + ze), 4) AS checksum
+FROM shower
+""",
+)
+def q_npz_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NPZ through the Spark 4 Python Data Source API:
+    ``spark.read.format("npz")`` with one planner-visible partition per
+    (archive, array key) — the first-class-source form of
+    npz_legacy_ingest (same archive, same checksum oracle). The rows
+    cross the Arrow boundary per partition; decode parallelism comes
+    from the source's own partitioning, not a repartition."""
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.npz_datasource import NpzDataSource
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, "ds_features.npz")
+    pdf = shower_frame(spark, sf_dir).select("event_id", "lg_e", "ze").orderBy("event_id").toPandas()
+    np.savez(path, features=pdf[["lg_e", "ze"]].to_numpy(dtype="float64"))
+
+    spark.dataSource.register(NpzDataSource)
+    decoded = spark.read.format("npz").option("path", path).load()
+    return (
+        decoded.filter(F.col("key") == "features")
+        .select(
+            "key",
+            (F.element_at("values", 1) + F.element_at("values", 2)).alias("s"),
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("s"), 4).alias("checksum"))
+    )

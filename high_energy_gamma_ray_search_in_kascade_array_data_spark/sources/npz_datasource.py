@@ -1,0 +1,60 @@
+"""NPZ as a first-class Spark data source (Python Data Source API,
+Spark 4): ``spark.read.format("npz").load(path)`` — the modern form of
+the binaryFile+mapInPandas migration path in ``npz.py`` (SURVEY §2.1
+S2/S3; the reference reads keyed NPZ archives,
+``train_classification.py:171-177``).
+
+Planner-visible partitioning: one input partition per (archive, array
+key), so a 9-array dump decodes on 9 cores without any repartition —
+the DSv2 contract the mapInPandas path cannot express. Each partition
+re-opens only its own archive lazily inside the executor; nothing
+binary ships through the driver."""
+
+from __future__ import annotations
+
+import glob as _glob
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class NpzKeyPartition(InputPartition):
+    def __init__(self, path: str, key: str):
+        self.path = path
+        self.key = key
+
+
+class NpzReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("npz source requires a path")
+
+    def partitions(self):
+        import numpy as np
+
+        parts = []
+        for path in sorted(_glob.glob(self.path)):
+            with np.load(path) as npz:  # metadata-only open: keys
+                parts.extend(NpzKeyPartition(path, key) for key in npz.files)
+        return parts
+
+    def read(self, partition):
+        import numpy as np
+
+        with np.load(partition.path) as npz:
+            arr = np.atleast_2d(np.asarray(npz[partition.key], dtype="float64"))
+        flat = arr.reshape(arr.shape[0], -1)
+        for i in range(flat.shape[0]):
+            yield (partition.path, partition.key, i, list(flat[i]))
+
+
+class NpzDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "npz"
+
+    def schema(self) -> str:
+        return "source_file string, key string, row_idx bigint, values array<double>"
+
+    def reader(self, schema) -> DataSourceReader:
+        return NpzReader(self.options)
