@@ -45,3 +45,28 @@ def test_partitioned_parquet_prunes_partitions(spark, sf_dir, tmp_path):
     # pruning is visible in the scan's partition filters
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "o_orderpriority" in plan
+
+
+def test_foreach_batch_checkpoint_no_redelivery(spark, sf_dir):
+    """The streaming checkpoint records delivered batch ids: a second
+    availableNow drain over the same (unchanged) source with the same
+    checkpoint must deliver ZERO new batches — the bookkeeping that
+    makes idempotent-per-batch foreachBatch writes exactly-once."""
+    import os
+    import shutil
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.sources_multimodal import SCRATCH
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.streaming import core
+
+    sink_path = os.path.join(SCRATCH, "feb_redelivery_sink")
+    ckpt_path = os.path.join(SCRATCH, "feb_redelivery_ckpt")
+    for p in (sink_path, ckpt_path):
+        shutil.rmtree(p, ignore_errors=True)
+    ev = core.read_events_stream(spark, sf_dir)
+    core.drain_foreach_batch_to_parquet(ev, sink_path, ckpt_path)
+    n_first = spark.read.parquet(sink_path).count()
+    assert n_first > 0
+    # same source, same checkpoint: nothing new to deliver
+    core.drain_foreach_batch_to_parquet(ev, sink_path, ckpt_path)
+    n_second = spark.read.parquet(sink_path).count()
+    assert n_second == n_first, "checkpointed drain redelivered batches"
