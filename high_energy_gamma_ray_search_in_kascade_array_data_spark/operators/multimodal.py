@@ -59,36 +59,39 @@ FEATURES_SCHEMA = StructType(
 def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fake media table derived from ``events``: one
     8×8 single-channel 'image' per event, payload bytes
-    (event_id·7 + i·13) mod 256."""
+    (event_id·7 + i·13) mod 256.
+
+    The payload is synthesized ENTIRELY plan-side (transform → hex →
+    unhex inside whole-stage codegen) — no Python stage. That mirrors
+    production, where media bytes arrive from storage, and keeps the
+    decode kernels downstream as the pipeline's only Python seam."""
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
 
-    # spread the single-file scan before the Python stages so the
-    # mapInPandas kernels run on every core, not one input split
+    # spread the single-file scan before the downstream Python stages
+    # so the decode kernels run on every core, not one input split
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-
-    def make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
-        for pdf in batches:
-            ids = pdf["event_id"].to_numpy()
-            i = np.arange(PAYLOAD_BYTES, dtype="int64")
-            # (n, PAYLOAD_BYTES) byte matrix, vectorized
-            mat = ((ids[:, None] * 7 + i[None, :] * 13) % 256).astype("uint8")
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "kind": "image",
-                    "payload": [row.tobytes() for row in mat],
-                    "width": 8,
-                    "height": 8,
-                }
-            )
-
-    return ev.mapInPandas(make, MEDIA_SCHEMA)
+    payload = F.unhex(
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(PAYLOAD_BYTES - 1)),
+                lambda i: F.lpad(
+                    F.hex(F.pmod(F.col("event_id") * 7 + i * 13, F.lit(256))), 2, "0"
+                ),
+            ),
+            "",
+        )
+    )
+    return ev.select(
+        F.col("event_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+    )
 
 
 def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
