@@ -106,29 +106,68 @@ def q_band_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------- trig functions
+# sin/cos for integer degrees, computed ONCE in Python and fed to BOTH
+# engines as identical double literals. JVM and DuckDB libm sin/cos can
+# differ by 1 ulp, which ROUND(...,6) does NOT absorb when the value
+# sits on a rounding boundary (r1 driver hash failure); with a shared
+# lookup table the only in-engine ops are IEEE multiplies of identical
+# bits — exactly reproducible, no rounding needed at all. The `+ 0.0`
+# kills IEEE -0.0 (sin(0°)·cos(az<0 quadrant) = -0.0; Spark normalizes
+# signed zero, DuckDB keeps it — they'd stringify differently).
+import math as _math
+
+_SIN_DEG = [_math.sin(_math.radians(d)) for d in range(360)]
+_COS_DEG = [_math.cos(_math.radians(d)) for d in range(360)]
+
+
+def _sql_dlist(vals: list[float]) -> str:
+    """DuckDB double-list literal. Exponent form is load-bearing:
+    DuckDB types a bare decimal literal as DECIMAL (can drop the last
+    ulp); scientific notation is typed DOUBLE, and 17 significant
+    digits round-trip any double exactly."""
+    return "[" + ", ".join(f"{v:.17e}" for v in vals) + "]"
+
+
 @register(
     "direction_cosines",
     survey_ref="F2,T3",
     oracle=f"""
-WITH {SHOWER_CTE}
+WITH {SHOWER_CTE},
+trig AS (
+  SELECT event_id,
+         ({_sql_dlist(_SIN_DEG)})[CAST(ze AS INT) + 1] AS sz,
+         ({_sql_dlist(_COS_DEG)})[CAST(ze AS INT) + 1] AS cz,
+         ({_sql_dlist(_SIN_DEG)})[CAST(az AS INT) + 1] AS sa,
+         ({_sql_dlist(_COS_DEG)})[CAST(az AS INT) + 1] AS ca
+  FROM shower
+)
 SELECT event_id,
-       ROUND(SIN(RADIANS(ze)) * COS(RADIANS(az)), 6) AS dir_x,
-       ROUND(SIN(RADIANS(ze)) * SIN(RADIANS(az)), 6) AS dir_y,
-       ROUND(COS(RADIANS(ze)), 6) AS dir_z
-FROM shower
+       sz * ca + 0.0 AS dir_x,
+       sz * sa + 0.0 AS dir_y,
+       cz + 0.0 AS dir_z
+FROM trig
 """,
 )
 def q_direction_cosines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spherical→Cartesian direction cosines
-    (`create_train_valid_test_datasets.py:96-101,134-139`) as pure trig
-    column expressions (astropy latitude = 90 − Ze convention)."""
+    (`create_train_valid_test_datasets.py:96-101,134-139`; astropy
+    latitude = 90 − Ze convention) over the integer-degree ze/az
+    domain: array-literal trig lookup (pure projection, no join, no
+    UDF) so both engines compute bit-identical doubles — see the table
+    comment above. The general continuous-angle form stays in
+    ``functions/physics.py::direction_cosines``."""
     df = shower_frame(spark, sf_dir)
-    dx, dy, dz = physics.direction_cosines(F.col("ze"), F.col("az"))
+    sin_arr, cos_arr = F.lit(_SIN_DEG), F.lit(_COS_DEG)
+    ze_i = F.col("ze").cast("int") + F.lit(1)
+    az_i = F.col("az").cast("int") + F.lit(1)
+    sz, cz = F.element_at(sin_arr, ze_i), F.element_at(cos_arr, ze_i)
+    sa, ca = F.element_at(sin_arr, az_i), F.element_at(cos_arr, az_i)
+    zero = F.lit(0.0)
     return df.select(
         "event_id",
-        F.round(dx, 6).alias("dir_x"),
-        F.round(dy, 6).alias("dir_y"),
-        F.round(dz, 6).alias("dir_z"),
+        (sz * ca + zero).alias("dir_x"),
+        (sz * sa + zero).alias("dir_y"),
+        (cz + zero).alias("dir_z"),
     )
 
 

@@ -1,11 +1,23 @@
-"""Local mirror of the driver's DuckDB oracle-differential check:
-row count + column names + order-insensitive value comparison, with a
-small float tolerance so a genuine semantic mismatch is distinguishable
-from last-ulp noise (the committed queries additionally round so the
-driver's exact hash matches too)."""
+"""Local mirror of the driver's DuckDB oracle-differential check.
+
+Two comparison grades:
+
+  * :func:`compare_frames` — row count + column names + order-
+    insensitive value comparison with a small float tolerance, so a
+    genuine semantic mismatch is distinguishable from last-ulp noise
+    (useful error messages while developing a query).
+  * :func:`exact_hash_problems` — the driver-grade check: order-
+    insensitive comparison of *canonically stringified* values with NO
+    tolerance, sensitive to 1-ulp float differences and IEEE signed
+    zero. A query that passes this locally hashes identically in the
+    driver's CORRECTNESS gate; round 1's ``direction_cosines`` slipped
+    through because the local gate only had the tolerant mode
+    (VERDICT r1 "What's wrong" #2).
+"""
 
 from __future__ import annotations
 
+import datetime
 import math
 import os
 
@@ -69,6 +81,90 @@ def compare_frames(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[st
                     f"col {c}: first mismatch at sorted row {idx}: "
                     f"spark={sv.iloc[idx]!r} oracle={ov.iloc[idx]!r}"
                 )
+    return problems
+
+
+def _canon_cell(v) -> str:
+    """Canonical string for one value: bit-sensitive for floats
+    (repr round-trips the exact double, and distinguishes -0.0 from
+    0.0), type-tagged so 5 (int) never collides with 5.0 (float)."""
+    if v is None:
+        return "\x00null"
+    if isinstance(v, float):
+        if v != v:  # NaN
+            return "f:nan"
+        return f"f:{v!r}"
+    if isinstance(v, (np.floating,)):
+        f = float(v)
+        return "f:nan" if f != f else f"f:{f!r}"
+    if isinstance(v, (bool, np.bool_)):
+        return f"b:{bool(v)}"
+    if isinstance(v, (int, np.integer)):
+        return f"i:{int(v)}"
+    if isinstance(v, bytes):
+        return "x:" + v.hex()
+    if isinstance(v, pd.Timestamp):
+        return f"t:{v.value}"
+    # Spark DateType arrives as datetime.date objects while DuckDB
+    # DATE arrives as datetime64 — the driver's hash treats them as
+    # equal (q3 passed r1), so canonicalize to midnight timestamps.
+    if isinstance(v, datetime.datetime):
+        return f"t:{pd.Timestamp(v).value}"
+    if isinstance(v, datetime.date):
+        return f"t:{pd.Timestamp(v).value}"
+    if isinstance(v, (list, np.ndarray, tuple)):
+        return "a:[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "m:{" + ",".join(f"{k}={_canon_cell(x)}" for k, x in sorted(v.items())) + "}"
+    return f"s:{v}"
+
+
+def _canon_rows(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    """Order-insensitive canonical form: every cell stringified via
+    :func:`_canon_cell` (after int→int64 / float→float64 dtype
+    normalization so int32-vs-int64 differences don't register as
+    value differences — the driver records schema separately), rows
+    sorted lexicographically."""
+    df = df[sorted(df.columns)]
+    cols: list[list[str]] = []
+    for c in df.columns:
+        s = df[c]
+        dt = s.dtype
+        if pd.api.types.is_float_dtype(dt):
+            vals = s.astype("float64")
+            cols.append(["\x00null" if pd.isna(v) else _canon_cell(float(v)) for v in vals])
+        elif pd.api.types.is_bool_dtype(dt):
+            cols.append([_canon_cell(bool(v)) for v in s])
+        elif pd.api.types.is_integer_dtype(dt):
+            cols.append([_canon_cell(int(v)) for v in s.astype("int64")])
+        elif pd.api.types.is_datetime64_any_dtype(dt):
+            ts = pd.to_datetime(s)
+            if getattr(ts.dt, "tz", None) is not None:
+                ts = ts.dt.tz_localize(None)
+            cols.append(["\x00null" if pd.isna(v) else f"t:{v.value}" for v in ts])
+        else:
+            cols.append(["\x00null" if v is None or v is pd.NA else _canon_cell(v) for v in s])
+    return sorted(zip(*cols)) if cols else []
+
+
+def exact_hash_problems(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> list[str]:
+    """Driver-grade exact order-insensitive comparison (see module
+    docstring). Returns mismatch descriptions (empty = the driver's
+    value hash would match)."""
+    problems: list[str] = []
+    if len(spark_pdf) != len(oracle_pdf):
+        return [f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}"]
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return [f"columns: spark={sorted(spark_pdf.columns)} oracle={sorted(oracle_pdf.columns)}"]
+    s_rows, o_rows = _canon_rows(spark_pdf), _canon_rows(oracle_pdf)
+    if s_rows != o_rows:
+        n_bad = sum(1 for a, b in zip(s_rows, o_rows) if a != b)
+        first = next((i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b)
+        problems.append(
+            f"exact-hash mismatch: {n_bad}/{len(s_rows)} sorted rows differ; "
+            f"first at row {first[0]}: spark={first[1]} oracle={first[2]} "
+            f"(cols sorted: {sorted(spark_pdf.columns)})"
+        )
     return problems
 
 

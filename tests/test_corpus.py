@@ -7,7 +7,7 @@ from __future__ import annotations
 import pytest
 
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
-from tests.oracle_utils import compare_frames, duckdb_con
+from tests.oracle_utils import compare_frames, duckdb_con, exact_hash_problems
 
 _CORPUS = corpus()
 
@@ -31,4 +31,8 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
     oracle_pdf = con.execute(q.oracle).fetchdf()
     problems = compare_frames(spark_pdf, oracle_pdf)
     assert not problems, f"{name}: {problems}"
+    # driver-grade gate: exact order-insensitive stringified values,
+    # 1-ulp and signed-zero sensitive (mirrors the driver's value hash)
+    hash_problems = exact_hash_problems(spark_pdf, oracle_pdf)
+    assert not hash_problems, f"{name}: {hash_problems}"
     assert len(spark_pdf) > 0, f"{name}: empty result — weak test, widen the filter"
