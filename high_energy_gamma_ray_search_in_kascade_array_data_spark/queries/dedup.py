@@ -34,13 +34,17 @@ toks AS (
   FROM tok_arrays, UNNEST(range(1, LEN(t)-1)) AS r(i)
 ),
 vocab AS (
-  SELECT tok, ROW_NUMBER() OVER (ORDER BY tok) AS tok_id
+  SELECT tok,
+         ROW_NUMBER() OVER (PARTITION BY ascii(tok) % 256 ORDER BY tok) * 256
+           + ascii(tok) % 256 AS tok_id
   FROM (SELECT DISTINCT tok FROM toks) v
 ),
 tid AS (SELECT doc_id, tok_id FROM toks JOIN vocab USING (tok))"""
 
+# tok_id % P first: bucketed vocab ids (and xxhash64 ids on the fast
+# path) exceed P, and A·x must not overflow — mirrors operators/dedup.py
 _SIG_COLS = ",\n         ".join(
-    f"MIN(({A[i]}*tok_id+{B[i]})%{P}) AS mh_{i}" for i in range(N_HASH)
+    f"MIN(({A[i]}*(tok_id%{P})+{B[i]})%{P}) AS mh_{i}" for i in range(N_HASH)
 )
 SIG_CTE = f"""
 sig AS (
@@ -73,10 +77,15 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc_id", *[F.col(f"mh_{i}").cast("long").alias(f"mh_{i}") for i in range(N_HASH)])
 
 
-@register(
-    "minhash_lsh_neardup",
-    survey_ref="M5:dedup",
-    oracle=f"""
+# Shared oracle for BOTH near-dup variants: the verified output
+# (doc_a, doc_b, n_inter, jaccard over token *sets*) is invariant to
+# the token-id mapping, so the dictionary-variant SQL also oracles the
+# xxhash64 fast path — PROVIDED both hash families surface the same
+# candidate pairs. At 8 bands × 2 rows a true near-dup pair (j ≥ 0.85)
+# is missed with P ≤ 4e-6 per family, and
+# tests/test_properties.py::test_minhash_fast_agrees_with_dictionary_variant
+# guards the recall equivalence; if it ever diverges, widen bands.
+_NEARDUP_ORACLE = f"""
 WITH {TID_CTE},
 {SIG_CTE},
 bands AS (
@@ -101,8 +110,10 @@ FROM inter i
 JOIN counts ca ON ca.doc_id = i.doc_a
 JOIN counts cb ON cb.doc_id = i.doc_b
 WHERE ROUND(i.n_inter * 1.0 / (ca.n + cb.n - i.n_inter), 6) >= 0.5
-""",
-)
+"""
+
+
+@register("minhash_lsh_neardup", survey_ref="M5:dedup", oracle=_NEARDUP_ORACLE)
 def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup pipeline: minhash → LSH bands → bucket-join
     candidates → exact Jaccard verify at threshold 0.5."""
@@ -110,17 +121,14 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_duplicates(d, threshold=0.5)
 
 
-@register(
-    "minhash_lsh_neardup_fast",
-    survey_ref="M5:dedup",
-    oracle=None,  # xxhash64 is not reproducible in DuckDB: rows-only;
-    # tests/test_properties.py checks it agrees with the dictionary
-    # variant on the fixture's high-jaccard pairs.
-)
+@register("minhash_lsh_neardup_fast", survey_ref="M5:dedup", oracle=_NEARDUP_ORACLE)
 def q_minhash_lsh_neardup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production 100 TB near-dup path: shingles hash straight
-    through xxhash64 (no dictionary stage, no global window); plan
-    otherwise identical to minhash_lsh_neardup."""
+    through xxhash64 (no dictionary stage, no vocab window, no
+    broadcast); plan otherwise identical to minhash_lsh_neardup. Its
+    verified output is token-id-mapping-invariant, so it shares the
+    dictionary variant's oracle (see _NEARDUP_ORACLE comment for the
+    recall-equivalence argument)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_near_duplicates_fast(d, threshold=0.5)
 

@@ -31,3 +31,15 @@ def test_no_cartesian_no_row_python(name, spark, sf_dir):
     assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     if name not in _ROW_PYTHON_ALLOWED:
         assert "BatchEvalPython" not in plan, f"{name} plans row-at-a-time Python"
+
+
+# Dedup runs over the corpus-scale documents table: no stage may
+# funnel through one partition (r1's token_vocab global window planned
+# an Exchange SinglePartition — the dictionary sorted on one task).
+_DEDUP_QUERIES = [n for n in _NAMES if "minhash" in n or "simhash" in n or "neardup" in n]
+
+
+@pytest.mark.parametrize("name", _DEDUP_QUERIES)
+def test_dedup_plans_have_no_single_partition_stage(name, spark, sf_dir):
+    plan = physical_plan(_C[name].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan, f"{name} funnels through one partition"
