@@ -52,6 +52,26 @@ def fit_lr(train: DataFrame, feature_cols: list[str], label_col: str = "label",
     return Pipeline(stages=[*stages, lr]).fit(train)
 
 
+def expand_polynomial(
+    df: DataFrame, feature_cols: list[str], degree: int = 2, out_col: str = "poly"
+) -> DataFrame:
+    """MLlib ``PolynomialExpansion`` over named columns (SURVEY §2 M5:
+    the reference constructs ``PolynomialFeatures(degree=2)`` at
+    ``train_classification.py:271-274`` / ``evaluate_classification.py:98-100``
+    but bypasses it; implemented here so enabling it is a config flip,
+    not a port). Output is the expanded terms as an array column —
+    exact IEEE products of the inputs, so downstream oracles can check
+    them hash-exactly."""
+    from pyspark.ml.feature import PolynomialExpansion, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    assembled = VectorAssembler(inputCols=feature_cols, outputCol="_pf_raw").transform(df)
+    expanded = PolynomialExpansion(degree=degree, inputCol="_pf_raw", outputCol="_pf").transform(
+        assembled
+    )
+    return expanded.withColumn(out_col, vector_to_array("_pf")).drop("_pf_raw", "_pf")
+
+
 def confusion_matrix(scored: DataFrame, label_col: str = "label", pred_col: str = "prediction") -> DataFrame:
     """(label, pred, n) — the confusion matrix the reference intended
     but never filled (``train_classification.py:118,131,151-152``)."""

@@ -321,4 +321,17 @@ def connected_components(
         comp = nxt.select("doc_id", F.col("new_component").alias("component"))
         if changed == 0:
             break
+    else:
+        # the loop ran out of sweeps without a converged pass — labels
+        # may be wrong on deeper graphs, and silence here means callers
+        # ship bad components with no signal
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge within max_iter={max_iter}; "
+            "returned labels may split true components. Raise max_iter or use "
+            "large-star/small-star contraction for deep graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return comp

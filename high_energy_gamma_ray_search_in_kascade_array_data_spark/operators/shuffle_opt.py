@@ -56,8 +56,14 @@ def salted_groupby_agg(
     Equivalent to ``df.groupBy(key).agg(sum, count)`` but a key holding
     50% of all rows spreads across ``n_salts`` phase-1 reducers instead
     of melting one. Phase 2 runs on ≤ n_keys × n_salts rows.
+
+    The salt must be deterministic per row: a nondeterministic component
+    (rand(), spark_partition_id()) feeding a shuffle key means a stage
+    retry after a fetch failure can route rows differently than the
+    original attempt and duplicate/lose them (SPARK-23207 class). Hash
+    the full row instead — same bits in, same reducer out, every attempt.
     """
-    salt = (F.crc32(F.col(key_col).cast("string")) + F.spark_partition_id()) % n_salts
+    salt = F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(n_salts))
     phase1 = (
         df.withColumn("_salt", salt)
         .groupBy(key_col, "_salt")
@@ -85,11 +91,15 @@ def salted_join(
     joins, or a hot key so large that even a split partition spills).
     Cost: the small side shuffles/broadcasts n_salts× — acceptable by
     definition, that side is small. Result is salt-invariant: exactly
-    the plain join's rows."""
+    the plain join's rows.
+
+    Salt determinism matters here for the same SPARK-23207 reason as in
+    :func:`salted_groupby_agg`: the default hashes full row content, so
+    every task attempt produces identical shuffle output."""
     salt_col = (
         F.pmod(F.col(salt_src), F.lit(n_salts))
         if salt_src
-        else F.pmod(F.crc32(F.col(key).cast("string")) + F.spark_partition_id(), F.lit(n_salts))
+        else F.pmod(F.xxhash64(F.struct(*big.columns)), F.lit(n_salts))
     )
     big_salted = big.withColumn("_salt", salt_col.cast("int"))
     small_salted = small.withColumn(

@@ -619,18 +619,17 @@ def q_grid_wide_long_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     256-slot array, then posexplode back and checksum position↔value —
     proves the layout transpose preserves alignment."""
     grid = detector_grid(spark, sf_dir)
+    # one sorted struct array per event; both field projections read it
+    # (r1 VERDICT #9: the agg previously built and sorted the array twice)
+    cells = F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("edep")))).alias("cells")
     wide = (
         grid.select("event_id", (F.col("iy") * 16 + F.col("ix")).alias("pos"), "edep")
         .groupBy("event_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("edep")))),
-                lambda s: s.getField("edep"),
-            ).alias("edep_arr"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("edep")))),
-                lambda s: s.getField("pos"),
-            ).alias("pos_arr"),
+        .agg(cells)
+        .select(
+            "event_id",
+            F.transform(F.col("cells"), lambda s: s.getField("edep")).alias("edep_arr"),
+            F.transform(F.col("cells"), lambda s: s.getField("pos")).alias("pos_arr"),
         )
     )
     long_again = wide.select(

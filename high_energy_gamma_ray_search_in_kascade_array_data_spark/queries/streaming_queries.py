@@ -174,9 +174,19 @@ FROM (SELECT DISTINCT user_id, event_type FROM events) t
 def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stateful streaming dedup on (user_id, event_type): the sink
     holds first-seen rows per key; the checked quantity is the distinct
-    key count (first-seen *values* depend on arrival order)."""
+    key count (first-seen *values* depend on arrival order).
+
+    State is bounded by the watermark horizon
+    (``dropDuplicatesWithinWatermark``), not unbounded exact dedup —
+    the core.py state-boundedness contract. The 35-day delay exceeds
+    the fixture's 30-day event span, so the finite replay evicts
+    nothing and the count equals batch DISTINCT; a production deploy
+    tunes the delay to its dedup horizon and pays state proportional
+    to keys-per-horizon, not keys-ever-seen."""
     ev = core.read_events_stream(spark, sf_dir)
-    dedup = ev.dropDuplicates(["user_id", "event_type"])
+    dedup = ev.withWatermark("ts", "35 days").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
     core.run_to_memory(dedup, "stream_dedup_keys_sink", output_mode="append", state_partitions=8)
     return spark.table("stream_dedup_keys_sink").agg(F.count(F.lit(1)).alias("n_unique"))
 
