@@ -61,7 +61,15 @@ def expand_polynomial(
     but bypasses it; implemented here so enabling it is a config flip,
     not a port). Output is the expanded terms as an array column —
     exact IEEE products of the inputs, so downstream oracles can check
-    them hash-exactly."""
+    them hash-exactly.
+
+    Term-layout caveat vs sklearn ``PolynomialFeatures(degree=2)``:
+    MLlib emits NO bias term and orders terms variable-major —
+    (x, x², y, x·y, y²) for inputs (x, y) — while sklearn's default
+    prepends a constant-1 column and orders degree-major
+    (1, x, y, x², x·y, y²). Oracles must compare MLlib's term set
+    positionally (see ``queries/ml.py::q_polynomial_features``); append
+    a constant-1 slot if sklearn column alignment is required."""
     from pyspark.ml.feature import PolynomialExpansion, VectorAssembler
     from pyspark.ml.functions import vector_to_array
 

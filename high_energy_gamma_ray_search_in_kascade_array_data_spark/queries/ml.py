@@ -43,13 +43,29 @@ def q_pandas_udf_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "mllib_lr_pipeline",
     survey_ref="M3,M4,A7",
-    oracle=None,  # iterative optimizer: rows-only check
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       1 AS preds_in_domain,
+       1 AS acc_in_unit
+FROM shower WHERE event_id % 5 = 0 GROUP BY label
+""",
 )
 def q_mllib_lr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MLlib head: class weights (A3+M3) → assemble/scale →
     LogisticRegression with weightCol (M4) → confusion matrix (A7) +
-    per-class accuracy on a held-out split. Returns one row per
-    (label, pred) cell with the class accuracy joined on."""
+    per-class accuracy on a held-out split.
+
+    LBFGS coefficients are not SQL-expressible, so the checked surface
+    is the pipeline's *invariants*, which ARE deterministic: the
+    confusion-matrix cells for each label must sum to exactly that
+    label's held-out row count (every test row scored once, none
+    dropped or duplicated), every prediction must land in the label
+    domain {{0,1}}, and per-class accuracy must lie in [0,1]. A scoring
+    pipeline that loses rows, emits out-of-domain classes, or
+    mis-normalizes accuracy fails this oracle even though the fitted
+    coefficients themselves are unchecked."""
     df = shower_frame(spark, sf_dir).select("event_id", "label", "lg_e", "ze", "p", "core_x", "core_y")
     train = df.filter(F.col("event_id") % 5 != 0)
     test = df.filter(F.col("event_id") % 5 == 0)
@@ -57,4 +73,50 @@ def q_mllib_lr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = pipeline.fit_lr(weighted, ["lg_e", "ze", "p", "core_x", "core_y"])
     cm = pipeline.confusion_matrix(model.transform(test))
     acc = pipeline.per_class_accuracy(cm)
-    return cm.join(acc, "label").select("label", "pred", "n", F.round("accuracy", 6).alias("class_accuracy"))
+    return (
+        cm.join(acc, "label")
+        .groupBy("label")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_test"),
+            F.min(F.when(F.col("pred").isin(0, 1), 1).otherwise(0)).alias("preds_in_domain"),
+            F.min(
+                F.when((F.col("accuracy") >= 0.0) & (F.col("accuracy") <= 1.0), 1).otherwise(0)
+            ).alias("acc_in_unit"),
+        )
+    )
+
+
+@register(
+    "polynomial_features",
+    survey_ref="M5",
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT event_id,
+       lg_e AS t_x,
+       lg_e * lg_e AS t_x2,
+       ze AS t_y,
+       lg_e * ze AS t_xy,
+       ze * ze AS t_y2
+FROM shower
+""",
+)
+def q_polynomial_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-2 polynomial feature expansion (SURVEY M5; reference
+    constructs ``PolynomialFeatures(degree=2)`` at
+    ``train_classification.py:271-274`` but bypasses it). MLlib
+    ``PolynomialExpansion`` term order for (x, y) is
+    (x, x², y, x·y, y²) with NO bias term — sklearn's default prepends
+    a constant-1 column and orders degree-major; the oracle compares
+    MLlib's term set positionally. Terms are exact IEEE products, so
+    the comparison is hash-exact, no rounding."""
+    df = shower_frame(spark, sf_dir).select("event_id", "lg_e", "ze")
+    expanded = pipeline.expand_polynomial(df, ["lg_e", "ze"], degree=2)
+    p = F.col("poly")
+    return expanded.select(
+        "event_id",
+        p[0].alias("t_x"),
+        p[1].alias("t_x2"),
+        p[2].alias("t_y"),
+        p[3].alias("t_xy"),
+        p[4].alias("t_y2"),
+    )

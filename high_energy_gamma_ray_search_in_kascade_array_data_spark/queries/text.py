@@ -355,16 +355,22 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy), document frequency (aggregate-bounded by vocabulary),
     smoothed idf, per-doc ranking window. The df relation is
     vocab-sized and broadcast back onto tf — the only event-scale
-    shuffles are the two token aggregations."""
+    shuffles are the two token aggregations. n_docs rides along as a
+    broadcast one-row aggregate (cross join), not a separate driver
+    count() action — the whole query is a single job."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
     df = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
-    scored = tf.join(F.broadcast(df), "tok").select(
-        "doc_id",
-        "tok",
-        (F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0))).alias("tfidf"),
+    ndocs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "tok",
+            (F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
     return (

@@ -31,21 +31,41 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar scan of one fixture table (schema comes from parquet).
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``ts`` to one canonical dtype — TimestampType (session
+    TZ is UTC, so NTZ→LTZ is lossless) — whatever encoding the upstream
+    parquet carries:
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS); Spark reads it as a
-    nano-epoch long (``spark.sql.legacy.parquet.nanosAsLong``) and we
-    rebuild a microsecond timestamp here — lossless for the fixture's
-    microsecond-precision values and matching DuckDB's reading.
+      * ``timestamp``      — already canonical, untouched;
+      * ``timestamp_ntz``  — parquet TIMESTAMP(isAdjustedToUTC=false);
+      * ``bigint``         — parquet TIMESTAMP(NANOS) surfaced as a
+        nano-epoch long via ``spark.sql.legacy.parquet.nanosAsLong``.
+
+    The reference's ETL reads whatever encoding the upstream files have
+    (``create_train_valid_test_datasets.py:116-117`` just ``np.load``s);
+    this is the one seam where the Spark engine does the same, so every
+    downstream query stays dtype-blind.
     """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one fixture table (schema comes from parquet);
+    ``events.ts`` is normalized to a canonical timestamp regardless of
+    the fixture's physical encoding (see ``normalize_events_ts``)."""
     if name == "events":
         # Dynamic SQL conf — set here (not only in our session factory)
-        # so the driver-owned SparkSession can read the nanos fixture too.
+        # so the driver-owned SparkSession can read a nanos fixture too.
+        # No-op for non-NANOS encodings.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

@@ -20,41 +20,37 @@ State-boundedness notes (the 100 TB concern):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
-# Streaming file sources need an explicit schema (no inference at plan
-# time). ts arrives as nano-epoch long (nanosAsLong) and is rebuilt to
-# a microsecond timestamp exactly like the batch catalog.
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from ..sources.catalog import normalize_events_ts
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events fixture with batch-identical ``ts``.
+
+    Streaming file sources need an explicit schema (no inference at plan
+    time). Rather than hard-coding one encoding of ``ts`` — which
+    silently corrupts event time the day the upstream writer changes
+    (nanos-as-long vs plain micros) — the stream schema is read from the
+    parquet footer exactly as batch sees it, and ``ts`` is normalized by
+    the same ``normalize_events_ts`` seam the batch catalog uses. A
+    footer read is a planning-time metadata fetch, not a data scan.
+    ``tests/test_sources.py::test_stream_ts_equals_batch_ts`` pins the
+    stream==batch equality.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The streaming file source wants a directory; the fixture dir holds
     # every table, so glob-filter down to the events file.
+    file_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:

@@ -47,6 +47,22 @@ def test_partitioned_parquet_prunes_partitions(spark, sf_dir, tmp_path):
     assert "PartitionFilters" in plan and "o_orderpriority" in plan
 
 
+def test_stream_ts_equals_batch_ts(spark, sf_dir):
+    """The streaming reader must surface the SAME event time as the
+    batch catalog, whatever physical encoding the fixture carries
+    (nanos-as-long vs plain micros). Round 2 shipped a hard-coded
+    stream schema that silently stamped every event into Jan 1970 when
+    the fixture changed encoding — this pins the seam shut."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.streaming import core
+
+    batch = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    stream = core.read_events_stream(spark, sf_dir).select("event_id", "ts")
+    assert dict(stream.dtypes)["ts"] == dict(batch.dtypes)["ts"] == "timestamp"
+    core.run_to_memory(stream, "ts_parity_probe", output_mode="append")
+    streamed = spark.table("ts_parity_probe")
+    assert _canon(streamed) == _canon(batch)
+
+
 def test_foreach_batch_checkpoint_no_redelivery(spark, sf_dir):
     """The streaming checkpoint records delivered batch ids: a second
     availableNow drain over the same (unchanged) source with the same
