@@ -45,6 +45,96 @@ def make_linear_scorer_udf(weights: Sequence[float], bias: float):
     return score
 
 
+def save_model_artifact(path: str, state: dict) -> None:
+    """Persist a model state-dict (name → ndarray) as an ``.npz``
+    archive — the torch interop format: with torch present this is
+    ``np.savez(path, **{k: v.numpy() for k, v in model.state_dict().items()})``
+    and the reverse load feeds ``model.load_state_dict`` via
+    ``torch.from_numpy``. The engine's inference seam consumes the
+    arrays directly, so the SAME artifact file serves both runtimes."""
+    import numpy as np
+
+    np.savez(path, **state)
+
+
+def load_model_artifact(path: str) -> dict:
+    """Load a persisted state-dict back to name → float64 ndarray."""
+    import numpy as np
+
+    with np.load(path) as z:
+        return {k: np.asarray(z[k], dtype="float64") for k in z.files}
+
+
+def make_mlp_scorer_udf(artifact_path: str):
+    """Vectorized MLP forward pass from a PERSISTED model artifact
+    (SURVEY M1): σ(W3·relu(W2·relu(W1·x + b1) + b2) + b3) — the fc-head
+    shape of the reference CNN_B (``cnn_model.py:26-28,44-47``: fc1 →
+    relu → fc2 → relu → fc3, "the loss functions include the sigmoid").
+
+    The artifact is loaded lazily ON THE EXECUTOR, once per worker
+    process (module-level cache), exactly how a torch ``state_dict``
+    checkpoint would ship to a 1000-executor cluster: the closure
+    captures only the path string; each worker deserializes locally
+    (pair with ``SparkContext.addFile``/shared storage at scale).
+
+    Accumulation order note: each unit computes
+    ``b + w0*x0 + w1*x1 + ...`` left-to-right, bit-identical to the
+    equivalent SQL expression — this is what lets the DuckDB oracle
+    check a neural forward pass hash-exactly (modulo one final
+    round(·, 6) on the sigmoid, whose libm may differ by 1 ulp).
+    """
+    import numpy as np
+
+    def _forward(state: dict, mat):  # mat: (batch, n_in) float64
+        x = mat
+        n_layers = len({k.split(".")[0] for k in state})
+        for li in range(1, n_layers + 1):
+            w, b = state[f"fc{li}.weight"], state[f"fc{li}.bias"]
+            z = np.empty((x.shape[0], w.shape[0]), dtype="float64")
+            for u in range(w.shape[0]):  # explicit left-to-right sum
+                acc = np.full(x.shape[0], b[u])
+                for j in range(w.shape[1]):
+                    acc = acc + w[u, j] * x[:, j]
+                z[:, u] = acc
+            x = z if li == n_layers else np.maximum(z, 0.0)
+        return 1.0 / (1.0 + np.exp(-x[:, 0]))
+
+    @F.pandas_udf(DoubleType())
+    def score(features: pd.Series) -> pd.Series:
+        state = _artifact_cache.get(artifact_path)
+        if state is None:
+            state = _artifact_cache[artifact_path] = load_model_artifact(artifact_path)
+        mat = np.stack(features.to_numpy())
+        return pd.Series(_forward(state, mat))
+
+    return score
+
+
+# executor-side once-per-worker artifact cache (keyed by path)
+_artifact_cache: dict = {}
+
+
+def mlp_score_sql(state: dict, feature_exprs: Sequence[str]) -> str:
+    """The SQL twin of ``make_mlp_scorer_udf``'s forward pass: unrolls
+    the same weights into nested GREATEST/arithmetic with the same
+    left-to-right accumulation order, so DuckDB computes bit-identical
+    pre-sigmoid values. Feasible because the oracle model is small; the
+    point is that the *artifact path* is checked end-to-end, not that
+    SQL is how you'd serve a real CNN."""
+    exprs = list(feature_exprs)
+    n_layers = len({k.split(".")[0] for k in state})
+    for li in range(1, n_layers + 1):
+        w, b = state[f"fc{li}.weight"], state[f"fc{li}.bias"]
+        nxt = []
+        for u in range(w.shape[0]):
+            acc = repr(float(b[u]))
+            for j, fx in enumerate(exprs):
+                acc = f"({acc} + {float(w[u, j])!r} * {fx})"
+            nxt.append(acc if li == n_layers else f"GREATEST({acc}, 0.0)")
+        exprs = nxt
+    return f"1.0 / (1.0 + EXP(-({exprs[0]})))"
+
+
 def linear_score_expr(feature_cols: Sequence[str], weights: Sequence[float], bias: float) -> Column:
     """The same σ(w·x + b) as a pure column expression (JVM-side,
     whole-stage codegen) — the preferred form when the "model" is

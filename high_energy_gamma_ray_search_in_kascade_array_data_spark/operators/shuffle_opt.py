@@ -48,8 +48,32 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: st
     return spark.table(left_table).join(spark.table(right_table), on)
 
 
+def _row_salt(df: DataFrame, n_salts: int, salt_src: str | None):
+    """Deterministic per-row salt in [0, n_salts).
+
+    ``salt_src`` names a stable (ideally unique) column to salt on —
+    REQUIRED for full effectiveness when rows can be exact duplicates:
+    a content hash gives identical rows identical salts, so a hot key
+    made entirely of duplicate rows would still funnel into one phase-1
+    reducer (results stay correct; only the spreading degrades).
+
+    The default hashes full row content, skipping MapType columns
+    (hash expressions reject maps — SPARK-27619: map equality is
+    order-insensitive, so no stable hash exists)."""
+    if salt_src is not None:
+        return F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts))
+    hashable = [f.name for f in df.schema.fields if "map<" not in f.dataType.simpleString()]
+    if not hashable:
+        raise ValueError("no hashable columns to salt on; pass salt_src")
+    return F.pmod(F.xxhash64(F.struct(*hashable)), F.lit(n_salts))
+
+
 def salted_groupby_agg(
-    df: DataFrame, key_col: str, value_col: str, n_salts: int = 16
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    n_salts: int = 16,
+    salt_src: str | None = None,
 ) -> DataFrame:
     """sum/count per key via salted two-phase aggregation.
 
@@ -60,12 +84,14 @@ def salted_groupby_agg(
     The salt must be deterministic per row: a nondeterministic component
     (rand(), spark_partition_id()) feeding a shuffle key means a stage
     retry after a fetch failure can route rows differently than the
-    original attempt and duplicate/lose them (SPARK-23207 class). Hash
-    the full row instead — same bits in, same reducer out, every attempt.
+    original attempt and duplicate/lose them (SPARK-23207 class). So the
+    salt is a content hash by default — same bits in, same reducer out,
+    every attempt — with the duplicate-row caveat in :func:`_row_salt`:
+    pass ``salt_src`` (a unique-id column) when hot keys can consist of
+    exact-duplicate rows, or the spreading silently degrades.
     """
-    salt = F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(n_salts))
     phase1 = (
-        df.withColumn("_salt", salt)
+        df.withColumn("_salt", _row_salt(df, n_salts, salt_src))
         .groupBy(key_col, "_salt")
         .agg(F.sum(value_col).alias("_s"), F.count(F.lit(1)).alias("_n"))
     )
@@ -94,14 +120,12 @@ def salted_join(
     the plain join's rows.
 
     Salt determinism matters here for the same SPARK-23207 reason as in
-    :func:`salted_groupby_agg`: the default hashes full row content, so
-    every task attempt produces identical shuffle output."""
-    salt_col = (
-        F.pmod(F.col(salt_src), F.lit(n_salts))
-        if salt_src
-        else F.pmod(F.xxhash64(F.struct(*big.columns)), F.lit(n_salts))
-    )
-    big_salted = big.withColumn("_salt", salt_col.cast("int"))
+    :func:`salted_groupby_agg`: the default hashes full row content
+    (MapType columns excluded — see :func:`_row_salt`), so every task
+    attempt produces identical shuffle output. Pass ``salt_src`` (a
+    unique-id column) when the big side can carry exact-duplicate rows,
+    which a content hash would co-locate."""
+    big_salted = big.withColumn("_salt", _row_salt(big, n_salts, salt_src).cast("int"))
     small_salted = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))

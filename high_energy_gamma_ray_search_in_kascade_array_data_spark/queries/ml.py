@@ -18,6 +18,32 @@ _COLS = ("lg_e", "ze", "p", "core_x")
 _B = -12.0
 
 
+def _mlp_state() -> dict:
+    """Deterministic 4→3→2→1 MLP state-dict (the CNN_B fc-head shape,
+    ``cnn_model.py:26-28``) with exact dyadic-rational weights — every
+    value is k/16, so artifact round-trip and cross-engine arithmetic
+    are bit-exact."""
+    import numpy as np
+
+    dims = [(3, 4), (2, 3), (1, 2)]
+    state = {}
+    for li, (n_out, n_in) in enumerate(dims, start=1):
+        w = np.empty((n_out, n_in), dtype="float64")
+        for u in range(n_out):
+            for j in range(n_in):
+                w[u, j] = ((li * 7 + u * 5 + j * 3) % 13 - 6) / 16.0
+        b = np.array([((li * 11 + u * 3) % 9 - 4) / 16.0 for u in range(n_out)], dtype="float64")
+        state[f"fc{li}.weight"] = w
+        state[f"fc{li}.bias"] = b
+    return state
+
+
+# Input features normalized to O(1) so the sigmoid stays off its
+# saturation plateaus; these SQL snippets are evaluated verbatim by
+# BOTH engines (Spark via F.expr, DuckDB via the generated oracle).
+_MLP_INPUT_EXPRS = ("(lg_e - 15.0)", "(ze / 45.0)", "p", "(core_x / 16.0)")
+
+
 @register(
     "pandas_udf_inference",
     survey_ref="M1,§2.12",
@@ -84,6 +110,39 @@ def q_mllib_lr_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acc_in_unit"),
         )
     )
+
+
+@register(
+    "mlp_artifact_inference",
+    survey_ref="M1,S5,§2.12",
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT event_id,
+       ROUND({inference.mlp_score_sql(_mlp_state(), _MLP_INPUT_EXPRS)}, 6) AS score
+FROM shower
+""",
+)
+def q_mlp_artifact_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CNN-shaped inference from a PERSISTED model artifact (M1+S5):
+    a torch-interop ``.npz`` state-dict (``fc{{1,2,3}}.weight/.bias``,
+    the CNN_B fc-head of ``cnn_model.py:26-28,44-47``) is saved to
+    disk, and executors lazily load it inside the Arrow pandas_udf —
+    the full checkpoint→ship→batch-score path of the reference's
+    DataLoader loop (``tools.py:15-31``), minus only the conv stack
+    this container's lack of torch keeps behind the documented seam.
+    The DuckDB oracle runs the SAME weights unrolled to SQL, so the
+    persisted-artifact forward pass is hash-checked end-to-end."""
+    import os
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.sources_multimodal import SCRATCH
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    artifact = os.path.join(SCRATCH, "mlp_head.npz")
+    inference.save_model_artifact(artifact, _mlp_state())
+    df = shower_frame(spark, sf_dir)
+    feats = F.array(*[F.expr(e).cast("double") for e in _MLP_INPUT_EXPRS])
+    score = inference.make_mlp_scorer_udf(artifact)
+    return df.select("event_id", F.round(score(feats), 6).alias("score"))
 
 
 @register(

@@ -40,6 +40,50 @@ def test_pipeline_model_persistence_roundtrip(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+def test_model_artifact_roundtrips_udf(spark, sf_dir):
+    """A persisted state-dict artifact (torch-interop .npz) must score
+    identically through the executor-side pandas_udf and a driver-side
+    reference forward pass — proving the checkpoint→ship→batch-score
+    path (M1/S5), not just in-memory math. With torch installed the
+    same file loads via torch.from_numpy into CNN_B's fc head."""
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml import inference
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.ml import _MLP_INPUT_EXPRS, _mlp_state
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, f"mlp_rt_{os.getpid()}.npz")
+    state = _mlp_state()
+    inference.save_model_artifact(path, state)
+    try:
+        loaded = inference.load_model_artifact(path)
+        assert set(loaded) == set(state)
+        for k in state:
+            assert np.array_equal(loaded[k], state[k])
+
+        df = shower_frame(spark, sf_dir).limit(200)
+        feats = F.array(*[F.expr(e).cast("double") for e in _MLP_INPUT_EXPRS])
+        score = inference.make_mlp_scorer_udf(path)
+        got = {
+            r["event_id"]: r["s"]
+            for r in df.select("event_id", score(feats).alias("s")).collect()
+        }
+
+        # independent driver-side forward pass on the same inputs
+        rows = df.selectExpr("event_id", *_MLP_INPUT_EXPRS).collect()
+        for row in rows:
+            x = np.array(row[1:], dtype="float64")
+            for li in (1, 2, 3):
+                w, b = state[f"fc{li}.weight"], state[f"fc{li}.bias"]
+                x = w @ x + b
+                if li != 3:
+                    x = np.maximum(x, 0.0)
+            expect = 1.0 / (1.0 + np.exp(-x[0]))
+            assert abs(got[row["event_id"]] - expect) < 1e-12
+    finally:
+        os.remove(path)
+
+
 def test_sample_with_replacement_fraction(spark, sf_dir):
     """df.sample(withReplacement=True) draws ≈ fraction·N rows and is
     deterministic for a fixed seed + partitioning (X2/X3)."""

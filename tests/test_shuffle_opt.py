@@ -51,3 +51,24 @@ def test_salted_agg_equals_direct_agg(spark, sf_dir):
     assert s == d
     # the salted phase-1 must actually split the hot key
     assert s["hot"][1] > 0
+
+
+def test_salt_src_spreads_exact_duplicate_rows(spark, sf_dir):
+    """A hot key made of EXACT-duplicate rows defeats the content-hash
+    default (identical rows → identical salt → one reducer), but a
+    unique-id salt_src spreads it; results are identical either way."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.lit("hot").alias("key"), F.lit(1.0).alias("value")
+    )
+    dup_rows = ev.select("key", "value")  # every row identical
+    content_salt = shuffle_opt._row_salt(dup_rows, 8, None)
+    id_salt = shuffle_opt._row_salt(ev, 8, "event_id")
+    n_content = dup_rows.select(content_salt.alias("s")).distinct().count()
+    n_id = ev.select(id_salt.alias("s")).distinct().count()
+    assert n_content == 1  # the documented degradation
+    assert n_id == 8  # unique-id salt uses every reducer slot
+    # and the aggregate itself stays correct under salt_src
+    out = shuffle_opt.salted_groupby_agg(ev, "key", "value", n_salts=8, salt_src="event_id")
+    row = out.collect()[0]
+    n = ev.count()
+    assert (row["key"], row["n"], row["sum_value"]) == ("hot", n, float(n))
