@@ -286,10 +286,11 @@ def connected_components(
     grow, and the loop exits on a converged sweep (no label changed).
     Iteration count is bounded by the component diameter — near-dup
     graphs are shallow (dup clusters are cliques or near-cliques from
-    LSH banding), so a handful of sweeps suffice; at 100 TB swap the
-    sweep for alternating large-star/small-star rounds (Kiveris et al.)
-    which contract paths in O(log n) rounds with the same
-    join+aggregate building blocks.
+    LSH banding), so a handful of sweeps suffice and this variant wins
+    on constant factors (one join + one count per sweep). For deep or
+    unknown topologies use :func:`connected_components_star`, whose
+    round count is O(log n) on ANY graph; the two are output-identical
+    (``tests/test_properties.py::test_star_contraction_equals_propagation``).
     """
     fwd = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     edges = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -335,3 +336,97 @@ def connected_components(
             stacklevel=2,
         )
     return comp
+
+
+def connected_components_star(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iter: int = 25
+) -> DataFrame:
+    """Connected components by alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the 100 TB path. Same contract as
+    :func:`connected_components`: (doc_id, component) for every doc in
+    ≥1 pair, component = min reachable doc_id.
+
+    Why this beats min-label propagation at scale: propagation needs
+    O(diameter) sweeps — a 10M-node duplicate *chain* (crawl mirrors of
+    mirrors) needs 10M sweeps — while star rounds contract every path
+    toward its minimum simultaneously, converging in O(log n) rounds on
+    any topology. Each round is two groupBy-join pairs over the edge
+    set, and the edge set only shrinks (toward one star per component),
+    so later rounds get cheaper.
+
+      * large-star: every node points its strictly-LARGER neighbors at
+        the minimum of its closed neighborhood — after this, every edge
+        points from a larger id to a smaller id;
+      * small-star: every node folds its (all-smaller) neighbors onto
+        that minimum, collapsing local trees into stars.
+
+    Lineage is truncated per round (``localCheckpoint``); convergence =
+    the directed edge set reaches a fixpoint (count unchanged + no new
+    edges), at which point each component is exactly a star rooted at
+    its minimum id.
+    """
+    e = (
+        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    # canonical directed form: larger id → smaller id
+    edges = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    converged = False
+    for _ in range(max_iter):
+        adj = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # large-star: m(u) = min of closed neighborhood; larger nbrs → m
+        mins = adj.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: fold the (all-smaller) neighbors onto the minimum
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        folded = (
+            ls.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        nxt = (
+            folded.union(mins2.select("u", F.col("m").alias("v")))
+            .distinct()
+            .repartition("u")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_edges and nxt.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0:
+            edges = nxt
+            converged = True
+            break
+        edges, n_edges = nxt, n_nxt
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components_star did not converge within max_iter={max_iter}; "
+            "returned labels may split true components.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    # fixpoint = one star per component: u → component root; roots map
+    # to themselves
+    members = edges.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("doc_id"), "component"
+    )
+    roots = (
+        edges.select(F.col("v").alias("doc_id"))
+        .distinct()
+        .join(edges.select(F.col("u").alias("doc_id")).distinct(), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("component"))
+    )
+    return members.union(roots)

@@ -215,7 +215,11 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the same components as a WITH RECURSIVE transitive
     closure — O(V·E), fine for an oracle, unusable at scale; the Spark
     loop is the distributed form (join + partial-agg per sweep,
-    lineage cut per iteration)."""
+    lineage cut per iteration). Propagation is the right engine HERE
+    because LSH dup graphs are near-cliques (diameter ~2); for deep or
+    unknown topologies ``connected_components_star`` (large-star/
+    small-star, O(log n) rounds on any graph) is a drop-in with
+    identical output."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_duplicates(d, threshold=0.5)
     comp = dedup.connected_components(pairs)

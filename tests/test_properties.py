@@ -183,6 +183,42 @@ def test_connected_components_invariants(spark, sf_dir):
     assert bad_label.count() == 0
 
 
+def test_star_contraction_equals_propagation(spark, sf_dir):
+    """Large-star/small-star contraction returns EXACTLY min-label
+    propagation's components on the real LSH pair graph — same
+    contract, O(log n) rounds instead of O(diameter)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import dedup as dd
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_near_duplicates(docs, threshold=0.5)
+    a = sorted(tuple(r) for r in dd.connected_components(pairs).collect())
+    b = sorted(tuple(r) for r in dd.connected_components_star(pairs).collect())
+    assert a == b
+    assert len(a) > 0
+
+
+def test_star_contraction_converges_on_deep_chain(spark):
+    """The topology propagation handles worst: a 300-node path graph
+    (diameter 299). Star contraction must label every node with the
+    chain minimum within its O(log n) round budget — propagation with
+    the same iteration count would fail this, which is exactly why the
+    star variant is the 100 TB default."""
+    import warnings
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import dedup as dd
+
+    n = 300
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # non-convergence = failure
+        comp = dd.connected_components_star(chain, max_iter=12).collect()
+    got = {r["doc_id"]: r["component"] for r in comp}
+    assert got == {i: 0 for i in range(n)}
+
+
 def test_sketch_aggregates_within_error_bounds(spark, sf_dir):
     """approx_count_distinct (rsd 1%) and approx_percentile
     (accuracy 10⁴) stay within documented error of the exact values."""
