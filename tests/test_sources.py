@@ -4,6 +4,8 @@ and the partitioned sink is split-readable."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
@@ -45,6 +47,40 @@ def test_partitioned_parquet_prunes_partitions(spark, sf_dir, tmp_path):
     # pruning is visible in the scan's partition filters
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "o_orderpriority" in plan
+
+
+def test_fixture_schemas_match_manifest():
+    """Tripwire for the round-2 failure mode: the driver regenerated
+    the fixtures mid-build and events.ts silently changed physical
+    encoding (TIMESTAMP(NANOS)-as-long → timestamp[us]), corrupting
+    every streamed timestamp. This test compares every fixture table's
+    parquet footer against the recorded manifest so an upstream
+    re-encoding fails LOUDLY, by name, at the start of the run.
+
+    If this fails: the fixture was regenerated with different physical
+    types. Extend the catalog normalization seam
+    (sources/catalog.py::normalize_events_ts and friends) to map the
+    new encoding onto the canonical logical schema, re-run the full
+    suite, THEN update tests/fixture_schema_manifest.json."""
+    import glob
+    import json
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(os.path.dirname(__file__), "fixture_schema_manifest.json")) as f:
+        manifest = json.load(f)
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        base = f"/root/testdata/{sf}"
+        if not os.path.isdir(base):
+            continue
+        for path in sorted(glob.glob(f"{base}/*.parquet")):
+            table = os.path.basename(path).replace(".parquet", "")
+            got = {f.name: str(f.type) for f in pq.read_schema(path)}
+            assert got == manifest.get(table), (
+                f"fixture schema drift in {sf}/{table}: {got} != manifest "
+                f"{manifest.get(table)} — extend catalog normalization, then "
+                "update tests/fixture_schema_manifest.json (see docstring)"
+            )
 
 
 def test_stream_ts_equals_batch_ts(spark, sf_dir):
