@@ -103,6 +103,7 @@ def run_to_memory(
     name: str,
     output_mode: str = "complete",
     state_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
 ) -> None:
     """Drain the stream through Trigger.AvailableNow into an in-memory
     table ``name`` and stop — the batch-replay harness for tests and
@@ -116,6 +117,13 @@ def run_to_memory(
     real cluster run sizes it to state volume instead."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_extra = {}
+    for k, v in (extra_confs or {}).items():
+        try:
+            prev_extra[k] = spark.conf.get(k)
+        except Exception:
+            prev_extra[k] = None
+        spark.conf.set(k, v)
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
@@ -131,6 +139,11 @@ def run_to_memory(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        for k, v in prev_extra.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def view_purchase_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:

@@ -64,3 +64,66 @@ def running_user_stats(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def transform_with_state_available() -> bool:
+    """``transformWithStateInPandas`` ships a protobuf-based state
+    protocol between the JVM state server and the Python worker; the
+    ``protobuf`` package is not part of pyspark's hard deps and is
+    absent from some runtimes (including this container). Gate, don't
+    crash."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_user_stats_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running (count, max(value)) through Spark 4's
+    ``transformWithStateInPandas`` — the successor API to
+    ``applyInPandasWithState``: state is typed and named
+    (``getValueState``), timers/TTL are first-class, and the state
+    store is RocksDB-backed (required by the API; changelog-checkpointed
+    at scale instead of full HDFS snapshots). Semantics here are
+    identical to :func:`running_user_stats`, which is exactly what the
+    test asserts — same query, either stateful engine, same answer.
+
+    Requires :func:`transform_with_state_available` (protobuf); the
+    query runs and crashes at stream start without it, so callers must
+    gate. RocksDB provider conf:
+    ``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx = self._stats.get() if self._stats.exists() else (0, float("-inf"))
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    mx = max(mx, float(pdf["value"].max()))
+            self._stats.update((n, mx))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "max_value": [mx]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningStats(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )

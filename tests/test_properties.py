@@ -252,6 +252,47 @@ def test_sketch_aggregates_within_error_bounds(spark, sf_dir):
         assert abs(r["approx_p50"] - r["p50"]) <= 0.01 * spread + 1e-6
 
 
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas (typed state, RocksDB store)
+    must agree with the batch aggregate, like its applyInPandasWithState
+    sibling. Skipped where the protobuf state protocol isn't installed
+    (this container) — the operator is gated, not stubbed."""
+    import pytest
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.streaming import core, stateful
+
+    if not stateful.transform_with_state_available():
+        pytest.skip("google.protobuf not installed: transformWithState protocol unavailable")
+
+    ev = core.read_events_stream(spark, sf_dir)
+    core.run_to_memory(
+        stateful.running_user_stats_tws(ev),
+        "tws_probe",
+        output_mode="update",
+        state_partitions=4,
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+            )
+        },
+    )
+    sink = spark.table("tws_probe")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = {
+        r["user_id"]: (r["n_events"], round(r["max_value"], 6))
+        for r in sink.withColumn("rn", F.row_number().over(w)).filter("rn = 1").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["mx"], 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    assert final == batch
+
+
 def test_table_checksum_partition_invariant(spark, sf_dir):
     """The table fingerprint must not depend on physical layout: any
     repartitioning yields the same checksum (the property that makes

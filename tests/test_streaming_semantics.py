@@ -1,0 +1,170 @@
+"""Event-time semantics under multi-batch replay: watermarks must
+actually DROP late data, not just bound state. Round 2's ts corruption
+made every event-time guarantee untestable; with the reader fixed,
+these tests pin the guarantees themselves.
+
+The harness writes parquet files with controlled modification times
+into a scratch source dir and drains with maxFilesPerTrigger=1 +
+Trigger.AvailableNow, so each file becomes its own micro-batch in
+mtime order and the watermark advances between batches exactly as it
+would on a live stream.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pyspark.sql.functions as F
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+def _write_events_file(path: str, rows: list[tuple[int, datetime, float]], mtime: float) -> None:
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "value": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    pq.write_table(table, path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_watermark_finalizes_windows_exactly_once_and_evicts_state(spark):
+    """The guarantees append-mode watermarking actually makes (the
+    delay bound is ONE-directional — data within the delay is never
+    dropped; "too-late" data is only best-effort dropped, and Spark
+    may legally aggregate it into fresh state):
+
+      * a window is emitted EXACTLY ONCE, only after the watermark
+        passes its end, carrying the FINAL cross-batch count;
+      * an event inside the delay that arrives in a later micro-batch
+        is merged before finalization (12:20 joins the 12:00 window
+        opened a batch earlier → final n=3);
+      * state for finalized windows is EVICTED — bounded state, the
+        100 TB requirement (last batch holds exactly one open window).
+    """
+    src = os.path.join(SCRATCH, "wm_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    d = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+    _write_events_file(
+        os.path.join(src, "f1.parquet"),
+        [(1, d(12, 0), 1.0), (2, d(12, 10), 2.0)],
+        mtime=1_000_000.0,
+    )
+    # batch 2: one event inside the 1h delay (12:20 — must merge into
+    # the open 12:00 window), one far beyond it (09:30 — MAY be dropped
+    # or aggregated; either is within the documented guarantee)
+    _write_events_file(
+        os.path.join(src, "f2.parquet"),
+        [(3, d(9, 30), 3.0), (4, d(12, 20), 4.0)],
+        mtime=2_000_000.0,
+    )
+    # batch 3: pushes the watermark to 14:30, finalizing every earlier
+    # window
+    _write_events_file(
+        os.path.join(src, "f3.parquet"),
+        [(5, d(15, 30), 5.0)],
+        mtime=3_000_000.0,
+    )
+
+    schema = spark.read.parquet(os.path.join(src, "f1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    counts = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName("wm_probe")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = list(q.recentProgress)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    rows = spark.table("wm_probe").collect()
+    data_batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(data_batches) == 3, f"expected one micro-batch per file: {len(data_batches)}"
+    # exactly-once finalization: no window start appears twice
+    starts = [r["window_start"] for r in rows]
+    assert len(starts) == len(set(starts)), f"window emitted twice: {rows}"
+    # the cross-batch merge made it into the single finalized emission
+    final = {r["window_start"]: r["n"] for r in rows}
+    assert final[d(12, 0)] == 3, final
+    # the still-open 15:00 window is not emitted yet (watermark 14:30)
+    assert d(15, 0) not in final, final
+    # bounded state: finalized windows were evicted; only the open
+    # 15:00 window's state survives. The watermark advances at batch
+    # boundaries, so the eviction shows in the trailing no-data batch.
+    with_state = [p for p in progress if p.get("stateOperators")]
+    last_state = with_state[-1]["stateOperators"][0]["numRowsTotal"]
+    assert last_state == 1, f"state not evicted after finalization: {last_state} rows"
+
+
+def test_stream_dedup_within_watermark_across_batches(spark):
+    """dropDuplicatesWithinWatermark must suppress a duplicate id that
+    arrives in a LATER micro-batch while inside the watermark horizon —
+    the cross-batch state the batch dropDuplicates has no notion of."""
+    src = os.path.join(SCRATCH, "dedup_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src)
+    d = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+    _write_events_file(
+        os.path.join(src, "f1.parquet"),
+        [(1, d(12, 0), 1.0), (2, d(12, 1), 2.0)],
+        mtime=1_000_000.0,
+    )
+    # id=1 re-arrives 2 minutes later (inside the 1h horizon) → dup;
+    # id=3 is new
+    _write_events_file(
+        os.path.join(src, "f2.parquet"),
+        [(1, d(12, 2), 1.5), (3, d(12, 3), 3.0)],
+        mtime=2_000_000.0,
+    )
+
+    schema = spark.read.parquet(os.path.join(src, "f1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName("dedup_probe")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    got = sorted((r["event_id"], r["value"]) for r in spark.table("dedup_probe").collect())
+    assert got == [(1, 1.0), (2, 2.0), (3, 3.0)], got
