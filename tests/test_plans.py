@@ -201,3 +201,38 @@ def test_join_strategy_hints_honored(spark, sf_dir):
     assert "ShuffledHashJoin" in physical_plan(hashed)
     merged = li.join(orders.hint("merge"), li["l_orderkey"] == orders["o_orderkey"])
     assert "SortMergeJoin" in physical_plan(merged)
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    """The PII sweep must stay a pure map over the scan — zero
+    exchanges, zero Python evals: at 100 TB it is a single pass whose
+    cost is exactly the read bandwidth."""
+    df = _q("pii_redact", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, f"pii_redact shuffles:\n{plan}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_repetition_metrics_shuffles_only_on_doc_id(spark, sf_dir):
+    """Repetition metrics may shuffle only for its gram aggregations
+    (hashpartitioning on doc_id / doc_id+gram) — no single-partition
+    stage, no cartesian, partial aggregation before every exchange."""
+    df = _q("doc_repetition_metrics", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SinglePartition" not in plan
+    assert_no_cartesian_product(df)
+    assert_partial_aggregation(df)
+
+
+def test_mlp_artifact_inference_single_arrow_crossing(spark, sf_dir):
+    """The persisted-model forward pass pays exactly one JVM→Python
+    Arrow crossing (the pandas_udf) and nothing else — no shuffle, no
+    row-Python."""
+    df = _q("mlp_artifact_inference", spark, sf_dir)
+    plan = physical_plan(df)
+    # formatted plans repeat each node in the detail section: count the
+    # tree occurrences via the node ids instead
+    tree = plan.split("(1) ")[0]
+    assert tree.count("ArrowEvalPython") == 1, tree
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
