@@ -1,20 +1,27 @@
 """NPZ as a first-class Spark data source (Python Data Source API,
-Spark 4): ``spark.read.format("npz").load(path)`` — the modern form of
-the binaryFile+mapInPandas migration path in ``npz.py`` (SURVEY §2.1
-S2/S3; the reference reads keyed NPZ archives,
+Spark 4): ``spark.read.format("npz").load(path)`` for batch and
+``spark.readStream.format("npz")`` for a file-feed stream — the modern
+form of the binaryFile+mapInPandas migration path in ``npz.py``
+(SURVEY §2.1 S2/S3; the reference reads keyed NPZ archives,
 ``train_classification.py:171-177``).
 
 Planner-visible partitioning: one input partition per (archive, array
 key), so a 9-array dump decodes on 9 cores without any repartition —
 the DSv2 contract the mapInPandas path cannot express. Each partition
 re-opens only its own archive lazily inside the executor; nothing
-binary ships through the driver."""
+binary ships through the driver (the stream's driver-side offset work
+is header/metadata only)."""
 
 from __future__ import annotations
 
 import glob as _glob
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class NpzKeyPartition(InputPartition):
@@ -39,13 +46,58 @@ class NpzReader(DataSourceReader):
         return parts
 
     def read(self, partition):
+        return _read_partition_rows(partition)
+
+
+def _read_partition_rows(partition: NpzKeyPartition):
+    import numpy as np
+
+    with np.load(partition.path) as npz:
+        arr = np.atleast_2d(np.asarray(npz[partition.key], dtype="float64"))
+    flat = arr.reshape(arr.shape[0], -1)
+    for i in range(flat.shape[0]):
+        yield (partition.path, partition.key, i, list(flat[i]))
+
+
+class NpzStreamReader(DataSourceStreamReader):
+    """Micro-batch reader over an NPZ drop directory: each trigger
+    picks up archives not yet committed. The offset IS the sorted list
+    of seen files — self-describing, so ``partitions(start, end)`` is a
+    pure set difference with no driver-side state to rebuild on
+    restart (the checkpoint replays offsets, the standard exactly-once
+    file-feed contract). Executors decode; the driver touches only
+    archive headers (key lists)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("npz source requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": sorted(_glob.glob(self.path))}
+
+    def partitions(self, start: dict, end: dict):
         import numpy as np
 
-        with np.load(partition.path) as npz:
-            arr = np.atleast_2d(np.asarray(npz[partition.key], dtype="float64"))
-        flat = arr.reshape(arr.shape[0], -1)
-        for i in range(flat.shape[0]):
-            yield (partition.path, partition.key, i, list(flat[i]))
+        new_files = sorted(set(end["files"]) - set(start["files"]))
+        parts = []
+        for path in new_files:
+            with np.load(path) as npz:  # header-only open
+                parts.extend(NpzKeyPartition(path, key) for key in npz.files)
+        # Spark requires ≥1 partition per batch; an empty batch reads
+        # an empty partition list wrapped as no-op
+        return parts or [NpzKeyPartition("", "")]
+
+    def read(self, partition):
+        if not partition.path:
+            return iter(())
+        return _read_partition_rows(partition)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class NpzDataSource(DataSource):
@@ -58,3 +110,6 @@ class NpzDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return NpzReader(self.options)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        return NpzStreamReader(self.options)

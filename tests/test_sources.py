@@ -99,6 +99,57 @@ def test_stream_ts_equals_batch_ts(spark, sf_dir):
     assert _canon(streamed) == _canon(batch)
 
 
+def test_npz_stream_reader_incremental_pickup(spark, sf_dir):
+    """The NPZ Python Data Source's stream reader: a drop-directory
+    feed where each availableNow drain picks up exactly the archives
+    not yet committed (offset = seen-file list, replayed from the
+    checkpoint). First drain reads archive 1; after archive 2 lands, a
+    second drain with the same checkpoint appends ONLY archive 2's
+    rows."""
+    import shutil
+
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.sources_multimodal import SCRATCH
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.npz_datasource import NpzDataSource
+
+    drop = os.path.join(SCRATCH, "npz_stream_drop")
+    ckpt = os.path.join(SCRATCH, "npz_stream_ckpt")
+    sink = os.path.join(SCRATCH, "npz_stream_sink")
+    for p in (drop, ckpt, sink):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(drop)
+
+    np.savez(os.path.join(drop, "a1.npz"), m=np.arange(6, dtype="float64").reshape(3, 2))
+    spark.dataSource.register(NpzDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("npz")
+            .option("path", os.path.join(drop, "*.npz"))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    drain()
+    first = spark.read.parquet(sink).collect()
+    assert len(first) == 3
+    assert all(r["key"] == "m" for r in first)
+
+    np.savez(os.path.join(drop, "a2.npz"), v=np.ones((2, 2), dtype="float64"))
+    drain()
+    rows = spark.read.parquet(sink).collect()
+    assert len(rows) == 5, f"expected only the 2 new rows appended: {len(rows)}"
+    by_key = {r["key"] for r in rows}
+    assert by_key == {"m", "v"}
+
+
 def test_foreach_batch_checkpoint_no_redelivery(spark, sf_dir):
     """The streaming checkpoint records delivered batch ids: a second
     availableNow drain over the same (unchanged) source with the same
