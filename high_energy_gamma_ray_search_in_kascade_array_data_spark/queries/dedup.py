@@ -165,10 +165,11 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(tid)
 
 
-@register(
-    "neardup_components",
-    survey_ref="M5:dedup,§2.10",
-    oracle=f"""
+# shared by the propagation and star-contraction queries: the oracle
+# derives components algorithm-agnostically (recursive transitive
+# closure), so both Spark engines must match it — and therefore each
+# other — under the driver's hash gate.
+_NEARDUP_COMPONENTS_ORACLE = f"""
 WITH RECURSIVE {TID_CTE},
 {SIG_CTE},
 bands AS (
@@ -206,7 +207,13 @@ reach(u, v) AS (
 )
 SELECT CAST(u AS BIGINT) AS doc_id, CAST(MIN(v) AS BIGINT) AS component
 FROM reach GROUP BY u
-""",
+"""
+
+
+@register(
+    "neardup_components",
+    survey_ref="M5:dedup,§2.10",
+    oracle=_NEARDUP_COMPONENTS_ORACLE,
 )
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: the verified MinHash-LSH pair graph
@@ -217,12 +224,31 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop is the distributed form (join + partial-agg per sweep,
     lineage cut per iteration). Propagation is the right engine HERE
     because LSH dup graphs are near-cliques (diameter ~2); for deep or
-    unknown topologies ``connected_components_star`` (large-star/
-    small-star, O(log n) rounds on any graph) is a drop-in with
-    identical output."""
+    unknown topologies the star query below is the drop-in."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_near_duplicates(d, threshold=0.5)
     comp = dedup.connected_components(pairs)
+    return comp.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@register(
+    "neardup_components_star",
+    survey_ref="M5:dedup,§2.10",
+    oracle=_NEARDUP_COMPONENTS_ORACLE,
+)
+def q_neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same clustering through large-star/small-star contraction
+    (operators/dedup.py::connected_components_star, Kiveris et al.) —
+    O(log n) rounds on ANY topology where propagation needs
+    O(diameter). Identical oracle to neardup_components: the driver
+    gate proves both distributed engines agree with the exact
+    transitive closure, hence with each other."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(d, threshold=0.5)
+    comp = dedup.connected_components_star(pairs)
     return comp.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
