@@ -467,6 +467,61 @@ def q_doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pack_sequences",
+    survey_ref="M5:text,§2.8",
+    oracle="""
+WITH sized AS (
+  SELECT doc_id, lang,
+         LEN(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start_offset
+  FROM sized
+)
+SELECT doc_id, lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS pack_id,
+       CAST(start_offset % 512 AS BIGINT) AS pack_offset
+FROM packed
+""",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the layout step that turns a
+    document corpus into fixed-length (512-token) training examples:
+    docs are concatenated in deterministic order and every doc gets the
+    pack id and offset where it starts. Packing runs PER SHARD (here
+    ``lang``; at 100 TB a hash-range shard column) so the running-total
+    window partitions by shard instead of single-partitioning the
+    corpus — each shard packs independently, which is exactly how
+    training pipelines shard their tokenized data anyway. One shuffle
+    on the shard key; token counting is a row-local expression."""
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    sized = d.select("doc_id", "lang", n_tokens.alias("n_tokens"))
+    packed = sized.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.floor(F.col("start_offset") / 512).cast("long").alias("pack_id"),
+        (F.col("start_offset") % 512).cast("long").alias("pack_offset"),
+    )
+
+
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
 _PII_PHONE = r"555-\d{4}"
