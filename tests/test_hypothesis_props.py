@@ -50,3 +50,28 @@ def test_rotation_composition_wraps(spark, azs, k):
     for r in rows:
         assert 0.0 <= r.stepped < 360.0
         assert math.isclose(r.stepped % 360.0, r.direct % 360.0, abs_tol=1e-9)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30), st.integers(min_value=0, max_value=30)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(_edges)
+def test_star_contraction_equals_propagation_random_graphs(spark, edges):
+    """The two distributed CC engines agree on ARBITRARY generated
+    graphs (self-loops, duplicates, multi-component, chains), not just
+    the fixture's LSH cliques. Both contract: (doc_id, min reachable)
+    for every node on a non-self-loop edge."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import dedup as dd
+
+    real = [(a, b) for a, b in edges if a != b]
+    if not real:
+        return
+    pairs = spark.createDataFrame(real, "doc_a long, doc_b long")
+    prop = sorted(tuple(r) for r in dd.connected_components(pairs, max_iter=40).collect())
+    star = sorted(tuple(r) for r in dd.connected_components_star(pairs, max_iter=40).collect())
+    assert prop == star
