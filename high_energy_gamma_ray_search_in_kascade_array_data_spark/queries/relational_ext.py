@@ -609,6 +609,72 @@ def q_asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "interval_overlap_join",
+    survey_ref="§2.7",
+    oracle="""
+WITH iv AS (
+  SELECT event_id AS interval_id,
+         CAST(epoch(ts) AS BIGINT) AS start_s,
+         CAST(epoch(ts) AS BIGINT) + 1800 AS end_s
+  FROM events WHERE user_id % 199 = 0 AND event_type = 'purchase'
+),
+probe AS (
+  SELECT event_id, CAST(epoch(ts) AS BIGINT) AS t_s, value
+  FROM events WHERE user_id % 7 = 0
+)
+SELECT iv.interval_id,
+       CAST(COUNT(*) AS BIGINT) AS n_overlapping,
+       ROUND(SUM(probe.value), 4) AS sum_value
+FROM iv JOIN probe
+  ON probe.t_s >= iv.start_s AND probe.t_s <= iv.end_s
+GROUP BY 1
+""",
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (events falling inside 30-min incident
+    windows) WITHOUT the nested-loop a raw BETWEEN theta join plans:
+    intervals explode into the fixed-width time buckets they cover
+    (sequence + explode, ≤2 buckets for a 30-min interval on 1-h
+    buckets), probe events key to their single bucket, and the join
+    becomes an EQUI-join on bucket followed by the exact overlap
+    filter. Each probe event owns exactly one bucket, so no pair
+    duplicates and no post-join dedup. This is the open-source form of
+    a range-join optimization: O(matches) pairs materialized instead
+    of O(|iv|·|probe|); the oracle runs the plain theta join, which is
+    fine at oracle scale and is exactly the plan that cannot scale.
+    Plan shape (no BroadcastNestedLoopJoin) is pinned in
+    tests/test_plans.py."""
+    ev = load_table(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("long")
+    iv = (
+        ev.filter((F.col("user_id") % 199 == 0) & (F.col("event_type") == "purchase"))
+        .select(
+            F.col("event_id").alias("interval_id"),
+            epoch.alias("start_s"),
+            (epoch + 1800).alias("end_s"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(F.sequence(F.expr("start_s div 3600"), F.expr("end_s div 3600"))),
+        )
+    )
+    probe = (
+        ev.filter(F.col("user_id") % 7 == 0)
+        .select("event_id", epoch.alias("t_s"), "value")
+        .withColumn("bucket", F.expr("t_s div 3600"))
+    )
+    return (
+        probe.join(iv, "bucket")
+        .filter((F.col("t_s") >= F.col("start_s")) & (F.col("t_s") <= F.col("end_s")))
+        .groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlapping"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@register(
     "cdc_merge_apply",
     survey_ref="§2.7,§2.10",
     oracle="""

@@ -236,3 +236,14 @@ def test_mlp_artifact_inference_single_arrow_crossing(spark, sf_dir):
     assert tree.count("ArrowEvalPython") == 1, tree
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_interval_overlap_join_is_equi_join(spark, sf_dir):
+    """The bucketized interval join must plan an equi-join on the
+    bucket key — never the BroadcastNestedLoopJoin a raw BETWEEN theta
+    join degenerates to (O(n·m) pairs at 100 TB)."""
+    df = _q("interval_overlap_join", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, f"nested loop:\n{plan}"
+    assert_no_cartesian_product(df)
+    assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
