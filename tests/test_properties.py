@@ -293,6 +293,29 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     assert final == batch
 
 
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """The IVF probe must actually FIND neighbors: recall@10 against
+    the brute-force cosine top-10. The fixture embeddings are uniform
+    random (no cluster structure), which caps IVF recall near
+    nprobe/n_cells (= 0.25 here; measured 0.3–0.4) — the floor asserts
+    the probe concentrates true neighbors well above the 10/N ≈ 0.02 a
+    broken index (wrong centroids, wrong cell routing) would return.
+    No hash-oracle can see this failure mode: each approximate query is
+    its own ground truth. The LSH sign-bucket probe is exempt: a 4-bit
+    sign partition of random 64-dim vectors carries ~no cosine signal
+    (recall ≈ bucket fraction by construction on THIS data; on real
+    anisotropic embeddings the same operator concentrates), so its
+    correctness surface is the bucket-semantics hash oracle instead."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import spark_queries
+
+    qs = spark_queries()
+    exact = {r["vec_id"] for r in qs["cosine_topk"](spark, sf_dir).collect()}
+    assert len(exact) == 10
+    got = {r["vec_id"] for r in qs["ivf_probe_topk"](spark, sf_dir).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.25, f"ivf_probe_topk recall@10 = {recall}"
+
+
 def test_table_checksum_partition_invariant(spark, sf_dir):
     """The table fingerprint must not depend on physical layout: any
     repartitioning yields the same checksum (the property that makes
