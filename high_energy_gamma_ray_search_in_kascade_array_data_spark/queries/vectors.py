@@ -200,6 +200,66 @@ def q_ann_lsh_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_multiprobe_lsh_topk",
+    survey_ref="M5:similarity",
+    oracle=f"""
+WITH q AS (
+  SELECT embedding AS qe, {_BUCKET_SQL.format(e="embedding")} AS qb
+  FROM embeddings WHERE vec_id = 0
+),
+cand AS (
+  SELECT e.vec_id, e.label, e.embedding, q.qe
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+    AND {_BUCKET_SQL.format(e="e.embedding")}
+        IN (q.qb, xor(q.qb, 1), xor(q.qb, 2), xor(q.qb, 4), xor(q.qb, 8))
+)
+SELECT vec_id, label,
+       ROUND({_DOT_SQL.format(a="embedding", b="qe")}
+             / ({_NORM_SQL.format(a="embedding")} * {_NORM_SQL.format(a="qe")}), 6) AS cosine
+FROM cand
+ORDER BY cosine DESC, vec_id
+LIMIT 5
+""",
+)
+def q_ann_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH (Lv et al., VLDB'07): probe the query's sign
+    bucket AND every bucket at Hamming distance 1 (one flipped
+    hyperplane), then exact-rerank — the standard recall/cost knob: a
+    near neighbor that lands just across one hyperplane is recovered
+    for 5/16 of the corpus scanned instead of 1/16 (single-probe) or
+    16/16 (brute force). The probe set is built by exploding the
+    XOR-flipped bucket ids against the broadcast query row, so the
+    probe stays an equi-join on the bucket key — same partition-pruning
+    story as the single-probe query, wider candidate set."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qb = F.col("qb")
+    probes = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qe"), _bucket("embedding").alias("qb"))
+        .select(
+            "qe",
+            F.explode(
+                F.array(qb, *[qb.bitwiseXOR(F.lit(1 << i)) for i in range(4)])
+            ).alias("pb"),
+        )
+    )
+    cand = e.filter(F.col("vec_id") != 0).join(
+        F.broadcast(probes), _bucket("embedding") == F.col("pb")
+    )
+    cosine = F.round(
+        _dot(F.col("embedding"), F.col("qe"))
+        / (F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("qe")))),
+        6,
+    )
+    return (
+        cand.select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+@register(
     "embedding_near_dup",
     survey_ref="M5:dedup,M5:similarity",
     oracle=f"""
