@@ -468,6 +468,61 @@ def q_doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "decontaminate_overlap",
+    survey_ref="M5:text,M5:dedup,§2.7",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([l[x] || ' ' || l[x+1] || ' ' || l[x+2]
+                        FOR x IN range(1, len(l) - 1)]) AS shingles
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+  WHERE len(l) >= 3
+),
+ev AS (SELECT doc_id AS eval_id, unnest(shingles) AS sg FROM sh WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, unnest(shingles) AS sg FROM sh WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id,
+       CAST(COUNT(DISTINCT tr.sg) AS BIGINT) AS n_overlap,
+       CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+FROM tr JOIN ev ON tr.sg = ev.sg
+GROUP BY 1 HAVING COUNT(DISTINCT tr.sg) >= 2
+""",
+)
+def q_decontaminate_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing ≥2
+    distinct 3-gram shingles with any held-out eval document (the
+    n-gram-overlap rule of GPT-3/PaLM-style decontamination) — the
+    training-data hygiene step that runs BEFORE a corpus ships. Both
+    sides shingle row-locally (same transform as the dedup family),
+    distinct per doc, and meet in an equi-join on the shingle string:
+    pairs materialize only for shared shingles, the same bounded-join
+    property LSH banding gives dedup. Shuffles: two shingle
+    aggregations + the overlap join, all keyed, no cartesian."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("l")).filter(F.size("l") >= 3)
+    t = F.col("l")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
+            ),
+        )
+    )
+    sh = toks.select("doc_id", F.explode(shingles).alias("sg"))
+    ev = sh.filter(F.col("doc_id") % 97 == 0).select(F.col("doc_id").alias("eval_id"), "sg")
+    tr = sh.filter(F.col("doc_id") % 97 != 0)
+    return (
+        tr.join(ev, "sg")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("sg").alias("n_overlap"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_overlap") >= 2)
+    )
+
+
+@register(
     "pack_sequences",
     survey_ref="M5:text,§2.8",
     oracle="""
