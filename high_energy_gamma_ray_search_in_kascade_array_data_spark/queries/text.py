@@ -468,6 +468,49 @@ def q_doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mix_sample",
+    survey_ref="M5:text,X2,X3",
+    oracle="""
+WITH rates(source, rate) AS (
+  VALUES ('src0', 1.0), ('src1', 0.5), ('src2', 0.25), ('src3', 0.1)
+),
+drawn AS (
+  SELECT d.source, r.rate,
+         CASE WHEN (d.doc_id * 2654435761 % 4294967296) / 4294967296.0 < r.rate
+              THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN rates r ON d.source = r.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(keep) AS BIGINT) AS n_kept
+FROM drawn GROUP BY source
+""",
+)
+def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: down-sample each source to a target
+    rate (the data-recipe step that turns raw crawl proportions into
+    the desired corpus mix) with the engine's deterministic
+    Knuth-multiplicative draw — the SAME row is kept on every run, on
+    any cluster, at any partitioning (X3 seeded determinism; a real
+    pipeline needs resumable sampling, not rand()). Rates ride a
+    broadcast VALUES relation; the draw is a row-local expression, so
+    the only shuffle is the per-source count."""
+    d = load_table(spark, sf_dir, "documents")
+    rates = d.sparkSession.createDataFrame(
+        [("src0", 1.0), ("src1", 0.5), ("src2", 0.25), ("src3", 0.1)],
+        "source string, rate double",
+    )
+    rnd = (F.col("doc_id") * 2654435761 % 4294967296) / F.lit(4294967296.0)
+    drawn = d.join(F.broadcast(rates), "source").select(
+        "source", F.when(rnd < F.col("rate"), 1).otherwise(0).alias("keep")
+    )
+    return drawn.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+    )
+
+
+@register(
     "decontaminate_overlap",
     survey_ref="M5:text,M5:dedup,§2.7",
     oracle="""
