@@ -260,6 +260,61 @@ def q_ann_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "filtered_vector_search",
+    survey_ref="M5:similarity,§2.7",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+eligible AS (
+  SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200
+),
+cand AS (
+  SELECT e.vec_id, e.label, e.embedding, q.qe
+  FROM embeddings e JOIN eligible d ON e.vec_id = d.doc_id, q
+  WHERE e.vec_id <> 0
+)
+SELECT vec_id, label,
+       ROUND({_DOT_SQL.format(a="embedding", b="qe")}
+             / ({_NORM_SQL.format(a="embedding")} * {_NORM_SQL.format(a="qe")}), 6) AS cosine
+FROM cand
+ORDER BY cosine DESC, vec_id
+LIMIT 5
+""",
+)
+def q_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — the pre- vs post-filter problem every
+    vector store faces: top-k over only the vectors whose DOCUMENT
+    passes a metadata predicate (lang + length here). Post-filtering a
+    top-k can come up short when the filter is selective; this plans
+    the PRE-filter form — the metadata predicate pushes into the
+    documents scan, the surviving ids semi-join-reduce the vector side
+    BEFORE any scoring, and the exact cosine + TakeOrderedAndProject
+    run on the reduced set. At scale the id join is the cheap step
+    (both sides bucketed by id) and scoring cost tracks the filter's
+    selectivity, not corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    eligible = d.filter((F.col("lang") == "en") & (F.col("n_chars") >= 200)).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .join(eligible, "vec_id", "semi")
+        .crossJoin(F.broadcast(q))
+    )
+    cosine = F.round(
+        _dot(F.col("embedding"), F.col("qe"))
+        / (F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("qe")))),
+        6,
+    )
+    return (
+        cand.select("vec_id", "label", cosine.alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+@register(
     "embedding_near_dup",
     survey_ref="M5:dedup,M5:similarity",
     oracle=f"""
