@@ -735,10 +735,7 @@ def q_corpus_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "udtf_chunk_documents",
-    survey_ref="§2.12,M5:text",
-    oracle="""
+_CHUNK_ORACLE = """
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS tk,
          LEN(string_split(text, ' ')) AS n
@@ -752,7 +749,43 @@ SELECT doc_id, CAST(c AS INTEGER) AS chunk_no,
        CAST(LEAST(n - c * 24, 32) AS INTEGER) AS n_tokens,
        array_to_string(tk[c * 24 + 1 : LEAST(c * 24 + 32, n)], ' ') AS chunk_text
 FROM k
-""",
+"""
+
+
+@register(
+    "chunk_documents_hof",
+    survey_ref="M5:text,§2.5",
+    oracle=_CHUNK_ORACLE,
+)
+def q_chunk_documents_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production twin the UDTF chunker's docstring promises: the
+    SAME sliding-window chunking (window 32, stride 24, shorter tails)
+    as pure higher-order array expressions — sequence → explode →
+    slice → array_join, entirely whole-stage codegen, zero Python.
+    Shares the UDTF query's oracle verbatim, so the driver gate proves
+    the slow-path API demo and the 100 TB fast path emit identical
+    chunks."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = F.split(F.col("text"), " ")
+    n = F.size(tk)
+    chunks = d.select(
+        "doc_id",
+        tk.alias("tk"),
+        F.explode(F.sequence(F.lit(0), F.ceil(n / F.lit(24.0)).cast("int") - 1)).alias("c"),
+    )
+    piece = F.slice(F.col("tk"), F.col("c") * 24 + 1, 32)
+    return chunks.select(
+        "doc_id",
+        F.col("c").cast("int").alias("chunk_no"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+@register(
+    "udtf_chunk_documents",
+    survey_ref="§2.12,M5:text",
+    oracle=_CHUNK_ORACLE,
 )
 def q_udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking via a Python UDTF called through LATERAL —
