@@ -614,12 +614,12 @@ def q_asof_tolerance_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH iv AS (
   SELECT event_id AS interval_id,
-         CAST(epoch(ts) AS BIGINT) AS start_s,
-         CAST(epoch(ts) AS BIGINT) + 1800 AS end_s
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS start_s,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) + 1800 AS end_s
   FROM events WHERE user_id % 199 = 0 AND event_type = 'purchase'
 ),
 probe AS (
-  SELECT event_id, CAST(epoch(ts) AS BIGINT) AS t_s, value
+  SELECT event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t_s, value
   FROM events WHERE user_id % 7 = 0
 )
 SELECT iv.interval_id,
@@ -643,7 +643,12 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     of O(|iv|·|probe|); the oracle runs the plain theta join, which is
     fine at oracle scale and is exactly the plan that cannot scale.
     Plan shape (no BroadcastNestedLoopJoin) is pinned in
-    tests/test_plans.py."""
+    tests/test_plans.py.
+
+    Epoch derivation: Spark ``cast(ts as long)`` FLOORS the
+    microsecond value; the oracle must FLOOR(epoch(ts)) too — DuckDB's
+    ``CAST(double AS BIGINT)`` rounds-half-away, which flipped one
+    boundary row at sf0.1."""
     ev = load_table(spark, sf_dir, "events")
     epoch = F.col("ts").cast("long")
     iv = (

@@ -151,11 +151,19 @@ GROUP BY 1, 2
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream–static join: the event stream joins a static user-tier
     dimension (broadcast per micro-batch), then aggregates per tier.
-    The oracle recomputes the tier inline — same relation, batch path."""
+    The oracle recomputes the tier inline — same relation, batch path.
+    The dimension is derived from the batch table's own user domain
+    (a hard-coded range silently DROPPED users beyond it when the
+    fixture grew — caught by the sf0.1 sweep; an inner stream–static
+    join is also a filter, so the dim must cover the key universe)."""
     ev = core.read_events_stream(spark, sf_dir)
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
     users = (
-        spark.range(0, 1000)
-        .select(F.col("id").alias("user_id"), (F.col("id") % 3).alias("tier"))
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select("user_id", (F.col("user_id") % 3).alias("tier"))
     )
     joined = ev.join(F.broadcast(users), "user_id")
     agg = joined.groupBy("tier", "event_type").agg(F.count(F.lit(1)).alias("n"))
