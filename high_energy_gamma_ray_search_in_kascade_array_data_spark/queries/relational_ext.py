@@ -680,6 +680,51 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_blocked_join",
+    survey_ref="§2.7,M5:dedup",
+    oracle="""
+WITH blocked AS (
+  SELECT c_custkey, c_name, c_nationkey, substr(c_name, 10, 5) AS blk
+  FROM customer
+)
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+FROM blocked a JOIN blocked b
+  ON a.blk = b.blk AND a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+""",
+)
+def q_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: customer pairs whose names are
+    within edit distance 2, found WITHOUT the all-pairs scan — the
+    blocking-key pattern (here nation + the name's high-order digit
+    prefix): candidates materialize only inside a block, the same
+    bounded-join property LSH banding gives dedup, and the expensive
+    levenshtein runs post-equi-join on O(block²) pairs instead of
+    O(n²). At 100 TB the blocking key doubles as the shuffle key, so
+    each executor resolves its own blocks."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", F.substring("c_name", 10, 5).alias("blk")
+    )
+    a = c.alias("a")
+    b = c.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(F.levenshtein(F.col("a.c_name"), F.col("b.c_name")) <= 2)
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("dist"),
+        )
+    )
+
+
+@register(
     "cdc_merge_apply",
     survey_ref="§2.7,§2.10",
     oracle="""
