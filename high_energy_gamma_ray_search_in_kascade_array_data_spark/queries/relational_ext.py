@@ -680,6 +680,106 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_conversion",
+    survey_ref="§2.6,§2.7,§2.8",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_viewed,
+       CAST((SELECT COUNT(*) FROM s2) AS BIGINT) AS n_clicked_after,
+       CAST((SELECT COUNT(*) FROM s3) AS BIGINT) AS n_purchased_after
+""",
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (view → click → purchase, each step
+    strictly AFTER the previous step's first occurrence) — the
+    sequential-pattern analytics MATCH_RECOGNIZE engines sell, built
+    from per-step min-ts aggregations chained by (user, ts > prev)
+    joins: each stage is one keyed aggregation over the rows that
+    survived the previous stage, so cost shrinks down the funnel and
+    every join is an equi-join on user_id. Final counts meet in
+    broadcast one-row cross joins (no driver collect)."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    c1 = s1.agg(F.count(F.lit(1)).alias("n_viewed"))
+    c2 = s2.agg(F.count(F.lit(1)).alias("n_clicked_after"))
+    c3 = s3.agg(F.count(F.lit(1)).alias("n_purchased_after"))
+    return c1.crossJoin(F.broadcast(c2)).crossJoin(F.broadcast(c3))
+
+
+@register(
+    "cohort_retention",
+    survey_ref="§2.6,§2.8",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts)) AS INTEGER) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_week AS DATE) AS cohort_week, week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active
+FROM activity GROUP BY 1, 2
+""",
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen week, one
+    row per (cohort, week-offset) with the distinct users still active
+    — the product-analytics staple. Both week values are Monday-
+    truncated, so DuckDB's boundary-crossing date_diff('week') equals
+    plain day-difference/7 and the engines agree exactly. Shuffles:
+    the first-seen aggregation and the distinct-activity aggregation,
+    both keyed by user/cohort."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_week").cast("date").alias("cohort_week"), "week_offset"
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+@register(
     "fuzzy_blocked_join",
     survey_ref="§2.7,M5:dedup",
     oracle="""
