@@ -165,6 +165,63 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_fingerprints(tid)
 
 
+# the verified near-dup edge set, shared by the components oracles and
+# the triangle count
+_VERIFIED_EDGES_CTES = f"""{TID_CTE},
+{SIG_CTE},
+bands AS (
+  {_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM tid GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN tid ta ON ta.doc_id = c.doc_a
+  JOIN tid tb ON tb.doc_id = c.doc_b AND tb.tok_id = ta.tok_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.doc_a
+  JOIN counts cb ON cb.doc_id = i.doc_b
+  WHERE i.n_inter * 1.0 / (ca.n + cb.n - i.n_inter) >= 0.5
+)"""
+
+
+@register(
+    "dup_graph_triangles",
+    survey_ref="M5:dedup,§2.7",
+    oracle=f"""
+WITH {_VERIFIED_EDGES_CTES}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM verified e1
+JOIN verified e2 ON e2.doc_a = e1.doc_b
+JOIN verified e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+""",
+)
+def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the verified near-dup graph — the graph
+    statistic that separates clique-like duplicate clusters (many
+    triangles → safe to collapse) from chain-like borderline matches
+    (few → review before deleting). Edges are canonical (a<b), so each
+    triangle is counted exactly once by the two equi-joins; no
+    cartesian, cost bounded by the candidate-pair graph, the standard
+    distributed triangle-count join plan."""
+    d = load_table(spark, sf_dir, "documents")
+    e = dedup.minhash_near_duplicates(d, threshold=0.5).select("doc_a", "doc_b").persist()
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
 # shared by the propagation and star-contraction queries: the oracle
 # derives components algorithm-agnostically (recursive transitive
 # closure), so both Spark engines must match it — and therefore each

@@ -680,6 +680,110 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hll_sketch_union",
+    survey_ref="§2.6",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       1 AS est_in_bounds
+FROM events GROUP BY event_type
+UNION ALL
+SELECT '__union__' AS event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+       1 AS est_in_bounds
+FROM events
+""",
+)
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches builtins, Spark
+    3.5+): per-group sketches union into a global estimate WITHOUT
+    rescanning — the property that lets 1000 executors each sketch
+    their shard and a coordinator merge kilobytes. Sketch bytes are
+    engine-specific, so the checked surface is the invariant: each
+    per-type estimate AND the unioned estimate within 5% of the exact
+    distinct count computed in the same plan; the exact counts
+    themselves hash-match the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.count_distinct(F.col("user_id")).alias("n_exact"),
+    )
+    per_rows = per.select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.when(
+            (
+                F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact"))
+                / F.col("n_exact")
+            )
+            <= 0.05,
+            1,
+        )
+        .otherwise(0)
+        .alias("est_in_bounds"),
+    )
+    g = ev.agg(F.count_distinct(F.col("user_id")).alias("n_exact"))
+    union_row = (
+        per.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+        .crossJoin(F.broadcast(g))
+        .select(
+            F.lit("__union__").alias("event_type"),
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.when(
+                (F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact")) <= 0.05, 1
+            )
+            .otherwise(0)
+            .alias("est_in_bounds"),
+        )
+    )
+    return per_rows.unionByName(union_row)
+
+
+@register(
+    "window_zscore_anomaly",
+    survey_ref="§2.8",
+    oracle="""
+WITH scored AS (
+  SELECT event_id, user_id,
+         COUNT(*) OVER w AS n_hist,
+         ROUND((value - AVG(value) OVER w) / STDDEV_SAMP(value) OVER w, 4) AS z
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, z
+FROM scored WHERE n_hist >= 20 AND ABS(z) > 2.5
+""",
+)
+def q_window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against
+    its user's trailing-50-event mean/stddev (strictly PRECEDING — the
+    event never scores against itself), flagged when |z| > 2.5 with a
+    20-event warm-up. One shuffle on user_id, single sorted window
+    pass; the monitoring primitive of a streaming-adjacent batch
+    pipeline. z rounds to 4 places BEFORE the threshold compare so
+    both engines' summation-order float dust cannot flip a boundary
+    row."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+        F.round(
+            (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 4
+        ).alias("z"),
+    )
+    return scored.filter((F.col("n_hist") >= 20) & (F.abs(F.col("z")) > 2.5)).select(
+        "event_id", "user_id", "z"
+    )
+
+
+@register(
     "funnel_conversion",
     survey_ref="§2.6,§2.7,§2.8",
     oracle="""
