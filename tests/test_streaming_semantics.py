@@ -122,6 +122,66 @@ def test_watermark_finalizes_windows_exactly_once_and_evicts_state(spark):
     assert last_state == 1, f"state not evicted after finalization: {last_state} rows"
 
 
+def test_aggregation_state_survives_query_restart(spark):
+    """Checkpointed state must RESTORE across query restarts, not just
+    across micro-batches: drain file 1, STOP the query, drop file 2,
+    start a brand-new query object on the same checkpoint — the second
+    run's complete-mode output must aggregate BOTH files' rows (state
+    restored), and re-running with nothing new must deliver no new
+    batch data (offsets restored)."""
+    src = os.path.join(SCRATCH, "restart_src")
+    ckpt = os.path.join(SCRATCH, "restart_ckpt")
+    for p in (src, ckpt):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(src)
+    d = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+    _write_events_file(
+        os.path.join(src, "f1.parquet"),
+        [(1, d(12, 0), 1.0), (2, d(12, 10), 2.0)],
+        mtime=1_000_000.0,
+    )
+    schema = spark.read.parquet(os.path.join(src, "f1.parquet")).schema
+
+    def drain(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        counts = stream.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s")
+        )
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        drain("restart_run1")
+        first = {r["w"]["start"]: (r["n"], r["s"]) for r in spark.table("restart_run1").collect()}
+        assert first == {d(12, 0): (2, 3.0)}
+
+        _write_events_file(
+            os.path.join(src, "f2.parquet"),
+            [(3, d(12, 20), 4.0), (4, d(13, 5), 8.0)],
+            mtime=2_000_000.0,
+        )
+        drain("restart_run2")  # NEW query object, SAME checkpoint
+        second = {r["w"]["start"]: (r["n"], r["s"]) for r in spark.table("restart_run2").collect()}
+        # full cross-restart aggregate: f1's window grew, f2's appeared
+        assert second == {d(12, 0): (3, 7.0), d(13, 0): (1, 8.0)}, second
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def test_stream_dedup_within_watermark_across_batches(spark):
     """dropDuplicatesWithinWatermark must suppress a duplicate id that
     arrives in a LATER micro-batch while inside the watermark horizon —
