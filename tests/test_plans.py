@@ -247,3 +247,45 @@ def test_interval_overlap_join_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, f"nested loop:\n{plan}"
     assert_no_cartesian_product(df)
     assert any(j in plan for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime row-level filtering (SPARK-32268): with a selective dim
+    filter, Catalyst builds a bloom filter on the dim's join keys and
+    injects might_contain onto the FACT side before the shuffle — at
+    100 TB this drops most fact rows at the scan instead of shuffling
+    them to a join that will discard them. Thresholds are lowered so
+    the fixture-scale join exercises the rewrite."""
+    import pyspark.sql.functions as F
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        j = (
+            li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, f"no runtime bloom filter injected:\n{plan[:2000]}"
+        # and the result is unchanged by the rewrite
+        expected = li.join(o, li["l_orderkey"] == o["o_orderkey"]).count()
+        got = j.collect()[0]["count"]
+        assert got == expected
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
