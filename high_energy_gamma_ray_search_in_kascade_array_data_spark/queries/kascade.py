@@ -639,3 +639,122 @@ def q_grid_wide_long_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("edep") * F.col("pos")), 4).alias("checksum"),
         F.count(F.lit(1)).alias("n_cells"),
     )
+
+
+@register(
+    "core_density_map",
+    survey_ref="A5,P3",
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT CAST(FLOOR((core_x + 16) / 4) AS INTEGER) AS bx,
+       CAST(FLOOR((core_y + 16) / 4) AS INTEGER) AS by,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(lg_e), 6) AS avg_lg_e
+FROM shower
+WHERE lg_e >= 15.0 AND lg_e < 16.0
+GROUP BY 1, 2
+""",
+)
+def q_core_density_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D shower-core density map: the spatial twin of the energy
+    histogram (A5) — shower cores binned on a 4 m grid over the array
+    footprint with per-cell mean energy, the detector-acceptance map a
+    KASCADE-style analysis plots next to the survival curve
+    (``train_classification.py:284-299`` band-cuts the same relation).
+    One partially-aggregated shuffle bounded by the 8×8 cell count."""
+    df = shower_frame(spark, sf_dir).filter(
+        (F.col("lg_e") >= 15.0) & (F.col("lg_e") < 16.0)
+    )
+    return df.groupBy(
+        F.floor((F.col("core_x") + 16) / 4).cast("int").alias("bx"),
+        F.floor((F.col("core_y") + 16) / 4).cast("int").alias("by"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("lg_e"), 6).alias("avg_lg_e"),
+    )
+
+
+@register(
+    "spectral_index_fit",
+    survey_ref="A4,A5,A6",
+    oracle=f"""
+WITH {SHOWER_CTE},
+hist AS (
+  SELECT FLOOR(lg_e * 10) / 10 AS lg_e_bin,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM shower GROUP BY 1
+),
+pts AS (
+  SELECT lg_e_bin AS x, LN(n) AS y FROM hist WHERE n > 0
+),
+s AS (
+  SELECT COUNT(*) AS cnt, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts
+)
+SELECT CAST(cnt AS BIGINT) AS n_bins,
+       ROUND((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx), 6) AS spectral_slope,
+       ROUND((sy - ((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)) * sx) / cnt, 6)
+         AS intercept
+FROM s
+""",
+)
+def q_spectral_index_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law spectral index by closed-form OLS on the log-log
+    energy histogram — THE measurement a cosmic-ray spectrum analysis
+    produces (flux ∝ E^slope; the reference's survival curves feed the
+    same physics conclusion, ``train_classification.py:301-321``).
+    Distributed form: histogram (one bounded shuffle) → sufficient
+    statistics (Σx, Σy, Σxy, Σx² — a single 1-row aggregate) → slope
+    and intercept as closed-form arithmetic. No iterative fitting, no
+    driver-side math: the whole regression is two aggregations."""
+    df = shower_frame(spark, sf_dir)
+    hist = (
+        df.groupBy((F.floor(F.col("lg_e") * 10) / 10).alias("x"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 0)
+        .select("x", F.log("n").alias("y"))
+    )
+    s = hist.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("cnt").cast("bigint").alias("n_bins"),
+        F.round(slope, 6).alias("spectral_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("cnt"), 6).alias("intercept"),
+    )
+
+
+@register(
+    "event_transition_matrix",
+    survey_ref="§2.8,§2.6",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between consecutive events
+    per user (view→click, click→purchase, ...) — the behavioral
+    transition matrix funnels and recommendation priors start from.
+    One shuffle on user_id for the lead window, then a transition-
+    cardinality-bounded aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy("event_type", "next_type").agg(F.count(F.lit(1)).alias("n"))
