@@ -322,6 +322,36 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert m_recall >= 0.3, f"ann_multiprobe_lsh_topk recall@10 = {m_recall}"
 
 
+def test_pack_sequences_offsets_are_contiguous(spark, sf_dir):
+    """Packing must tile each shard exactly: ordered by doc_id within
+    a shard, every doc starts where the previous one ended (no gaps,
+    no overlaps), starting from offset 0 — the property that makes the
+    layout usable as a training-example index."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import spark_queries
+
+    rows = spark_queries()["pack_sequences"](spark, sf_dir).collect()
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["lang"], []).append(r)
+    assert by_shard
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        expect = 0
+        for r in shard_rows:
+            assert r["start_offset"] == expect, r
+            assert r["pack_id"] == expect // 512 and r["pack_offset"] == expect % 512
+            expect += r["n_tokens"]
+
+
+def test_funnel_counts_are_monotone(spark, sf_dir):
+    """Each funnel step is a strict subset of the previous one by
+    construction — counts must be non-increasing down the funnel."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import spark_queries
+
+    r = spark_queries()["funnel_conversion"](spark, sf_dir).collect()[0]
+    assert r["n_viewed"] >= r["n_clicked_after"] >= r["n_purchased_after"] >= 0
+
+
 def test_table_checksum_partition_invariant(spark, sf_dir):
     """The table fingerprint must not depend on physical layout: any
     repartitioning yields the same checksum (the property that makes
