@@ -680,6 +680,31 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timezone_hour_histogram",
+    survey_ref="§2.4,A5",
+    oracle="""
+SELECT CAST(EXTRACT(hour FROM timezone('America/New_York',
+                                       timezone('UTC', ts))) AS INTEGER) AS ny_hour,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""",
+)
+def q_timezone_hour_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wall-clock analytics across timezones: the event-time histogram
+    in America/New_York local hours (UTC-stored timestamps rendered in
+    the analyst's zone — every activity-by-hour dashboard does this).
+    Both engines pin the conversion explicitly (Spark
+    from_utc_timestamp; DuckDB nested timezone()) so the result is
+    independent of either engine's session timezone. Fixture spans
+    January — one fixed offset, no DST ambiguity in the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    ny = F.from_utc_timestamp(F.to_utc_timestamp(F.col("ts"), "UTC"), "America/New_York")
+    return ev.groupBy(F.hour(ny).cast("int").alias("ny_hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
     "hll_sketch_union",
     survey_ref="§2.6",
     oracle="""
