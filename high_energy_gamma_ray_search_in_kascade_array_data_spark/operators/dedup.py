@@ -366,10 +366,8 @@ def connected_components_star(
     edges), at which point each component is exactly a star rooted at
     its minimum id.
     """
-    e = (
-        pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
-        .filter(F.col("u") != F.col("v"))
-    )
+    raw = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    e = raw.filter(F.col("u") != F.col("v"))
     # canonical directed form: larger id → smaller id
     edges = (
         e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
@@ -377,6 +375,11 @@ def connected_components_star(
         .repartition("u")
         .localCheckpoint(eager=True)
     )
+    # docs appearing ONLY in self-pairs have no proper edge but are
+    # still "in ≥1 pair" per the contract: emit them as their own
+    # singleton components at the end (propagation gets this for free;
+    # without it the two engines diverge on self-loop-only input)
+    self_only = raw.filter(F.col("u") == F.col("v")).select("u").distinct()
     n_edges = edges.count()
     converged = False
     for _ in range(max_iter):
@@ -429,4 +432,9 @@ def connected_components_star(
         .join(edges.select(F.col("u").alias("doc_id")).distinct(), "doc_id", "left_anti")
         .select("doc_id", F.col("doc_id").alias("component"))
     )
-    return members.union(roots)
+    singletons = (
+        self_only.select(F.col("u").alias("doc_id"))
+        .join(members.select("doc_id").union(roots.select("doc_id")), "doc_id", "left_anti")
+        .select("doc_id", F.col("doc_id").alias("component"))
+    )
+    return members.union(roots).union(singletons)

@@ -83,13 +83,20 @@ grid AS (
 # reproduce Spark's "random" draws exactly. RND2 is an INDEPENDENT
 # second draw (different odd multiplier) for operations that must not
 # correlate with the split (augmentation sampling).
-RND_SQL = "(event_id * 2654435761 % 4294967296) / 4294967296.0"
-RND2_SQL = "(event_id * 2246822519 % 4294967296) / 4294967296.0"
+#
+# The id is pre-reduced mod 2^31 so the multiplication stays inside
+# int64 for ANY id — without it, ids ≥ ~3.5e9 overflow (ANSI-mode
+# error in Spark, BIGINT overflow in DuckDB) at exactly the corpus
+# sizes the draw exists for. Draws for ids < 2^31 (every current
+# fixture) are bit-identical to the unreduced form; the draw sequence
+# has period 2^31 in the id, irrelevant for sampling purposes.
+RND_SQL = "((event_id % 2147483648) * 2654435761 % 4294967296) / 4294967296.0"
+RND2_SQL = "((event_id % 2147483648) * 2246822519 % 4294967296) / 4294967296.0"
 
 
 def rnd_col() -> F.Column:
-    return (F.col("event_id") * 2654435761 % 4294967296) / F.lit(4294967296.0)
+    return (F.col("event_id") % 2147483648) * 2654435761 % 4294967296 / F.lit(4294967296.0)
 
 
 def rnd2_col() -> F.Column:
-    return (F.col("event_id") * 2246822519 % 4294967296) / F.lit(4294967296.0)
+    return (F.col("event_id") % 2147483648) * 2246822519 % 4294967296 / F.lit(4294967296.0)

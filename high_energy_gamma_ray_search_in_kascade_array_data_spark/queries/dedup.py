@@ -214,7 +214,14 @@ def q_dup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cartesian, cost bounded by the candidate-pair graph, the standard
     distributed triangle-count join plan."""
     d = load_table(spark, sf_dir, "documents")
-    e = dedup.minhash_near_duplicates(d, threshold=0.5).select("doc_a", "doc_b").persist()
+    # localCheckpoint, not persist: three join branches reuse the edge
+    # set once-materialized, and the blocks free with the DataFrame
+    # instead of pinning cache for the session lifetime
+    e = (
+        dedup.minhash_near_duplicates(d, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))

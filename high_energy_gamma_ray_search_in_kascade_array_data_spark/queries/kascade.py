@@ -289,11 +289,11 @@ WITH {GRID_CTE},
 aug AS (
   SELECT 0 AS k, event_id, ix, iy, edep FROM grid
   UNION ALL SELECT 1 AS k, event_id, 15 - iy, ix, edep FROM grid
-    WHERE (event_id * 2654435762 % 4294967296) / 4294967296.0 < 0.3
+    WHERE ((event_id % 2147483648) * 2654435762 % 4294967296) / 4294967296.0 < 0.3
   UNION ALL SELECT 2 AS k, event_id, 15 - ix, 15 - iy, edep FROM grid
-    WHERE (event_id * 2654435763 % 4294967296) / 4294967296.0 < 0.3
+    WHERE ((event_id % 2147483648) * 2654435763 % 4294967296) / 4294967296.0 < 0.3
   UNION ALL SELECT 3 AS k, event_id, iy, 15 - ix, edep FROM grid
-    WHERE (event_id * 2654435764 % 4294967296) / 4294967296.0 < 0.3
+    WHERE ((event_id % 2147483648) * 2654435764 % 4294967296) / 4294967296.0 < 0.3
 )
 SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rows,
        ROUND(SUM(edep * (iy * 16 + ix)), 4) AS checksum
@@ -312,7 +312,7 @@ def q_augment_rotations(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.select(F.lit(0).cast("int").alias("k"), "event_id", "ix", "iy", "edep")
     ]
     for k in (1, 2, 3):
-        draw = (F.col("event_id") * (2654435761 + k) % 4294967296) / F.lit(4294967296.0)
+        draw = (F.col("event_id") % 2147483648) * (2654435761 + k) % 4294967296 / F.lit(4294967296.0)
         sampled = grid.filter(draw < 0.3)
         rx, ry = physics.rotate_grid_index(F.col("ix"), F.col("iy"), k)
         parts.append(

@@ -693,12 +693,13 @@ def q_timezone_hour_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wall-clock analytics across timezones: the event-time histogram
     in America/New_York local hours (UTC-stored timestamps rendered in
     the analyst's zone — every activity-by-hour dashboard does this).
-    Both engines pin the conversion explicitly (Spark
-    from_utc_timestamp; DuckDB nested timezone()) so the result is
-    independent of either engine's session timezone. Fixture spans
-    January — one fixed offset, no DST ambiguity in the oracle."""
+    The DuckDB side pins the conversion explicitly (nested
+    timezone()); the Spark side relies on the catalog pinning
+    session.timeZone=UTC (load_table sets it, since hour() renders in
+    session time), then from_utc_timestamp shifts to NY wall clock.
+    Fixture spans January — one fixed offset, no DST ambiguity."""
     ev = load_table(spark, sf_dir, "events")
-    ny = F.from_utc_timestamp(F.to_utc_timestamp(F.col("ts"), "UTC"), "America/New_York")
+    ny = F.from_utc_timestamp(F.col("ts"), "America/New_York")
     return ev.groupBy(F.hour(ny).cast("int").alias("ny_hour")).agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -729,10 +730,21 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct count computed in the same plan; the exact counts
     themselves hash-match the oracle."""
     ev = load_table(spark, sf_dir, "events")
-    per = ev.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk"),
-        F.count_distinct(F.col("user_id")).alias("n_exact"),
+    # ONE scan builds per-type AND global sketches/exacts via grouping
+    # sets (the global exact is not derivable from per-type distincts —
+    # users appear under several types); the 6-row result is
+    # checkpointed so the two output branches below do not re-run the
+    # event-scale aggregation.
+    gs = (
+        ev.groupingSets([[F.col("event_type")], []], F.col("event_type"))
+        .agg(
+            F.hll_sketch_agg("user_id").alias("sk"),
+            F.count_distinct(F.col("user_id")).alias("n_exact"),
+            F.grouping("event_type").alias("_g"),
+        )
+        .localCheckpoint(eager=True)
     )
+    per = gs.filter(F.col("_g") == 0)
     per_rows = per.select(
         "event_type",
         F.col("n_exact").cast("bigint").alias("n_exact"),
@@ -747,7 +759,7 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("est_in_bounds"),
     )
-    g = ev.agg(F.count_distinct(F.col("user_id")).alias("n_exact"))
+    g = gs.filter(F.col("_g") == 1).select("n_exact")
     union_row = (
         per.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
         .crossJoin(F.broadcast(g))
@@ -795,12 +807,17 @@ def q_window_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-50, -1)
     )
+    # NULL (not DIVIDE_BY_ZERO) when the trailing window has zero
+    # variance: Spark 4 runs ANSI mode, where a bare division would
+    # crash the query on a flat window while DuckDB yields NULL and
+    # the threshold filter drops the row — guard for the same NULL.
+    std = F.stddev_samp("value").over(w)
     scored = ev.select(
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_hist"),
-        F.round(
-            (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 4
+        F.when(
+            std != 0, F.round((F.col("value") - F.avg("value").over(w)) / std, 4)
         ).alias("z"),
     )
     return scored.filter((F.col("n_hist") >= 20) & (F.abs(F.col("z")) > 2.5)).select(

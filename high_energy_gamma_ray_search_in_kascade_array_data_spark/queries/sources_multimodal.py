@@ -62,7 +62,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {SHOWER_CTE},
 assigned AS (
   SELECT label,
-         CASE WHEN (event_id * 2654435761 % 4294967296) / 4294967296.0 < 0.8
+         CASE WHEN ((event_id % 2147483648) * 2654435761 % 4294967296) / 4294967296.0 < 0.8
               THEN 'train' ELSE 'test' END AS split
   FROM shower
 )

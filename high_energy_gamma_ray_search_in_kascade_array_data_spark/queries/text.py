@@ -476,7 +476,7 @@ WITH rates(source, rate) AS (
 ),
 drawn AS (
   SELECT d.source, r.rate,
-         CASE WHEN (d.doc_id * 2654435761 % 4294967296) / 4294967296.0 < r.rate
+         CASE WHEN ((d.doc_id % 2147483648) * 2654435761 % 4294967296) / 4294967296.0 < r.rate
               THEN 1 ELSE 0 END AS keep
   FROM documents d JOIN rates r ON d.source = r.source
 )
@@ -500,7 +500,9 @@ def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("src0", 1.0), ("src1", 0.5), ("src2", 0.25), ("src3", 0.1)],
         "source string, rate double",
     )
-    rnd = (F.col("doc_id") * 2654435761 % 4294967296) / F.lit(4294967296.0)
+    # doc_id pre-reduced mod 2^31: the multiply stays inside int64 at
+    # any corpus size (ANSI mode makes the overflow a hard error)
+    rnd = (F.col("doc_id") % 2147483648) * 2654435761 % 4294967296 / F.lit(4294967296.0)
     drawn = d.join(F.broadcast(rates), "source").select(
         "source", F.when(rnd < F.col("rate"), 1).otherwise(0).alias("keep")
     )

@@ -58,10 +58,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table (schema comes from parquet);
     ``events.ts`` is normalized to a canonical timestamp regardless of
     the fixture's physical encoding (see ``normalize_events_ts``)."""
+    # Dynamic SQL confs — set here (not only in our session factory)
+    # so a driver-owned SparkSession gets them too. UTC session time
+    # is load-bearing: the NTZ→LTZ ts normalization below, every
+    # hour()/date_trunc() rendering, and the DuckDB oracle comparison
+    # all assume it; a JVM-default timezone would silently re-base
+    # event time. nanosAsLong is a no-op for non-NANOS encodings.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Dynamic SQL conf — set here (not only in our session factory)
-        # so the driver-owned SparkSession can read a nanos fixture too.
-        # No-op for non-NANOS encodings.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":

@@ -77,7 +77,23 @@ class NpzStreamReader(DataSourceStreamReader):
         return {"files": []}
 
     def latestOffset(self) -> dict:
-        return {"files": sorted(_glob.glob(self.path))}
+        """Only archives that open cleanly enter the offset: a
+        partially-copied file (the normal mid-copy state of a drop
+        directory) is deferred to a later trigger instead of being
+        committed into an offset range that would kill the query on
+        every replay. Producers should still write-temp-then-rename —
+        the header probe narrows the race, it cannot eliminate it."""
+        ready = []
+        for path in sorted(_glob.glob(self.path)):
+            try:
+                import numpy as np
+
+                with np.load(path) as npz:
+                    npz.files
+                ready.append(path)
+            except Exception:
+                continue  # not fully written yet — retry next trigger
+        return {"files": ready}
 
     def partitions(self, start: dict, end: dict):
         import numpy as np

@@ -63,15 +63,13 @@ _edges = st.lists(
 @given(_edges)
 def test_star_contraction_equals_propagation_random_graphs(spark, edges):
     """The two distributed CC engines agree on ARBITRARY generated
-    graphs (self-loops, duplicates, multi-component, chains), not just
-    the fixture's LSH cliques. Both contract: (doc_id, min reachable)
-    for every node on a non-self-loop edge."""
+    graphs — self-loops included (a doc paired only with itself is a
+    singleton component in BOTH engines), duplicates, multi-component,
+    chains — not just the fixture's LSH cliques. Both contract:
+    (doc_id, min reachable) for every doc appearing in ≥1 pair."""
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import dedup as dd
 
-    real = [(a, b) for a, b in edges if a != b]
-    if not real:
-        return
-    pairs = spark.createDataFrame(real, "doc_a long, doc_b long")
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
     prop = sorted(tuple(r) for r in dd.connected_components(pairs, max_iter=40).collect())
     star = sorted(tuple(r) for r in dd.connected_components_star(pairs, max_iter=40).collect())
     assert prop == star
