@@ -103,7 +103,9 @@ def q_npz_legacy_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.npz import read_npz
 
     os.makedirs(SCRATCH, exist_ok=True)
-    path = os.path.join(SCRATCH, "legacy_features.npz")
+    # SF-tagged path: the archive content depends on sf_dir, and two
+    # concurrent harnesses at different SFs must not clobber each other
+    path = os.path.join(SCRATCH, f"legacy_features_{os.path.basename(sf_dir.rstrip(chr(47)))}.npz")
     pdf = shower_frame(spark, sf_dir).select("event_id", "lg_e", "ze").orderBy("event_id").toPandas()
     np.savez(path, features=pdf[["lg_e", "ze"]].to_numpy(dtype="float64"))
 
@@ -212,7 +214,7 @@ def q_npz_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.npz_datasource import NpzDataSource
 
     os.makedirs(SCRATCH, exist_ok=True)
-    path = os.path.join(SCRATCH, "ds_features.npz")
+    path = os.path.join(SCRATCH, f"ds_features_{os.path.basename(sf_dir.rstrip(chr(47)))}.npz")
     pdf = shower_frame(spark, sf_dir).select("event_id", "lg_e", "ze").orderBy("event_id").toPandas()
     np.savez(path, features=pdf[["lg_e", "ze"]].to_numpy(dtype="float64"))
 
