@@ -930,7 +930,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="§2.7,M5:dedup",
     oracle="""
 WITH blocked AS (
-  SELECT c_custkey, c_name, c_nationkey, substr(c_name, 10, 5) AS blk
+  SELECT c_custkey, c_name, c_nationkey, substr(c_name, 10, 7) AS blk
   FROM customer
 )
 SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
@@ -947,10 +947,15 @@ def q_fuzzy_blocked_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix): candidates materialize only inside a block, the same
     bounded-join property LSH banding gives dedup, and the expensive
     levenshtein runs post-equi-join on O(block²) pairs instead of
-    O(n²). At 100 TB the blocking key doubles as the shuffle key, so
-    each executor resolves its own blocks."""
+    O(n²). The block is the first 7 of the name's 9 digits — matches
+    differ only in the last two digits (the typo semantics the
+    distance bound encodes), and blocks stay small at ANY key range;
+    a coarser prefix degenerated into two fat blocks at sf0.1 and
+    single-tasked 4.5M levenshtein pairs. At 100 TB the blocking key
+    doubles as the shuffle key, so each executor resolves its own
+    blocks."""
     c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey", F.substring("c_name", 10, 5).alias("blk")
+        "c_custkey", "c_name", "c_nationkey", F.substring("c_name", 10, 7).alias("blk")
     )
     a = c.alias("a")
     b = c.alias("b")
