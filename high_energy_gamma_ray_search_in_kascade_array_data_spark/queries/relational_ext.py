@@ -680,6 +680,94 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "benford_first_digit",
+    survey_ref="§2.6,§2.4",
+    oracle="""
+SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS frac
+FROM orders WHERE o_totalprice >= 1
+GROUP BY 1
+""",
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit distribution of order totals — the
+    fraud/data-quality screen auditors run on monetary columns
+    (fabricated values flunk the log-uniform leading-digit law). One
+    digit-cardinality-bounded aggregate plus a 9-row window for the
+    fractions; synthetic fixture prices are uniform, so the OUTPUT here
+    deliberately shows a non-Benford shape — the operator is the
+    screen, the fixture is the negative control."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(Window.partitionBy()), 6).alias("frac"),
+    )
+
+
+@register(
+    "profile_column_stats",
+    survey_ref="§2.6,§2.4",
+    oracle="""
+SELECT 'o_orderkey' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+FROM orders
+""",
+)
+def q_profile_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profiling (row count, null count, exact
+    distinct count per column) — the first pass every data-quality
+    framework runs over a new table. All four column profiles compute
+    in ONE aggregation pass over one scan (count/count(col)/
+    count_distinct are all partial-aggregable), then pivot to the
+    long per-column report shape; the oracle's four UNION branches are
+    the semantic spec, not the plan."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_orderpriority", "o_custkey"]
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    # one scan total: the 1-row aggregate is checkpointed so the four
+    # per-column projections below don't each re-run it
+    one = o.agg(*aggs).localCheckpoint(eager=True)
+    rows = [
+        one.select(
+            F.lit(c).alias("col"),
+            F.col("_n").cast("bigint").alias("n"),
+            (F.col("_n") - F.col(f"_nn_{c}")).cast("bigint").alias("n_null"),
+            F.col(f"_nd_{c}").cast("bigint").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
     "timezone_hour_histogram",
     survey_ref="§2.4,A5",
     oracle="""
