@@ -371,7 +371,10 @@ def q_ivf_partitioned_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("vec_id", "embedding", "cell")
     )
 
-    index_path = os.path.join(SCRATCH, "ivf_index")
+    # SF-tagged: index content depends on sf_dir, and concurrent
+    # harnesses at different SFs must not rebuild each other's index
+    # mid-read (same class as the NPZ scratch collision)
+    index_path = os.path.join(SCRATCH, f"ivf_index_{os.path.basename(sf_dir.rstrip('/'))}")
     shutil.rmtree(index_path, ignore_errors=True)
     assigned.write.partitionBy("cell").parquet(index_path)
 

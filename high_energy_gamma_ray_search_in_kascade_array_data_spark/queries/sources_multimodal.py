@@ -78,7 +78,7 @@ def q_partitioned_split_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = shower_frame(spark, sf_dir).withColumn(
         "split", F.when(rnd_col() < 0.8, F.lit("train")).otherwise(F.lit("test"))
     )
-    path = os.path.join(SCRATCH, "split_sink")
+    path = os.path.join(SCRATCH, f"split_sink_{os.path.basename(sf_dir.rstrip(chr(47)))}")
     sink.write_partitioned(df.select("event_id", "label", "split"), path, ["split"])
     back = spark.read.parquet(path)
     return back.groupBy("split", "label").agg(F.count(F.lit(1)).alias("n"))
@@ -182,7 +182,7 @@ def q_orc_roundtrip_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
 
     ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    path = os.path.join(SCRATCH, "events_orc")
+    path = os.path.join(SCRATCH, f"events_orc_{os.path.basename(sf_dir.rstrip(chr(47)))}")
     shutil.rmtree(path, ignore_errors=True)
     ev.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)

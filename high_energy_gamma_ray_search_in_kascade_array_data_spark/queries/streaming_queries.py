@@ -243,8 +243,9 @@ def q_stream_foreach_batch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.sources_multimodal import SCRATCH
 
-    sink_path = os.path.join(SCRATCH, "feb_sink")
-    ckpt_path = os.path.join(SCRATCH, "feb_ckpt")
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    sink_path = os.path.join(SCRATCH, f"feb_sink_{sf_tag}")
+    ckpt_path = os.path.join(SCRATCH, f"feb_ckpt_{sf_tag}")
     for p in (sink_path, ckpt_path):
         shutil.rmtree(p, ignore_errors=True)
     ev = core.read_events_stream(spark, sf_dir)
