@@ -680,6 +680,84 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "weekly_active_growth",
+    survey_ref="§2.6,§2.8",
+    oracle="""
+WITH weekly AS (
+  SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+  FROM events GROUP BY 1
+)
+SELECT week, wau,
+       CAST(LAG(wau) OVER (ORDER BY week) AS BIGINT) AS prev_wau,
+       ROUND((wau - LAG(wau) OVER (ORDER BY week)) * 1.0
+             / LAG(wau) OVER (ORDER BY week), 6) AS wow_growth
+FROM weekly
+""",
+)
+def q_weekly_active_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week active-user growth: the two-level reporting
+    shape — event-scale distinct aggregation down to a handful of
+    weekly rows, then a lag window over the AGGREGATED series (the
+    window's global sort touches only week-count rows, never events).
+    All-integer WAU arithmetic, so the growth ratio is deterministic
+    cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).agg(F.count_distinct(F.col("user_id")).alias("wau"))
+    w = Window.orderBy("week")
+    prev = F.lag("wau").over(w)
+    return weekly.select(
+        "week",
+        F.col("wau").cast("bigint").alias("wau"),
+        prev.cast("bigint").alias("prev_wau"),
+        F.round((F.col("wau") - prev) * 1.0 / prev, 6).alias("wow_growth"),
+    )
+
+
+@register(
+    "transition_dwell_time",
+    survey_ref="§2.8,§2.6",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+         CAST(FLOOR(epoch(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+           - CAST(FLOOR(epoch(ts)) AS BIGINT) AS dwell_s
+  FROM events
+)
+SELECT event_type, next_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(dwell_s) AS BIGINT) AS total_dwell_s,
+       ROUND(AVG(dwell_s), 6) AS avg_dwell_s
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+""",
+)
+def q_transition_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dwell time per event-type transition (how long users sit
+    between a view and the next click, etc.) — the timing companion of
+    the transition matrix. Gaps are exact integer second differences
+    (FLOOR'd epochs in both engines, the cross-engine rounding rule
+    from SCALE.md), so sums are order-independent and the average is
+    one exact division."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("long")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.lead(epoch).over(w) - epoch).alias("dwell_s"),
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dwell_s").cast("bigint").alias("total_dwell_s"),
+        F.round(F.avg("dwell_s"), 6).alias("avg_dwell_s"),
+    )
+
+
+@register(
     "benford_first_digit",
     survey_ref="§2.6,§2.4",
     oracle="""
