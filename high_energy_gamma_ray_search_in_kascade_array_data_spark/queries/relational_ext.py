@@ -680,6 +680,84 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "null_safe_join",
+    survey_ref="§2.7,§2.4",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey AS ka, NULLIF(o_orderpriority, '1-URGENT') AS pri
+  FROM orders WHERE o_orderkey % 40 = 0
+),
+b AS (
+  SELECT o_orderkey AS kb, NULLIF(o_orderpriority, '1-URGENT') AS pri
+  FROM orders WHERE o_orderkey % 24 = 0
+)
+SELECT COALESCE(a.pri, '__null__') AS pri,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM a JOIN b ON a.pri IS NOT DISTINCT FROM b.pri AND a.ka < b.kb
+GROUP BY 1
+""",
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equi-join semantics (<=> / IS NOT DISTINCT FROM): the
+    join corner where plain equality silently drops every NULL-keyed
+    row — here NULLs (urgent orders nulled via NULLIF) must MATCH each
+    other like any other key. eqNullSafe keys still hash-partition
+    (NULL is one partition key), so this stays a real equi-join, not a
+    nested loop; pair counts per key group are the checked surface."""
+    o = load_table(spark, sf_dir, "orders")
+    pri = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    a = o.filter(F.col("o_orderkey") % 40 == 0).select(
+        F.col("o_orderkey").alias("ka"), pri.alias("pri_a")
+    )
+    b = o.filter(F.col("o_orderkey") % 24 == 0).select(
+        F.col("o_orderkey").alias("kb"), pri.alias("pri_b")
+    )
+    joined = a.join(b, a["pri_a"].eqNullSafe(b["pri_b"]) & (a["ka"] < b["kb"]))
+    return joined.groupBy(
+        F.coalesce(F.col("pri_a"), F.lit("__null__")).alias("pri")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "window_rolling_corr",
+    survey_ref="§2.8,§2.6",
+    oracle="""
+WITH sub AS (
+  SELECT event_id, user_id, value,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS t_s, ts
+  FROM events WHERE user_id % 25 = 0
+)
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+       ROUND(CORR(value, t_s) OVER w, 3) AS corr_vt
+FROM sub
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 30 PRECEDING AND CURRENT ROW)
+""",
+)
+def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling value-vs-time correlation per user (trailing 31 events)
+    — the drift detector of a monitoring pipeline: sustained |corr|
+    near 1 means the metric is trending, not noisy. Both engines
+    evaluate the SAME deterministically-ordered frame (ts + event_id
+    tiebreak); the correlation rounds to 3 places as a pure output
+    column (never filtered on), so co-moment float dust cannot flip
+    row membership."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-30, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_win"),
+        F.round(F.corr(F.col("value"), F.col("ts").cast("long")).over(w), 3).alias("corr_vt"),
+    )
+
+
+@register(
     "weekly_active_growth",
     survey_ref="§2.6,§2.8",
     oracle="""
