@@ -51,10 +51,27 @@ def save_model_artifact(path: str, state: dict) -> None:
     ``np.savez(path, **{k: v.numpy() for k, v in model.state_dict().items()})``
     and the reverse load feeds ``model.load_state_dict`` via
     ``torch.from_numpy``. The engine's inference seam consumes the
-    arrays directly, so the SAME artifact file serves both runtimes."""
+    arrays directly, so the SAME artifact file serves both runtimes.
+
+    The write is ATOMIC (temp file + ``os.replace``): concurrent
+    harnesses sharing the scratch dir must never let an executor's
+    lazy load race a half-written zip."""
+    import os
+    import tempfile
+
     import numpy as np
 
-    np.savez(path, **state)
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path) or ".", suffix=".npz.tmp"
+    )
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            np.savez(fh, **state)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
 
 
 def load_model_artifact(path: str) -> dict:
@@ -101,17 +118,32 @@ def make_mlp_scorer_udf(artifact_path: str):
 
     @F.pandas_udf(DoubleType())
     def score(features: pd.Series) -> pd.Series:
-        state = _artifact_cache.get(artifact_path)
-        if state is None:
-            state = _artifact_cache[artifact_path] = load_model_artifact(artifact_path)
+        state = load_artifact_cached(artifact_path)
         mat = np.stack(features.to_numpy())
         return pd.Series(_forward(state, mat))
 
     return score
 
 
-# executor-side once-per-worker artifact cache (keyed by path)
+# executor-side once-per-worker artifact cache, keyed by
+# (path, mtime_ns, size) so artifact rewrites invalidate
 _artifact_cache: dict = {}
+
+
+def load_artifact_cached(path: str) -> dict:
+    """Executor-side once-per-worker artifact load. The cache key
+    includes (mtime_ns, size): a rewritten checkpoint at the same path
+    must not keep scoring with stale cached weights on long-lived
+    executors."""
+    import os
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    state = _artifact_cache.get(key)
+    if state is None:
+        _artifact_cache.clear()  # drop stale versions of any path
+        state = _artifact_cache[key] = load_model_artifact(path)
+    return state
 
 
 def mlp_score_sql(state: dict, feature_exprs: Sequence[str]) -> str:

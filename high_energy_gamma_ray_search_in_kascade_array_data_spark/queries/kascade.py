@@ -251,8 +251,8 @@ def q_rotate_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH {SHOWER_CTE}
 SELECT event_id, k,
        ((az + 90.0 * k) % 360 + 360) % 360 AS az_rot,
-       CASE WHEN k IN (1, 2) THEN -core_x ELSE core_x END AS core_x_rot,
-       CASE WHEN k IN (2, 3) THEN -core_y ELSE core_y END AS core_y_rot
+       CASE WHEN k IN (1, 2) THEN -core_x ELSE core_x END + 0.0 AS core_x_rot,
+       CASE WHEN k IN (2, 3) THEN -core_y ELSE core_y END + 0.0 AS core_y_rot
 FROM shower, (SELECT UNNEST([0, 1, 2, 3]) AS k)
 """,
 )
@@ -271,8 +271,11 @@ def q_rotate_azimuth_core(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_id",
                 F.lit(k).cast("int").alias("k"),
                 az_rot.alias("az_rot"),
-                cx.alias("core_x_rot"),
-                cy.alias("core_y_rot"),
+                # + 0.0: negating a 0.0 core coordinate yields -0.0;
+                # deterministic per-row on both engines, but normalized
+                # to keep the corpus free of signed zeros entirely
+                (cx + F.lit(0.0)).alias("core_x_rot"),
+                (cy + F.lit(0.0)).alias("core_y_rot"),
             )
         )
     out = parts[0]
@@ -693,8 +696,8 @@ s AS (
   FROM pts
 )
 SELECT CAST(cnt AS BIGINT) AS n_bins,
-       ROUND((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx), 6) AS spectral_slope,
-       ROUND((sy - ((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)) * sx) / cnt, 6)
+       ROUND((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx), 6) + 0.0 AS spectral_slope,
+       ROUND((sy - ((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)) * sx) / cnt, 6) + 0.0
          AS intercept
 FROM s
 """,
@@ -725,10 +728,16 @@ def q_spectral_index_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
     )
+    # "+ 0.0" on both engines normalizes IEEE -0.0 to +0.0: the sign of a
+    # rounded near-zero float sum is summation-order dependent, so without
+    # this the byte-level cross-engine hash is flaky (flat spectrum -> OLS
+    # slope ~0 rounds to -0.0 in DuckDB but +0.0 in Spark at sf0.1).
     return s.select(
         F.col("cnt").cast("bigint").alias("n_bins"),
-        F.round(slope, 6).alias("spectral_slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("cnt"), 6).alias("intercept"),
+        (F.round(slope, 6) + F.lit(0.0)).alias("spectral_slope"),
+        (F.round((F.col("sy") - slope * F.col("sx")) / F.col("cnt"), 6) + F.lit(0.0)).alias(
+            "intercept"
+        ),
     )
 
 

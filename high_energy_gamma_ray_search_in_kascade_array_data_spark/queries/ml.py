@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml import inference, pipeline
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml import cnn, inference, pipeline
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.common import SHOWER_CTE, shower_frame
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
 
@@ -143,6 +143,50 @@ def q_mlp_artifact_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = F.array(*[F.expr(e).cast("double") for e in _MLP_INPUT_EXPRS])
     score = inference.make_mlp_scorer_udf(artifact)
     return df.select("event_id", F.round(score(feats), 6).alias("score"))
+
+
+@register(
+    "cnn_artifact_inference",
+    survey_ref="M1,S5,M2,§2.12",
+    oracle=cnn.cnn_oracle_sql(),
+)
+def q_cnn_artifact_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL CNN_B inference — conv stack included — from a persisted
+    ``.npz`` state-dict artifact (M1+S5): three Conv2d(k=3)→ReLU→BN
+    blocks over the 2-channel 16×16 detector image, flatten, concat
+    with the 11 scalar features, fc1→ReLU→fc2→ReLU→fc3, two-class
+    margin through the sigmoid (``cnn_model.py:11-43``,
+    ``tools.py:15-31``).  The forward runs as vectorized numpy inside
+    an Arrow ``pandas_udf``; dyadic quantization makes every layer
+    bit-exact, so the DuckDB oracle recomputes the SAME network
+    relationally (conv as join-aggregate) and the logit column is
+    hash-checked raw, no rounding.  See ``ml/cnn.py`` for the
+    exactness audit."""
+    import os
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.sources_multimodal import SCRATCH
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    artifact = os.path.join(SCRATCH, "cnn_b.npz")
+    inference.save_model_artifact(artifact, cnn.cnn_state())
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % cnn.EVENT_MOD == 0
+    )
+    eid = F.col("event_id")
+    pos = F.sequence(F.lit(0), F.lit(cnn.GRID * cnn.GRID - 1))
+    feats = F.transform(
+        F.sequence(F.lit(0), F.lit(cnn.N_FEATS - 1)),
+        lambda k: ((eid * (k * 2 + 3)) % 257 - 128) / F.lit(256.0),
+    )
+    edep = F.transform(pos, lambda m: ((eid * (m + 7)) % 97) / F.lit(16.0))
+    muons = F.transform(pos, lambda m: ((eid * (m + 13)) % 89) / F.lit(16.0))
+    score = cnn.make_cnn_scorer_udf(artifact)
+    return ev.select("event_id", score(feats, edep, muons).alias("r")).select(
+        "event_id",
+        F.col("r.logit").alias("logit"),
+        F.round(F.col("r.sigmoid"), 6).alias("score"),
+    )
 
 
 @register(

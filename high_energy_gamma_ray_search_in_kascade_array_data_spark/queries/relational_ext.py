@@ -729,7 +729,7 @@ WITH sub AS (
 )
 SELECT event_id, user_id,
        CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
-       ROUND(CORR(value, t_s) OVER w, 3) AS corr_vt
+       ROUND(CORR(value, t_s) OVER w, 3) + 0.0 AS corr_vt
 FROM sub
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 30 PRECEDING AND CURRENT ROW)
@@ -753,7 +753,12 @@ def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_win"),
-        F.round(F.corr(F.col("value"), F.col("ts").cast("long")).over(w), 3).alias("corr_vt"),
+        # + 0.0 normalizes IEEE -0.0: a rounded near-zero correlation's sign
+        # is co-moment summation-order dependent and engines disagree on
+        # ROUND's sign preservation (DuckDB keeps -0.0, Spark does not).
+        (F.round(F.corr(F.col("value"), F.col("ts").cast("long")).over(w), 3) + F.lit(0.0)).alias(
+            "corr_vt"
+        ),
     )
 
 
@@ -769,7 +774,7 @@ WITH weekly AS (
 SELECT week, wau,
        CAST(LAG(wau) OVER (ORDER BY week) AS BIGINT) AS prev_wau,
        ROUND((wau - LAG(wau) OVER (ORDER BY week)) * 1.0
-             / LAG(wau) OVER (ORDER BY week), 6) AS wow_growth
+             / LAG(wau) OVER (ORDER BY week), 6) + 0.0 AS wow_growth
 FROM weekly
 """,
 )
@@ -790,7 +795,7 @@ def q_weekly_active_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week",
         F.col("wau").cast("bigint").alias("wau"),
         prev.cast("bigint").alias("prev_wau"),
-        F.round((F.col("wau") - prev) * 1.0 / prev, 6).alias("wow_growth"),
+        (F.round((F.col("wau") - prev) * 1.0 / prev, 6) + F.lit(0.0)).alias("wow_growth"),
     )
 
 
@@ -1329,8 +1334,9 @@ WITH s AS (
 SELECT l_returnflag, n,
        ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
              / (SQRT(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) AS corr_qty_price,
-       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) / 10000.0, 4)
+                * SQRT(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6) + 0.0
+         AS corr_qty_price,
+       ROUND((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n) / (n - 1) / 10000.0, 4) + 0.0
          AS covar_samp_qty_price
 FROM s
 """,
@@ -1368,8 +1374,10 @@ def q_stat_corr_covar_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n",
-        F.round(corr, 6).alias("corr_qty_price"),
-        F.round(covar, 4).alias("covar_samp_qty_price"),
+        # + 0.0 folds a rounded -0.0 to +0.0 (engines disagree on ROUND's
+        # sign preservation for near-zero correlations/covariances).
+        (F.round(corr, 6) + F.lit(0.0)).alias("corr_qty_price"),
+        (F.round(covar, 4) + F.lit(0.0)).alias("covar_samp_qty_price"),
     )
 
 

@@ -42,6 +42,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream==batch equality.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # normalize_events_ts's timestamp_ntz -> timestamp cast is only
+    # lossless under a UTC session zone; pin it here exactly as
+    # catalog.load_table does, so a driver-owned session that streams
+    # WITHOUT first touching the batch catalog cannot re-base event time.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # The streaming file source wants a directory; the fixture dir holds
     # every table, so glob-filter down to the events file.
     file_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema

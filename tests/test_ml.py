@@ -109,3 +109,142 @@ def test_class_weights_sum_structure(spark, sf_dir):
     }
     assert abs(sums[0] - 1.0) < 1e-6
     assert abs(sums[1] - 80.0) < 1e-6
+
+
+# ------------------------------------------------------- full CNN_B (M1)
+def _cnn_forward_slow(state, feats, grids):
+    """Independent pure-Python triple-loop CNN_B forward — the golden
+    reference for the vectorized ``cnn.cnn_forward``. Mirrors
+    ``/root/reference/cnn_model.py:31-43`` layer by layer with explicit
+    loops (no einsum, no stride tricks), so a vectorization bug in the
+    fast path cannot hide."""
+    import math
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml.cnn import CONVS, FCS
+
+    out = []
+    for bi in range(grids.shape[0]):
+        x = [[[float(grids[bi, c, y, xx]) for xx in range(16)] for y in range(16)]
+             for c in range(grids.shape[1])]
+        size = 16
+        for li, n_out, n_in in CONVS:
+            w = state[f"conv{li}.weight"]
+            b = state[f"conv{li}.bias"]
+            s = state[f"bn{li}.scale"]
+            t = state[f"bn{li}.shift"]
+            size -= 2
+            nxt = []
+            for o in range(n_out):
+                plane = []
+                for y in range(size):
+                    row = []
+                    for xx in range(size):
+                        acc = float(b[o])
+                        for i in range(n_in):
+                            for r in range(3):
+                                for c in range(3):
+                                    acc += float(w[o, i, r, c]) * x[i][y + r][xx + c]
+                        v = float(s[o]) * max(acc, 0.0) + float(t[o])
+                        row.append(math.floor(v * 1024.0) / 1024.0)
+                    plane.append(row)
+                nxt.append(plane)
+            x = nxt
+        flat = [x[c][y][xx] for c in range(len(x)) for y in range(size) for xx in range(size)]
+        a = [float(v) for v in feats[bi]] + flat
+        for lf, n_out, n_in in FCS:
+            w = state[f"fc{lf}.weight"]
+            b = state[f"fc{lf}.bias"]
+            z = [float(b[u]) + sum(float(w[u, j]) * a[j] for j in range(n_in)) for u in range(n_out)]
+            if lf < 3:
+                a = [math.floor(max(v, 0.0) * 1024.0) / 1024.0 for v in z]
+            else:
+                a = z
+        out.append(a[0] - a[1])
+    return out
+
+
+def test_cnn_forward_matches_slow_reference():
+    """Vectorized einsum forward == independent triple-loop forward,
+    BIT-exactly, on the corpus input formulas — validates conv padding,
+    flatten order (torch .view C-order), features-first concat and the
+    quantization steps all at once. Exactness (ml/cnn.py docstring)
+    means zero tolerance is the correct comparison."""
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml import cnn
+
+    state = cnn.cnn_state()
+    eids = np.array([0, 199, 398, 597])
+    m = np.arange(256)
+    k = np.arange(cnn.N_FEATS)
+    feats = np.stack([((e * (2 * k + 3)) % 257 - 128) / 256.0 for e in eids])
+    edep = np.stack([((e * (m + 7)) % 97) / 16.0 for e in eids]).reshape(-1, 16, 16)
+    muons = np.stack([((e * (m + 13)) % 89) / 16.0 for e in eids]).reshape(-1, 16, 16)
+    grids = np.stack([edep, muons], axis=1)
+    fast = cnn.cnn_forward(state, feats, grids)
+    slow = _cnn_forward_slow(state, feats, grids)
+    assert fast.tolist() == slow  # bit-exact, no tolerance
+
+    # batch-order invariance: exact arithmetic means a permuted batch
+    # returns exactly permuted results (any partitioning is safe)
+    perm = np.array([2, 0, 3, 1])
+    fast_perm = cnn.cnn_forward(state, feats[perm], grids[perm])
+    assert fast_perm.tolist() == [fast[i] for i in perm]
+
+
+def test_cnn_tiny_hand_computed():
+    """One conv block on a hand-computable input: a single-1 impulse
+    image through a known 3x3 kernel must place the kernel values at
+    the expected output offsets (correlation, NOT flipped convolution —
+    torch Conv2d semantics), then BN-affine and quantize."""
+    import math
+
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml import cnn
+
+    state = cnn.cnn_state()
+    w = state["conv1.weight"]
+    b = state["conv1.bias"]
+    s = state["bn1.scale"]
+    t = state["bn1.shift"]
+    grids = np.zeros((1, 2, 16, 16))
+    grids[0, 0, 5, 7] = 1.0  # impulse in channel 0 at (y=5, x=7)
+    feats = np.zeros((1, cnn.N_FEATS))
+
+    win = np.lib.stride_tricks.sliding_window_view(grids, (3, 3), axis=(2, 3))
+    z = np.einsum("bcyxrs,ocrs->boyx", win, w) + b[None, :, None, None]
+    # impulse at (5,7) contributes w[o,0,r,c] to output (5-r, 7-c)
+    for o in range(w.shape[0]):
+        for r in range(3):
+            for c in range(3):
+                expected = w[o, 0, r, c] + b[o]
+                assert z[0, o, 5 - r, 7 - c] == expected
+        # away from the impulse support: bias only
+        assert z[0, o, 0, 0] == b[o]
+        # full block output at one position
+        v = s[o] * max(z[0, o, 5, 7], 0.0) + t[o]
+        assert math.floor(v * 1024.0) / 1024.0 == np.floor(v * 1024.0) / 1024.0
+
+
+def test_cnn_artifact_executor_roundtrip(spark, sf_dir):
+    """The registered query's persisted-artifact path: driver-side
+    forward (state in memory) == executor-side forward (state reloaded
+    from the .npz inside the pandas_udf), bit-exactly."""
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml import cnn
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
+
+    q = corpus()["cnn_artifact_inference"]
+    pdf = q.fn(spark, sf_dir).toPandas().sort_values("event_id")
+    assert len(pdf) > 0
+    state = cnn.cnn_state()
+    eids = pdf["event_id"].to_numpy()
+    m = np.arange(256)
+    k = np.arange(cnn.N_FEATS)
+    feats = np.stack([((e * (2 * k + 3)) % 257 - 128) / 256.0 for e in eids])
+    edep = np.stack([((e * (m + 7)) % 97) / 16.0 for e in eids]).reshape(-1, 16, 16)
+    muons = np.stack([((e * (m + 13)) % 89) / 16.0 for e in eids]).reshape(-1, 16, 16)
+    logit = cnn.cnn_forward(state, feats, np.stack([edep, muons], axis=1))
+    assert pdf["logit"].to_numpy().tolist() == logit.tolist()
