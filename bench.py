@@ -59,6 +59,7 @@ HEADLINE = [
     "multimodal_decode_features",
     "multimodal_resize",
     "pandas_udf_inference",
+    "cnn_artifact_inference",
     "stream_tumbling_counts",
     "stream_stream_join",
     "stream_survival_curve",

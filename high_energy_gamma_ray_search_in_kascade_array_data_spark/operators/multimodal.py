@@ -208,3 +208,50 @@ def decode_media_arrow(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInArrow(features, FEATURES_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("b0", LongType()),
+        StructField("b1", LongType()),
+        StructField("b2", LongType()),
+        StructField("b3", LongType()),
+    ]
+)
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    """Perceptual (average-hash) fingerprint per image: bit i is set
+    when pixel i exceeds the image's mean intensity; the 64 bits ship
+    as four 16-bit band values (b0..b3) — exactly the banded layout an
+    LSH near-dup join blocks on downstream.  Exact cross-engine: the
+    mean is an integer sum / 64.0 (dyadic), the comparison is
+    integer-vs-exact-dyadic, the band packing is integer.  A real
+    image pHash (DCT low-frequency signs after decode) drops into this
+    same kernel with schema and banding unchanged."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = (1 << np.arange(16, dtype="int64"))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mats = np.frombuffer(b"".join(pdf["payload"]), dtype="uint8").reshape(
+                len(pdf), PAYLOAD_BYTES
+            )
+            mu = mats.sum(axis=1) / 64.0  # exact: int sum / 2^6
+            bits = (mats > mu[:, None]).astype("int64")  # (n, 64)
+            bands = bits.reshape(len(pdf), 4, 16) @ weights  # (n, 4)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "b0": bands[:, 0],
+                    "b1": bands[:, 1],
+                    "b2": bands[:, 2],
+                    "b3": bands[:, 3],
+                }
+            )
+
+    return media.mapInPandas(kernel, PHASH_SCHEMA)

@@ -1,0 +1,412 @@
+"""Large-scale pipeline operators, round 4 additions: per-key bounded
+sampling, two-phase quantile bucketing, corpus drift detection,
+iterative graph propagation, perceptual-hash image dedup — the
+operations a 100 TB training-data build runs between ingest and
+training that the earlier corpus modules did not yet cover.
+
+Cross-engine determinism rules follow ``registry.py``: exact integer
+arithmetic wherever a value feeds a comparison, rational (not
+transcendental) scores, deterministic tie-breaks on every top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+# Per-row deterministic draw keyed by event_id — same family as
+# common.RND_SQL but a distinct odd multiplier so reservoir membership
+# does not correlate with the stratified split's draws.
+_RES_DRAW = "((event_id % 2147483648) * 2717597345 % 4294967296)"
+
+
+@register(
+    "reservoir_sample_per_key",
+    survey_ref="X2,§2.8",
+    oracle=f"""
+SELECT user_id, event_id, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY {_RES_DRAW}, event_id) AS rn
+  FROM events
+) t
+WHERE rn <= 5
+""",
+)
+def q_reservoir_sample_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded per-key sample (k=5 events per user) — THE primitive for
+    capping any key's contribution to a training corpus (per-domain
+    caps, per-user privacy budgets). Distributed form: a deterministic
+    integer draw gives every row a reproducible priority, one shuffle
+    on the key, and the per-key ``row_number`` keeps the top-5 — a
+    distributed reservoir whose membership is independent of
+    partitioning and resumable across runs (same draw → same sample),
+    unlike ``rand()``-based sampling. Map-side the window needs no
+    pre-aggregation; state per key is O(k)."""
+    ev = load_table(spark, sf_dir, "events")
+    draw = (F.col("event_id") % 2147483648) * 2717597345 % 4294967296
+    w = Window.partitionBy("user_id").orderBy(draw.asc(), F.col("event_id").asc())
+    return (
+        ev.select("user_id", "event_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("user_id", "event_id", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+@register(
+    "quantile_bucketize",
+    survey_ref="A1,A2,F7,§2.6",
+    oracle="""
+WITH ranked AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER () AS n
+  FROM orders
+),
+bounds AS (
+  SELECT list(o_totalprice ORDER BY o_totalprice) AS bs
+  FROM ranked
+  WHERE rn IN (CAST(CEIL(n * 1 / 10.0) AS BIGINT), CAST(CEIL(n * 2 / 10.0) AS BIGINT),
+               CAST(CEIL(n * 3 / 10.0) AS BIGINT), CAST(CEIL(n * 4 / 10.0) AS BIGINT),
+               CAST(CEIL(n * 5 / 10.0) AS BIGINT), CAST(CEIL(n * 6 / 10.0) AS BIGINT),
+               CAST(CEIL(n * 7 / 10.0) AS BIGINT), CAST(CEIL(n * 8 / 10.0) AS BIGINT),
+               CAST(CEIL(n * 9 / 10.0) AS BIGINT))
+),
+bucketed AS (
+  SELECT CAST(list_sum(list_transform(b.bs, x -> CASE WHEN o.o_totalprice > x THEN 1 ELSE 0 END))
+              AS INTEGER) AS bucket,
+         o.o_totalprice
+  FROM orders o, bounds b
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi
+FROM bucketed GROUP BY bucket
+""",
+)
+def q_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase quantile bucketing (the distributed form of MLlib's
+    ``QuantileDiscretizer`` / feature binning): FIT selects the nine
+    decile boundaries as *discrete order statistics* (rank ⌈n·k/10⌉ —
+    actual data values, no interpolation, so the boundaries are exact
+    and engine-independent), APPLY broadcasts the 9-value array and
+    buckets every row with a strict-greater count. Exact comparisons on
+    raw values mean bucket membership can never flip on float dust.
+    At 100 TB the fit phase swaps to an approx-quantile sketch
+    (``sketch_aggregates``) with the same broadcast-apply shape; the
+    window here touches each row once and the apply is map-side-only."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    wn = Window.orderBy("o_totalprice")
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number().over(wn).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    rn_in_deciles = F.expr(
+        "rn IN ("
+        + ", ".join(f"CAST(CEIL(n * {k} / 10.0) AS BIGINT)" for k in range(1, 10))
+        + ")"
+    )
+    bounds = ranked.filter(rn_in_deciles).agg(
+        F.sort_array(F.collect_list("o_totalprice")).alias("bs")
+    )
+    bucketed = o.crossJoin(F.broadcast(bounds)).select(
+        F.aggregate(
+            "bs",
+            F.lit(0),
+            lambda acc, x: acc + F.when(F.col("o_totalprice") > x, 1).otherwise(0),
+        )
+        .cast("int")
+        .alias("bucket"),
+        "o_totalprice",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+
+
+@register(
+    "token_drift_topk",
+    survey_ref="§2.6,§2.7,M5:text",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id % 2 AS half, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+  FROM toks GROUP BY tok
+),
+totals AS (
+  SELECT SUM(c_a) AS n_a, SUM(c_b) AS n_b FROM counts
+)
+SELECT tok, c_a, c_b,
+       ROUND(c_a * t.n_b * 1.0 / (c_b * t.n_a), 6) AS drift_ratio
+FROM counts, totals t
+WHERE c_a >= 5 AND c_b >= 5
+ORDER BY drift_ratio DESC, tok
+LIMIT 25
+""",
+)
+def q_token_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus slices — the check a
+    data pipeline runs when a new crawl snapshot lands (did the token
+    mix shift?). One explode + one token-keyed aggregate computes both
+    slices' counts in a single pass (conditional sums — no self-join),
+    a broadcast 1-row total normalizes, and the drift score is a pure
+    integer RATIO (c_a·n_b)/(c_b·n_a) — rational arithmetic, not a log,
+    so both engines agree bit-exactly (same class as
+    ``bigram_association_lift``). Top-k with token tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(F.split(F.col("text"), " ")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c_b"),
+    )
+    totals = counts.agg(F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b"))
+    return (
+        counts.filter((F.col("c_a") >= 5) & (F.col("c_b") >= 5))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "tok",
+            "c_a",
+            "c_b",
+            F.round(F.col("c_a") * F.col("n_b") * 1.0 / (F.col("c_b") * F.col("n_a")), 6).alias(
+                "drift_ratio"
+            ),
+        )
+        .orderBy(F.desc("drift_ratio"), F.asc("tok"))
+        .limit(25)
+    )
+
+
+@register(
+    "image_phash_neardup",
+    survey_ref="M5:dedup,M5:multimodal,§2.7",
+    oracle="""
+WITH px AS (
+  SELECT e.event_id AS media_id, t.i,
+         (e.event_id * 7 + t.i * 13) % 256 AS b
+  FROM events e, range(64) AS t(i)
+),
+mean AS (
+  SELECT media_id, SUM(b) / 64.0 AS mu FROM px GROUP BY media_id
+),
+bits AS (
+  SELECT p.media_id, p.i // 16 AS band,
+         CAST(SUM(CASE WHEN p.b > m.mu THEN 1 << (p.i % 16) ELSE 0 END) AS BIGINT) AS bv
+  FROM px p JOIN mean m ON m.media_id = p.media_id
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT media_id,
+         MAX(CASE WHEN band = 0 THEN bv END) AS b0,
+         MAX(CASE WHEN band = 1 THEN bv END) AS b1,
+         MAX(CASE WHEN band = 2 THEN bv END) AS b2,
+         MAX(CASE WHEN band = 3 THEN bv END) AS b3
+  FROM bits GROUP BY media_id
+),
+groups AS (
+  SELECT b0, b1, b2, b3, CAST(COUNT(*) AS BIGINT) AS n FROM fp GROUP BY 1, 2, 3, 4
+),
+bandkv AS (
+  SELECT b0, b1, b2, b3, n, 0 AS band, b0 AS key FROM groups
+  UNION ALL SELECT b0, b1, b2, b3, n, 1, b1 FROM groups
+  UNION ALL SELECT b0, b1, b2, b3, n, 2, b2 FROM groups
+  UNION ALL SELECT b0, b1, b2, b3, n, 3, b3 FROM groups
+),
+cand AS (
+  SELECT DISTINCT
+         a.b0 AS a0, a.b1 AS a1, a.b2 AS a2, a.b3 AS a3, a.n AS n_a,
+         b.b0 AS c0, b.b1 AS c1, b.b2 AS c2, b.b3 AS c3, b.n AS n_b
+  FROM bandkv a JOIN bandkv b ON a.band = b.band AND a.key = b.key
+  WHERE (a.b0, a.b1, a.b2, a.b3) < (b.b0, b.b1, b.b2, b.b3)
+)
+SELECT printf('%04x%04x%04x%04x', a0, a1, a2, a3) AS fp_a,
+       printf('%04x%04x%04x%04x', c0, c1, c2, c3) AS fp_b,
+       n_a, n_b,
+       CAST(bit_count(CAST(xor(a0, c0) AS BIGINT)) + bit_count(CAST(xor(a1, c1) AS BIGINT))
+            + bit_count(CAST(xor(a2, c2) AS BIGINT)) + bit_count(CAST(xor(a3, c3) AS BIGINT))
+            AS INTEGER) AS hamming
+FROM cand
+WHERE bit_count(CAST(xor(a0, c0) AS BIGINT)) + bit_count(CAST(xor(a1, c1) AS BIGINT))
+      + bit_count(CAST(xor(a2, c2) AS BIGINT)) + bit_count(CAST(xor(a3, c3) AS BIGINT)) <= 4
+""",
+)
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash — the
+    multimodal sibling of MinHash text dedup and a core training-data
+    op (filtering visually-identical crawl images). Pipeline: decode
+    kernel emits a 64-bit average-hash as four 16-bit bands
+    (``operators/multimodal.py::phash_media``), images collapse to
+    DISTINCT fingerprints with group sizes (exact dedup for free),
+    then an LSH-banded self-join (any equal band → candidate; a pair
+    within Hamming ≤ 4 of 64 bits must share ≥1 exact band of 16 —
+    pigeonhole, so banding loses nothing at this radius) verifies with
+    bit_count(xor). All-pairs never happens: cost is bounded by band
+    collisions among DISTINCT fingerprints (≤ 2¹⁶ per band regardless
+    of corpus size), the genuinely 100 TB-safe shape."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import multimodal
+
+    media = multimodal.synth_media(spark, sf_dir)
+    fp = multimodal.phash_media(media)
+    # materialize once: the 4-band union and both join sides would
+    # otherwise re-run the decode kernel 8×; distinct fingerprints are
+    # ≤ 2^16 rows, so the checkpoint is tiny
+    groups = (
+        fp.groupBy("b0", "b1", "b2", "b3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    bandkv = None
+    for j in range(4):
+        part = groups.select(
+            "b0", "b1", "b2", "b3", "n", F.lit(j).alias("band"), F.col(f"b{j}").alias("key")
+        )
+        bandkv = part if bandkv is None else bandkv.unionByName(part)
+    a = bandkv.select(
+        F.col("b0").alias("a0"), F.col("b1").alias("a1"), F.col("b2").alias("a2"),
+        F.col("b3").alias("a3"), F.col("n").alias("n_a"), "band", "key",
+    )
+    b = bandkv.select(
+        F.col("b0").alias("c0"), F.col("b1").alias("c1"), F.col("b2").alias("c2"),
+        F.col("b3").alias("c3"), F.col("n").alias("n_b"), "band", "key",
+    )
+    cand = (
+        a.join(b, ["band", "key"])
+        .filter(
+            F.struct("a0", "a1", "a2", "a3") < F.struct("c0", "c1", "c2", "c3")
+        )
+        .drop("band", "key")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("c0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("c1")))
+        + F.bit_count(F.col("a2").bitwiseXOR(F.col("c2")))
+        + F.bit_count(F.col("a3").bitwiseXOR(F.col("c3")))
+    )
+    hexfp = lambda p: F.concat(  # noqa: E731
+        *[F.lpad(F.lower(F.hex(F.col(f"{p}{j}"))), 4, "0") for j in range(4)]
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 4)
+        .select(
+            hexfp("a").alias("fp_a"),
+            hexfp("c").alias("fp_b"),
+            "n_a",
+            "n_b",
+            "hamming",
+        )
+    )
+
+
+# ---------------------------------------------------------- pagerank
+_PR_NODES = 500
+_PR_ITERS = 3
+_PR_INIT = 1_000_000
+_PR_BASE = 150_000  # teleport: 0.15 of initial mass, fixed integer
+
+
+def _pr_edges_cte() -> str:
+    return f"""edges AS (
+  SELECT DISTINCT event_id % {_PR_NODES} AS u,
+                  (event_id * 31 + 7) % {_PR_NODES} AS v
+  FROM events
+  WHERE event_id % {_PR_NODES} <> (event_id * 31 + 7) % {_PR_NODES}
+),
+nodes AS (SELECT u AS node FROM edges UNION SELECT v FROM edges),
+outdeg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u)"""
+
+
+@register(
+    "pagerank_mass",
+    survey_ref="§2.10,M5:dedup",
+    oracle=f"""
+WITH {_pr_edges_cte()},
+m0 AS (SELECT node, CAST({_PR_INIT} AS BIGINT) AS mass FROM nodes),
+""" + ",\n".join(
+        f"""m{t + 1} AS (
+  SELECT n.node,
+         {_PR_BASE} + COALESCE(SUM((m.mass * 85 // 100) // d.deg), 0) AS mass
+  FROM nodes n
+  LEFT JOIN edges e ON e.v = n.node
+  LEFT JOIN m{t} m ON m.node = e.u
+  LEFT JOIN outdeg d ON d.u = e.u
+  GROUP BY n.node
+)"""
+        for t in range(_PR_ITERS)
+    ) + f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(mass AS BIGINT) AS mass
+FROM m{_PR_ITERS}
+ORDER BY mass DESC, node
+LIMIT 25
+""",
+)
+def q_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank as INTEGER mass propagation (damping 0.85,
+    3 fixed sweeps) over a deterministic link graph — the
+    influence/importance pass of a link-graph or citation pipeline.
+    Per-iteration: each node's mass splits by integer division across
+    its out-edges (u's contribution = (mass·85∕100)∕deg, exact), one
+    join edges⋈mass + one partial-agg shuffle per sweep — the same
+    convergence-bounded loop shape as ``neardup_components``, but with
+    numeric state instead of labels. Integer arithmetic makes every
+    iteration bit-identical at ANY partitioning (float PageRank sums
+    are summation-order dependent — unusable under a byte-level hash
+    gate); truncation 'loses' mass deterministically, exactly like
+    production integer-scaled implementations. At 100 TB the per-sweep
+    join partitions on the edge key; the node-state relation is the
+    only thing that iterates."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (F.col("event_id") % _PR_NODES).alias("u")
+    v = ((F.col("event_id") * 31 + 7) % _PR_NODES).alias("v")
+    edges = (
+        ev.select(u, v)
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every sweep: cut lineage once
+    )
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    outdeg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    mass = nodes.select("node", F.lit(_PR_INIT).cast("bigint").alias("mass"))
+    contrib_edges = edges.join(outdeg, "u")  # (u, v, deg) — static per sweep
+    for _t in range(_PR_ITERS):
+        contribs = (
+            contrib_edges.join(mass, contrib_edges["u"] == mass["node"])
+            .select(
+                "v",
+                ((F.col("mass") * 85 / F.lit(100)).cast("bigint") / F.col("deg"))
+                .cast("bigint")
+                .alias("c"),
+            )
+            .groupBy("v")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        mass = (
+            nodes.join(contribs, nodes["node"] == contribs["v"], "left")
+            .select(
+                "node",
+                (F.lit(_PR_BASE) + F.coalesce(F.col("inflow"), F.lit(0)))
+                .cast("bigint")
+                .alias("mass"),
+            )
+            .localCheckpoint(eager=True)  # bound lineage growth per sweep
+        )
+    return mass.orderBy(F.desc("mass"), F.asc("node")).limit(25)

@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Pre-snapshot gate: one command whose green output means what the
+# driver's CORRECTNESS gate means.
+#
+#   bash scripts/preflight.sh [sf_dir ...]
+#
+# Runs (1) the full pytest suite and (2) the DRIVER-GRADE (exact-hash,
+# signed-zero-sensitive) oracle sweep of every corpus query at each
+# given SF dir (default: sf0.001 and sf0.01; add sf0.1 before a round
+# snapshot — distribution-sensitive bugs live there, see SCALE.md).
+# Exits nonzero on the first failing stage. Snapshot commit messages
+# should cite the preflight run (VERDICT r3 "Next round" #6).
+set -u
+
+cd "$(dirname "$0")/.."
+
+SFS=("$@")
+if [ ${#SFS[@]} -eq 0 ]; then
+  SFS=(/root/testdata/sf0.001 /root/testdata/sf0.01)
+fi
+
+echo "== preflight: pytest =="
+python -m pytest tests/ -x -q || { echo "PREFLIGHT FAIL: pytest"; exit 1; }
+
+for sf in "${SFS[@]}"; do
+  echo "== preflight: exact-hash oracle sweep at ${sf} =="
+  python scripts/check_oracle.py "$sf" || {
+    echo "PREFLIGHT FAIL: oracle sweep at ${sf}"
+    exit 1
+  }
+done
+
+echo "PREFLIGHT OK: pytest green + exact-hash sweep green at: ${SFS[*]}"

@@ -263,7 +263,12 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.streaming import core, stateful
 
     if not stateful.transform_with_state_available():
-        pytest.skip("google.protobuf not installed: transformWithState protocol unavailable")
+        pytest.skip(
+            "google.protobuf not importable (pyspark[connect] pins protobuf>=4.25.1; "
+            "no wheel or vendored copy exists in this container and installs are "
+            "unavailable): transformWithStateInPandas' JVM<->Python state protocol "
+            "cannot start, so the operator stays gated, not stubbed"
+        )
 
     ev = core.read_events_stream(spark, sf_dir)
     core.run_to_memory(
