@@ -422,3 +422,129 @@ def q_ann_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine_q"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+def _rerank_oracle() -> str:
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml import inference
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.ml import _mlp_state
+
+    mlp = inference.mlp_score_sql(
+        _mlp_state(),
+        ("cosine", "(qdot / 1032256.0)", "(CAST(label AS DOUBLE) / 4.0)", "((vec_id % 16) / 16.0)"),
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id, label, embedding,
+         GREATEST(list_max(list_transform(embedding, x -> ABS(CAST(x AS DOUBLE)))), 1e-30) AS m
+  FROM embeddings
+),
+qv AS (
+  SELECT vec_id, label, embedding,
+         list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS BIGINT)) AS q
+  FROM s
+),
+qq AS (SELECT q AS qe, embedding AS qemb FROM qv WHERE vec_id = 0),
+stage1 AS (
+  SELECT v.vec_id, v.label, v.embedding, qq.qemb,
+         CAST(list_sum(list_transform(range(1, 65), i -> v.q[i] * qq.qe[i])) AS BIGINT) AS qdot
+  FROM qv v, qq
+  WHERE v.vec_id <> 0
+  ORDER BY qdot DESC, v.vec_id
+  LIMIT 20
+),
+stage2 AS (
+  SELECT vec_id, label, qdot,
+         ROUND(list_sum(list_transform(range(1, 65),
+                  i -> CAST(embedding[i] AS DOUBLE) * CAST(qemb[i] AS DOUBLE)))
+           / (SQRT(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(list_sum(list_transform(qemb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6)
+           AS cosine
+  FROM stage1
+)
+SELECT vec_id, label, qdot, cosine,
+       ROUND({mlp}, 6) AS rerank_score
+FROM stage2
+ORDER BY rerank_score DESC, vec_id
+LIMIT 5
+"""
+
+
+@register(
+    "rerank_two_stage",
+    survey_ref="M5:similarity,M1,§2.12",
+    oracle=_rerank_oracle(),
+)
+def q_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — THE serving shape of RAG / semantic search
+    at scale: a cheap integer-quantized scorer retrieves a shortlist,
+    an expensive model reranks only the survivors. Stage 1 ranks by
+    the raw int8 dot product (pure BIGINT arithmetic — shortlist
+    membership can never flip on float dust) and keeps top-20
+    (TakeOrdered, no global sort). Stage 2 computes full-precision
+    cosine on 20 rows and scores a persisted MLP artifact
+    (``mlp_head_rerank.npz``, the cross-encoder seam) through the
+    Arrow pandas_udf; final top-5 orders by the ROUNDED score with
+    vec_id tie-break. The DuckDB oracle replays both stages, unrolling
+    the same MLP weights to SQL — the full retrieve→rerank pipeline is
+    hash-checked end-to-end. At 100 TB stage 1 runs over the quantized
+    (4× smaller) corpus with partition-local TakeOrdered; stage 2's
+    cost is O(k), independent of corpus size."""
+    import os
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml import inference
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.ml import _mlp_state
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.sources_multimodal import SCRATCH
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    artifact = os.path.join(SCRATCH, "mlp_head_rerank.npz")
+    inference.save_model_artifact(artifact, _mlp_state())
+
+    e = load_table(spark, sf_dir, "embeddings")
+    m = F.greatest(
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-30),
+    )
+    qv = e.select("vec_id", "label", "embedding", m.alias("m")).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 127.0 / F.col("m") + 0.5).cast("bigint"),
+        ).alias("q"),
+    )
+    qq = qv.filter(F.col("vec_id") == 0).select(
+        F.col("q").alias("qe"), F.col("embedding").alias("qemb")
+    )
+    qdot = F.aggregate(
+        F.zip_with(F.col("q"), F.col("qe"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+    stage1 = (
+        qv.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qq))
+        .select("vec_id", "label", "embedding", "qemb", qdot.alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("vec_id"))
+        .limit(20)
+    )
+    cosine = F.round(
+        _dot(F.col("embedding"), F.col("qemb"))
+        / (F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("qemb")))),
+        6,
+    )
+    stage2 = stage1.select("vec_id", "label", "qdot", cosine.alias("cosine"))
+    feats = F.array(
+        F.col("cosine"),
+        F.col("qdot") / F.lit(1032256.0),  # 127*127*64: exact rational rescale
+        F.col("label").cast("double") / F.lit(4.0),
+        (F.col("vec_id") % 16) / F.lit(16.0),
+    )
+    score = inference.make_mlp_scorer_udf(artifact)
+    return (
+        stage2.select(
+            "vec_id", "label", "qdot", "cosine", F.round(score(feats), 6).alias("rerank_score")
+        )
+        .orderBy(F.desc("rerank_score"), F.asc("vec_id"))
+        .limit(5)
+    )
