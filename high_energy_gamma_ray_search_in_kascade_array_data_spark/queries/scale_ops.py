@@ -410,3 +410,153 @@ def q_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)  # bound lineage growth per sweep
         )
     return mass.orderBy(F.desc("mass"), F.asc("node")).limit(25)
+
+
+@register(
+    "session_window_batch",
+    survey_ref="§2.8,§2.11",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, ts,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL OR epoch(ts) - epoch(prev_ts) >= 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM seq
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def q_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization through the BUILT-IN ``session_window`` aggregate
+    — the declarative, whole-stage-codegen twin of the three other
+    sessionizers in this corpus (window-cumsum ``sessionize_events``,
+    ``apply_in_pandas_sessionize``, streaming ``stream_session_windows``)
+    and the form to prefer at 100 TB: no Python, no two-pass window,
+    one gap-merging aggregate. Spark merges events into [start,
+    last_ts + gap) half-open windows, so a gap of EXACTLY the timeout
+    starts a new session (>= in the oracle, vs the strict > of the
+    lag-based query — the boundary semantics differ by design and both
+    are pinned). session_end is last_ts + 30 min, matching the
+    half-open window Spark reports."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "lateral_topk_join",
+    survey_ref="§2.7,§2.9",
+    oracle="""
+SELECT n.n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal
+FROM nation n,
+     LATERAL (SELECT c_custkey, c_acctbal
+              FROM customer
+              WHERE c_nationkey = n.n_nationkey
+              ORDER BY c_acctbal DESC, c_custkey
+              LIMIT 3) c
+""",
+)
+def q_lateral_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the SQL-surface form of
+    top-k-per-group (each nation joined to ITS OWN top-3 customers by
+    balance). Catalyst decorrelates the lateral limit into a
+    partitioned rank under the hood, so the executed plan is the same
+    single-shuffle window as ``window_topk_per_group`` — the point is
+    that the engine accepts the correlated spelling users port from
+    warehouses, not a new physical strategy. Deterministic tie-break
+    on c_custkey."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_custkey, ROUND(c.c_acctbal, 2) AS acctbal
+        FROM nation_v n,
+             LATERAL (SELECT c_custkey, c_acctbal
+                      FROM customer_v
+                      WHERE c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_custkey
+                      LIMIT 3) c
+        """
+    )
+
+
+_MORTON_BITS = 6  # 33-value coordinate domain fits in 6 bits
+
+
+def _morton_sql(bx: str, by: str) -> str:
+    terms = []
+    for b in range(_MORTON_BITS):
+        terms.append(f"((({bx} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({by} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "zorder_morton_layout",
+    survey_ref="§2.6,A5",
+    oracle=f"""
+WITH shower AS (
+  SELECT event_id,
+         CAST(event_id * 13 % 33 AS BIGINT) AS bx,
+         CAST(event_id * 19 % 33 AS BIGINT) AS by
+  FROM events
+),
+coded AS (
+  SELECT event_id, bx, by, {_morton_sql("bx", "by")} AS morton
+  FROM shower
+)
+SELECT CAST(morton // 64 AS BIGINT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(bx) AS BIGINT) AS bx_lo, CAST(MAX(bx) AS BIGINT) AS bx_hi,
+       CAST(MIN(by) AS BIGINT) AS by_lo, CAST(MAX(by) AS BIGINT) AS by_hi
+FROM coded GROUP BY 1
+""",
+)
+def q_zorder_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over the 2-D shower-core grid —
+    the data-LAYOUT primitive behind multi-column data skipping
+    (Delta/Iceberg ZORDER BY): interleaving the bits of (x, y) makes
+    rows close in BOTH dimensions land in the same file, so per-file
+    min/max statistics prune 2-D range predicates that a single-column
+    sort cannot. The morton code is pure integer bit arithmetic
+    (exact); each 64-code bucket's min/max spans (the output) show the
+    locality a writer would get from ``sortWithinPartitions(morton)``
+    — every bucket covers at most an 8×8 tile of the 33×33 domain
+    instead of a full-width stripe."""
+    ev = load_table(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    coded = ev.select(
+        (eid * 13 % 33).cast("long").alias("bx"),
+        (eid * 19 % 33).cast("long").alias("by"),
+    ).select("bx", "by", F.expr(_morton_sql("bx", "by")).alias("morton"))
+    return (
+        coded.groupBy((F.col("morton") / 64).cast("bigint").alias("z_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("bx").alias("bx_lo"),
+            F.max("bx").alias("bx_hi"),
+            F.min("by").alias("by_lo"),
+            F.max("by").alias("by_hi"),
+        )
+    )

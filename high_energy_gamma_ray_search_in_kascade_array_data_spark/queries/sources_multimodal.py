@@ -229,3 +229,65 @@ def q_npz_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.round(F.sum("s"), 4).alias("checksum"))
     )
+
+
+@register(
+    "npz_stream_datasource",
+    survey_ref="S2,§2.11,§2.12",
+    oracle="""
+SELECT 'alpha' AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS checksum
+FROM events WHERE event_id < 100
+UNION ALL
+SELECT 'beta', CAST(COUNT(*) AS BIGINT), CAST(SUM(event_id * 3) AS BIGINT)
+FROM events WHERE event_id >= 100 AND event_id < 200
+UNION ALL
+SELECT 'gamma', CAST(COUNT(*) AS BIGINT), CAST(SUM(event_id * 7) AS BIGINT)
+FROM events WHERE event_id >= 200 AND event_id < 300
+""",
+)
+def q_npz_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python Data Source API's STREAMING side
+    (``spark.readStream.format("npz")``): two archives land in a drop
+    directory, the custom ``DataSourceStreamReader`` turns each
+    not-yet-committed archive into (archive, key) micro-batch
+    partitions (offset = the sorted seen-file list, replay-safe), and
+    Trigger.AvailableNow drains everything into a memory sink. The
+    per-key row counts and integer checksums must equal reading the
+    same numbers from the batch fixture — proving the stream path
+    loses/duplicates nothing across offsets. Array content is integer
+    event-ids as float64 (exact), so the checksum is
+    summation-order-proof."""
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml.inference import save_model_artifact
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.npz_datasource import NpzDataSource
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.streaming.core import run_to_memory
+
+    drop_dir = os.path.join(SCRATCH, "npz_stream_drop")
+    os.makedirs(drop_dir, exist_ok=True)
+    ids = np.arange(300, dtype="float64")
+    # content is SF-independent (ids 0..299 exist at every SF); atomic
+    # writes (save_model_artifact = temp + os.replace) keep a concurrent
+    # harness's stream reader from seeing a half-written zip
+    save_model_artifact(
+        os.path.join(drop_dir, "a1.npz"),
+        {"alpha": ids[:100].reshape(-1, 1), "beta": (ids[100:200] * 3).reshape(-1, 1)},
+    )
+    save_model_artifact(
+        os.path.join(drop_dir, "a2.npz"),
+        {"gamma": (ids[200:300] * 7).reshape(-1, 1)},
+    )
+
+    spark.dataSource.register(NpzDataSource)
+    stream = (
+        spark.readStream.format("npz")
+        .option("path", os.path.join(drop_dir, "*.npz"))
+        .load()
+    )
+    run_to_memory(stream, "npz_stream_sink", output_mode="append", state_partitions=4)
+    sunk = spark.table("npz_stream_sink")
+    return sunk.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.element_at("values", 1)).cast("bigint").alias("checksum"),
+    )
