@@ -180,14 +180,19 @@ def make_cnn_scorer_udf(artifact_path: str):
 
 
 # ------------------------------------------------------- DuckDB oracle
-def cnn_oracle_sql() -> str:
+def cnn_oracle_sql(final_select: str | None = None) -> str:
     """The relational twin of :func:`cnn_forward`: convolution as a
     join-aggregate between the long-form grid and a generated kernel
     relation (output cell (y,x) sums input cell (y+r, x+c) times
     w[o,i,r,c]), folded-BN as a per-channel affine, FLOOR
     re-quantization, fc layers as weight-relation join-aggregates.
     Because every value is exact (see module docstring), DuckDB's
-    hash-aggregate SUM is bit-identical to numpy einsum."""
+    hash-aggregate SUM is bit-identical to numpy einsum.
+
+    ``final_select`` replaces the default terminal SELECT (it sees the
+    ``lg`` CTE with columns event_id, logit) so downstream pipelines —
+    e.g. the survival-curve composition — can extend the same network
+    oracle instead of duplicating it."""
     parts = [
         f"ev AS (SELECT event_id FROM events WHERE event_id % {EVENT_MOD} = 0)",
         """g0 AS (
@@ -271,8 +276,7 @@ def cnn_oracle_sql() -> str:
   FROM zout GROUP BY event_id
 )"""
     )
-    return (
-        "WITH "
-        + ",\n".join(parts)
-        + "\nSELECT event_id, logit, ROUND(1.0 / (1.0 + EXP(-logit)), 6) AS score FROM lg"
+    tail = final_select or (
+        "SELECT event_id, logit, ROUND(1.0 / (1.0 + EXP(-logit)), 6) AS score FROM lg"
     )
+    return "WITH " + ",\n".join(parts) + "\n" + tail

@@ -162,6 +162,17 @@ def q_cnn_artifact_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     relationally (conv as join-aggregate) and the logit column is
     hash-checked raw, no rounding.  See ``ml/cnn.py`` for the
     exactness audit."""
+    return _cnn_scored_frame(spark, sf_dir).select(
+        "event_id",
+        "logit",
+        F.round(F.col("sigmoid"), 6).alias("score"),
+    )
+
+
+def _cnn_scored_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared CNN_B scoring stage: persist the artifact, synthesize the
+    per-event feature/grid arrays, run the full forward through the
+    Arrow seam. Returns (event_id, logit, sigmoid[raw])."""
     import os
 
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.sources_multimodal import SCRATCH
@@ -183,9 +194,74 @@ def q_cnn_artifact_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     muons = F.transform(pos, lambda m: ((eid * (m + 13)) % 89) / F.lit(16.0))
     score = cnn.make_cnn_scorer_udf(artifact)
     return ev.select("event_id", score(feats, edep, muons).alias("r")).select(
-        "event_id",
-        F.col("r.logit").alias("logit"),
-        F.round(F.col("r.sigmoid"), 6).alias("score"),
+        "event_id", F.col("r.logit").alias("logit"), F.col("r.sigmoid").alias("sigmoid")
+    )
+
+
+_CNN_SURVIVAL_FINAL = """
+, scored AS (
+  SELECT event_id,
+         CAST(event_id % 2 AS INTEGER) AS label,
+         14.0 + (event_id * 131 % 2500) / 1000.0 AS lg_e,
+         CAST(event_id * 17 % 45 AS DOUBLE) AS ze,
+         ROUND(1.0 / (1.0 + EXP(-logit)), 6) AS score
+  FROM lg
+),
+band AS (
+  SELECT label, score FROM scored
+  WHERE ze >= 0 AND ze < 30 AND lg_e >= 14 AND lg_e < 16
+),
+binned AS (
+  SELECT label,
+         CAST(LEAST(CAST(FLOOR(score / 0.05) AS BIGINT), 19) AS INTEGER) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS bin_count
+  FROM band GROUP BY 1, 2
+)
+SELECT label, bin,
+       CAST(SUM(bin_count) OVER (PARTITION BY label ORDER BY bin) AS BIGINT) AS cum_count,
+       CAST(SUM(bin_count) OVER (PARTITION BY label) AS BIGINT) AS class_total
+FROM binned
+"""
+
+
+@register(
+    "cnn_pipeline_survival",
+    survey_ref="§3.3,M1,S5,P3,A5,A6",
+    oracle=cnn.cnn_oracle_sql(final_select=_CNN_SURVIVAL_FINAL),
+)
+def q_cnn_pipeline_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's COMPLETE evaluate flow with the real network in
+    the loop (``evaluate_classification.py:60-148``): persisted CNN_B
+    artifact → full conv+fc forward per event → sigmoid score →
+    zenith/energy band cut → per-class survival curve (cumulative
+    score histogram). One DAG: the Arrow inference stage feeds the
+    band filter and the bin/window aggregation directly — scores never
+    leave the cluster. The DuckDB oracle extends the SAME relational
+    network forward with the survival composition, so the end-to-end
+    physics result (not just the scores) is hash-checked."""
+    scored = _cnn_scored_frame(spark, sf_dir)
+    eid = F.col("event_id")
+    enriched = scored.select(
+        (eid % 2).cast("int").alias("label"),
+        (F.lit(14.0) + (eid * 131 % 2500) / F.lit(1000.0)).alias("lg_e"),
+        (eid * 17 % 45).cast("double").alias("ze"),
+        F.round(F.col("sigmoid"), 6).alias("score"),
+    )
+    band = enriched.filter(
+        (F.col("ze") >= 0) & (F.col("ze") < 30) & (F.col("lg_e") >= 14) & (F.col("lg_e") < 16)
+    )
+    binned = band.groupBy(
+        "label",
+        F.least(F.floor(F.col("score") / 0.05).cast("bigint"), F.lit(19)).cast("int").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("bin_count"))
+    from pyspark.sql import Window as W
+
+    wl = W.partitionBy("label").orderBy("bin")
+    return binned.select(
+        "label",
+        "bin",
+        F.sum("bin_count").over(wl).cast("bigint").alias("cum_count"),
+        F.sum("bin_count").over(W.partitionBy("label")).cast("bigint").alias("class_total"),
     )
 
 

@@ -560,3 +560,40 @@ def q_zorder_morton_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("by").alias("by_hi"),
         )
     )
+
+
+@register(
+    "try_functions_suite",
+    survey_ref="§2.4",
+    oracle="""
+SELECT o_orderkey,
+       ROUND(o_totalprice / NULLIF(o_custkey % 5, 0), 6) AS td,
+       TRY_CAST(o_orderpriority AS INTEGER) AS tc,
+       list_extract([10, 20, 30], CAST(o_orderkey % 5 + 1 AS INTEGER)) AS te,
+       CASE WHEN o_orderkey > 0 THEN NULL
+            ELSE 9223372036854775807 END AS ta
+FROM orders
+WHERE o_orderkey % 37 = 0
+""",
+)
+def q_try_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe scalar surface: Spark 4 runs ANSI SQL, so a
+    bare division by zero, overflow, bad cast, or invalid array index
+    FAILS the job — the ``try_*`` family returns NULL instead, which is
+    what a 100 TB pipeline wants for dirty-data columns (quarantine
+    NULLs, don't kill a 6-hour job at row 40 billion). Covers
+    try_divide (zero divisor), try_cast (unparseable string),
+    try_element_at (out-of-range index — note even the try_ form
+    rejects index 0 by contract, so indices here are 1-based), try_add
+    (bigint overflow — always overflows here since keys are positive).
+    The oracle mirrors each with DuckDB's NULL-semantics equivalents."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 37 == 0)
+    return o.select(
+        "o_orderkey",
+        F.round(F.try_divide(F.col("o_totalprice"), F.col("o_custkey") % 5), 6).alias("td"),
+        F.expr("try_cast(o_orderpriority AS INT)").alias("tc"),
+        F.try_element_at(
+            F.array(F.lit(10), F.lit(20), F.lit(30)), (F.col("o_orderkey") % 5 + 1).cast("int")
+        ).alias("te"),
+        F.try_add(F.col("o_orderkey"), F.lit(9223372036854775807)).alias("ta"),
+    )

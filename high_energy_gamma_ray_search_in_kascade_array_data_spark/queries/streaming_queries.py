@@ -331,3 +331,66 @@ def q_stream_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "surviving_frac"
         ),
     )
+
+
+@register(
+    "stream_chained_window_rollup",
+    survey_ref="§2.11,§2.6",
+    oracle="""
+WITH mx AS (SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events),
+hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+daily AS (
+  SELECT time_bucket(INTERVAL '1 day', h) AS day_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(MAX(n) AS BIGINT) AS peak_hourly,
+         CAST(SUM(n) AS BIGINT) AS total
+  FROM hourly GROUP BY 1, 2
+)
+SELECT day_start, event_type, n_hours, peak_hourly, total
+FROM daily, mx
+WHERE day_start + INTERVAL 1 DAY <= mx.wm
+""",
+)
+def q_stream_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained stateful aggregations in one streaming query (the
+    Spark 3.5+/4 multi-stateful pipeline): a watermarked hourly
+    tumbling count feeds a SECOND windowed aggregation — grouped on
+    ``window(window_time(w), '1 day')``, the supported chaining form,
+    no re-watermark — that rolls the hourly series up to daily
+    hours/peak/total. This is the pre-aggregation cascade of a metrics
+    pipeline: day-grain state only ever sees hour-grain rows. Append
+    mode finalizes a day window only once the watermark
+    (max event time − 1 h delay) passes its end, so the tail day of
+    the fixture is withheld — the oracle encodes exactly that emission
+    rule, pinning the semantics instead of papering over them. Counts
+    are pure integers: the incremental replay must equal the batch
+    rollup bit-exactly on every emitted day."""
+    ev = core.read_events_stream(spark, sf_dir)
+    hourly = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = (
+        hourly.groupBy(F.window(F.window_time("w"), "1 day").alias("d"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.max("n").alias("peak_hourly"),
+            F.sum("n").alias("total"),
+        )
+        .select(
+            F.col("d.start").alias("day_start"),
+            "event_type",
+            "n_hours",
+            F.col("peak_hourly").cast("bigint").alias("peak_hourly"),
+            F.col("total").cast("bigint").alias("total"),
+        )
+    )
+    core.run_to_memory(
+        daily, "stream_chained_rollup_sink", output_mode="append", state_partitions=8
+    )
+    return spark.table("stream_chained_rollup_sink")
