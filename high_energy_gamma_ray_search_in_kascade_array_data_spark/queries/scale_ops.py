@@ -240,7 +240,7 @@ SELECT printf('%04x%04x%04x%04x', a0, a1, a2, a3) AS fp_a,
             AS INTEGER) AS hamming
 FROM cand
 WHERE bit_count(CAST(xor(a0, c0) AS BIGINT)) + bit_count(CAST(xor(a1, c1) AS BIGINT))
-      + bit_count(CAST(xor(a2, c2) AS BIGINT)) + bit_count(CAST(xor(a3, c3) AS BIGINT)) <= 4
+      + bit_count(CAST(xor(a2, c2) AS BIGINT)) + bit_count(CAST(xor(a3, c3) AS BIGINT)) <= 3
 """,
 )
 def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,9 +251,10 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators/multimodal.py::phash_media``), images collapse to
     DISTINCT fingerprints with group sizes (exact dedup for free),
     then an LSH-banded self-join (any equal band → candidate; a pair
-    within Hamming ≤ 4 of 64 bits must share ≥1 exact band of 16 —
-    pigeonhole, so banding loses nothing at this radius) verifies with
-    bit_count(xor). All-pairs never happens: cost is bounded by band
+    within Hamming ≤ 3 of 64 bits must share ≥1 exact band of 16, since
+    3 differing bits cannot touch all 4 bands — pigeonhole, so banding
+    has 100% recall at this radius, a bound the property suite verifies
+    by brute force) verifies with bit_count(xor). All-pairs never happens: cost is bounded by band
     collisions among DISTINCT fingerprints (≤ 2¹⁶ per band regardless
     of corpus size), the genuinely 100 TB-safe shape."""
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import multimodal
@@ -301,7 +302,7 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= 4)
+        .filter(F.col("hamming") <= 3)
         .select(
             hexfp("a").alias("fp_a"),
             hexfp("c").alias("fp_b"),

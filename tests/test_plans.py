@@ -289,3 +289,68 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# ------------------------------------------------- round-4 query shapes
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The correlated LATERAL limit must decorrelate into
+    WindowGroupLimit (map-side partial top-k) + a broadcast hash join —
+    never a nested-loop per-row subquery."""
+    df = _q("lateral_topk_join", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert_broadcast_hash_join(df, at_least=1)
+    assert_no_cartesian_product(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_neardup_bands_not_all_pairs(spark, sf_dir):
+    """The pHash candidate join must be an equi-join on (band, key) —
+    LSH banding, not an all-pairs product over fingerprints."""
+    df = _q("image_phash_neardup", spark, sf_dir)
+    assert_no_cartesian_product(df)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantile_bucketize_broadcasts_bounds(spark, sf_dir):
+    """APPLY must broadcast the 1-row boundary array to every row —
+    a shuffle join against a 9-value relation would be absurd at
+    100 TB. (A 1-row cross join plans as BroadcastNestedLoopJoin,
+    which IS the broadcast: the build side is the bounds row.)"""
+    df = _q("quantile_bucketize", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Broadcast" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_iterations_stay_equi_joins(spark, sf_dir):
+    """Every propagation sweep must join mass to edges on the key —
+    no cartesian, no nested loop — and the final top-k must be
+    TakeOrdered, not a global sort."""
+    df = _q("pagerank_mass", spark, sf_dir)
+    assert_no_cartesian_product(df)
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_session_window_batch_single_shuffle(spark, sf_dir):
+    """The built-in session_window aggregate must shuffle ONCE on the
+    user key; gap-merging happens inside the aggregate, not via a
+    second exchange."""
+    df = _q("session_window_batch", spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial->merge pair
+    assert "CartesianProduct" not in plan
+
+
+def test_cnn_inference_single_arrow_crossing(spark, sf_dir):
+    """The full CNN forward must cross into Python exactly once
+    (one ArrowEvalPython stage) — grid synthesis stays JVM-side."""
+    df = _q("cnn_artifact_inference", spark, sf_dir)
+    plan = physical_plan(df)
+    # formatted plans repeat each node in the detail section: count the
+    # tree occurrences only (before the first node-detail block)
+    tree = plan.split("(1) ")[0]
+    assert tree.count("ArrowEvalPython") == 1, tree

@@ -405,3 +405,71 @@ def test_salted_join_salt_invariant(spark, sf_dir):
             .collect()
         }
         assert got == expected, f"salted join diverged at n_salts={n_salts}"
+
+
+# --------------------------------------------------- round-4 properties
+def test_phash_banding_has_full_recall_at_radius_3():
+    """Pigeonhole guarantee, verified empirically: ANY fingerprint pair
+    within Hamming distance 3 (of 64 bits, 4 bands of 16) must collide
+    on at least one exact band (3 differing bits cannot touch all 4
+    bands) — so the banded LSH join in image_phash_neardup recalls 100%
+    of pairs at the query's radius. Radius 4 does NOT have this
+    property (a counterexample with one flipped bit per band exists in
+    the fixture patterns — this test originally ran at 4 and found it).
+    Brute-forces all distinct-pattern pairs from the fake-media
+    formula."""
+    import itertools
+
+    import numpy as np
+
+    # all 256 distinct patterns (media content has period 256 in id)
+    ids = np.arange(256)
+    m = np.arange(64)
+    mats = (ids[:, None] * 7 + m[None, :] * 13) % 256
+    mu = mats.sum(axis=1) / 64.0
+    bits = (mats > mu[:, None]).astype("int64")
+    bands = bits.reshape(256, 4, 16) @ (1 << np.arange(16, dtype="int64"))
+    fps = {tuple(b) for b in bands}
+    fps = sorted(fps)
+    n_checked = 0
+    for a, b in itertools.combinations(fps, 2):
+        d = sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+        if d <= 3:
+            n_checked += 1
+            assert any(x == y for x, y in zip(a, b)), (a, b, d)
+    assert n_checked > 0  # the property was actually exercised
+
+
+def test_pagerank_mass_invariant_under_repartitioning(spark, sf_dir):
+    """Integer mass propagation must produce IDENTICAL masses at any
+    shuffle width — the determinism claim that makes an iterative graph
+    algorithm hash-checkable. Also: every per-iteration total is
+    bounded by nodes·BASE + 0.85·previous (integer division only loses
+    mass, never creates it)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.scale_ops import q_pagerank_mass
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = [(r["node"], r["mass"]) for r in q_pagerank_mass(spark, sf_dir).collect()]
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        b = [(r["node"], r["mass"]) for r in q_pagerank_mass(spark, sf_dir).collect()]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
+
+
+def test_reservoir_sample_bounded_and_stable(spark, sf_dir):
+    """Per-key cap holds (≤5 rows per user) and membership is identical
+    across runs — the resumability property a deterministic draw buys
+    over rand()-based sampling."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.scale_ops import (
+        q_reservoir_sample_per_key,
+    )
+
+    df1 = q_reservoir_sample_per_key(spark, sf_dir)
+    per_user = df1.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    assert per_user <= 5
+    s1 = {(r["user_id"], r["event_id"]) for r in df1.collect()}
+    s2 = {(r["user_id"], r["event_id"]) for r in q_reservoir_sample_per_key(spark, sf_dir).collect()}
+    assert s1 == s2
