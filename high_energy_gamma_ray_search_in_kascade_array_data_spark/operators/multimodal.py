@@ -255,3 +255,48 @@ def phash_media(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, PHASH_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("total_energy", LongType()),
+        StructField("peak_frame_energy", LongType()),
+        StructField("n_zero_crossings", IntegerType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame, frame: int = 8) -> DataFrame:
+    """Audio-style feature extraction over the payload treated as a
+    PCM sample buffer (the audio face of the fake codec): samples
+    center at −128, per-frame energy Σs² (exact integer), peak frame
+    energy, and the zero-crossing count — the cheap triage features an
+    audio ingest pipeline computes before any expensive model. A real
+    decoder (ffmpeg → PCM) slots in ahead of the same numpy math with
+    schema and batching unchanged."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            s = (
+                np.frombuffer(b"".join(pdf["payload"]), dtype="uint8")
+                .reshape(len(pdf), PAYLOAD_BYTES)
+                .astype("int64")
+                - 128
+            )
+            e_frame = (s * s).reshape(len(pdf), -1, frame).sum(axis=2)  # (n, frames)
+            zc = ((s[:, :-1] * s[:, 1:]) < 0).sum(axis=1).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "total_energy": e_frame.sum(axis=1),
+                    "peak_frame_energy": e_frame.max(axis=1),
+                    "n_zero_crossings": zc,
+                }
+            )
+
+    return media.mapInPandas(kernel, AUDIO_SCHEMA)

@@ -291,3 +291,41 @@ def q_npz_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.element_at("values", 1)).cast("bigint").alias("checksum"),
     )
+
+
+@register(
+    "multimodal_audio_features",
+    survey_ref="M5:multimodal,§2.12",
+    oracle="""
+WITH px AS (
+  SELECT e.event_id AS media_id, t.i,
+         (e.event_id * 7 + t.i * 13) % 256 - 128 AS s
+  FROM events e, range(64) AS t(i)
+),
+frames AS (
+  SELECT media_id, i // 8 AS f, CAST(SUM(s * s) AS BIGINT) AS fe
+  FROM px GROUP BY 1, 2
+),
+zc AS (
+  SELECT a.media_id, CAST(COUNT(*) AS INTEGER) AS n_zc
+  FROM px a JOIN px b ON b.media_id = a.media_id AND b.i = a.i + 1
+  WHERE a.s * b.s < 0
+  GROUP BY 1
+)
+SELECT f.media_id,
+       CAST(SUM(f.fe) AS BIGINT) AS total_energy,
+       CAST(MAX(f.fe) AS BIGINT) AS peak_frame_energy,
+       COALESCE(ANY_VALUE(z.n_zc), 0) AS n_zero_crossings
+FROM frames f LEFT JOIN zc z ON z.media_id = f.media_id
+GROUP BY f.media_id
+""",
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio face of the multimodal fake codec: payload as a PCM
+    buffer → per-media total/peak frame energy and zero-crossing count
+    through the Arrow mapInPandas kernel
+    (``operators/multimodal.py::audio_features``). Integer sample math
+    keeps every output exact; the oracle recomputes frames relationally
+    (self-join for adjacent-sample sign changes)."""
+    media = multimodal.synth_media(spark, sf_dir)
+    return multimodal.audio_features(media)

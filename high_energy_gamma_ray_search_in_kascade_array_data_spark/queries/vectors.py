@@ -548,3 +548,104 @@ def q_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rerank_score"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+# ---------------------------------------------------- product quantization
+_PQ_SUB = 8  # 8 subspaces × 8 dims = 64
+_PQ_K = 4  # centroids per subspace
+
+
+def _pq_cent(s: int, c: int, d: int) -> float:
+    """Deterministic dyadic codebook value (k/4, |v| ≤ 1)."""
+    return ((s * 31 + c * 17 + d * 7) % 9 - 4) / 4.0
+
+
+@register(
+    "pq_adc_topk",
+    survey_ref="M5:similarity",
+    oracle=f"""
+WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sub AS (
+  SELECT e.vec_id, e.label, s.s, c.c,
+         list_sum(list_transform(
+           list_transform(range(8),
+             d -> FLOOR(CAST(e.embedding[s.s * 8 + d + 1] AS DOUBLE) * 64) / 64
+                  - ((s.s * 31 + c.c * 17 + d * 7) % 9 - 4) / 4.0),
+           v -> v * v)) AS dist
+  FROM embeddings e, range({_PQ_SUB}) AS s(s), range({_PQ_K}) AS c(c)
+  WHERE e.vec_id <> 0
+),
+codes AS (
+  SELECT vec_id, label, s,
+         (MIN(struct_pack(d := dist, c := c))).c AS code
+  FROM sub GROUP BY 1, 2, 3
+),
+qdist AS (
+  SELECT s.s, c.c,
+         list_sum(list_transform(
+           list_transform(range(8),
+             d -> FLOOR(CAST(q.qe[s.s * 8 + d + 1] AS DOUBLE) * 64) / 64
+                  - ((s.s * 31 + c.c * 17 + d * 7) % 9 - 4) / 4.0),
+           v -> v * v)) AS dist
+  FROM qv q, range({_PQ_SUB}) AS s(s), range({_PQ_K}) AS c(c)
+)
+SELECT k.vec_id, k.label, ROUND(SUM(q.dist), 6) AS adc_dist
+FROM codes k JOIN qdist q ON q.s = k.s AND q.c = k.code
+GROUP BY 1, 2
+ORDER BY adc_dist, vec_id
+LIMIT 10
+""",
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance (ADC) — THE
+    memory-compression path of billion-vector search (IVF-PQ): each
+    64-dim vector collapses to 8 two-bit codes (one per 8-dim
+    subspace, nearest of 4 deterministic dyadic centroids), and query
+    distance is a table lookup — Σ over subspaces of the PRECOMPUTED
+    query→centroid distance for the stored code. 32× smaller than
+    float32 storage; the scan reads codes, never raw vectors.
+    Everything is exact arithmetic (inputs floor-quantized to 2⁻⁶,
+    centroids k/4 — squared distances stay within float64's exact
+    range), so code assignment and ADC ranking are bit-identical
+    cross-engine; argmin tie-breaks on centroid id via struct min.
+    At 100 TB the codebook is a broadcast constant and assignment is
+    map-only; only the final top-k reduces."""
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+
+    def xq(col, i):
+        return F.floor(F.element_at(col, i + 1).cast("double") * 64) / 64
+
+    def sub_dist(col, s, c):
+        terms = None
+        for d in range(8):
+            t = xq(col, s * 8 + d) - F.lit(_pq_cent(s, c, d))
+            t2 = t * t
+            terms = t2 if terms is None else terms + t2
+        return terms
+
+    # per-row code per subspace: argmin over centroids (struct min
+    # orders by dist then centroid id — deterministic tie-break)
+    code_cols = []
+    for s in range(_PQ_SUB):
+        structs = F.array(
+            *[
+                F.struct(sub_dist(emb, s, c).alias("d"), F.lit(c).alias("c"))
+                for c in range(_PQ_K)
+            ]
+        )
+        code_cols.append(F.array_min(structs).getField("c").alias(f"code_{s}"))
+    coded = e.filter(F.col("vec_id") != 0).select("vec_id", "label", *code_cols)
+
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    adc = None
+    for s in range(_PQ_SUB):
+        table = F.array(*[sub_dist(F.col("qe"), s, c) for c in range(_PQ_K)])
+        term = F.element_at(table, F.col(f"code_{s}").cast("int") + 1)
+        adc = term if adc is None else adc + term
+    return (
+        coded.crossJoin(F.broadcast(qv))
+        .select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
+        .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+        .limit(10)
+    )
