@@ -65,6 +65,43 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "survival_curve_10k",
+    survey_ref="P4,A5,A6,A9",
+    oracle=f"""
+WITH {SHOWER_CTE},
+band AS (
+  SELECT label, p FROM shower
+  WHERE ze >= 0 AND ze < 30 AND lg_e >= 15 AND lg_e < 16
+),
+binned AS (
+  SELECT label,
+         CAST(LEAST(CAST(FLOOR(p / 0.0001) AS BIGINT), 9999) AS INTEGER) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS bin_count
+  FROM band GROUP BY 1, 2
+)
+SELECT label, bin,
+       CAST(SUM(bin_count) OVER (PARTITION BY label ORDER BY bin) AS BIGINT) AS cum_count,
+       CAST(SUM(bin_count) OVER (PARTITION BY label) AS BIGINT) AS class_total
+FROM binned
+""",
+)
+def q_survival_curve_10k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship at the reference's EXACT parameterization:
+    ``nbins=10000, range=(0, 1)`` (``train_classification.py:295-297``,
+    ``evaluate_classification.py:117-119``) — the 100-bin flagship
+    demonstrates the operator; this pins the reference's actual
+    threshold resolution. Scale shape is unchanged: the shuffle is
+    still bounded by bins × classes (≤ 20 000 rows) regardless of
+    event count, which is WHY a 10 000-bin histogram is free at
+    100 TB."""
+    band = shower_frame(spark, sf_dir).filter(
+        (F.col("ze") >= 0) & (F.col("ze") < 30) & (F.col("lg_e") >= 15) & (F.col("lg_e") < 16)
+    )
+    curve = survival_curve(band, label_col="label", prob_col="p", nbins=10000)
+    return curve.select("label", "bin", "cum_count", "class_total")
+
+
 # ------------------------------------------------------------- histograms
 @register(
     "histogram_value",
