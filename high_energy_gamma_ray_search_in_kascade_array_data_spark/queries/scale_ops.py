@@ -598,3 +598,92 @@ def q_try_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("te"),
         F.try_add(F.col("o_orderkey"), F.lit(9223372036854775807)).alias("ta"),
     )
+
+
+@register(
+    "resample_linear_interpolate",
+    survey_ref="§2.8,§2.11",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS h,
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS cents,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id % 50 = 0 GROUP BY 1, 2
+),
+bounds AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY user_id),
+grid AS (
+  SELECT b.user_id, unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS h
+  FROM bounds b
+),
+joined AS (
+  SELECT g.user_id, g.h,
+         hv.cents * 1.0 / (100 * hv.n) AS v
+  FROM grid g LEFT JOIN hourly hv ON hv.user_id = g.user_id AND hv.h = g.h
+),
+ctx AS (
+  SELECT user_id, h, v,
+         LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+         LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+         FIRST_VALUE(v IGNORE NULLS) OVER wn AS nv,
+         FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wn AS nh
+  FROM joined
+  WINDOW wp AS (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, h AS hour_ts,
+       ROUND(CASE
+         WHEN pv IS NOT NULL AND nv IS NOT NULL AND nh > ph THEN
+           pv + (nv - pv) * (epoch(h) - epoch(ph)) / (epoch(nh) - epoch(ph))
+         WHEN pv IS NOT NULL THEN pv
+         ELSE nv
+       END, 6) AS v_interp
+FROM ctx
+""",
+)
+def q_resample_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with LINEAR interpolation — the gap-fill a
+    metrics/sensor pipeline uses when forward-fill's staircase bias is
+    unacceptable: each missing grid hour lerps between its nearest
+    observed neighbors (trailing/leading gaps take the edge value).
+    The hourly means use exact integer cent sums (summation-order
+    proof), the lerp fraction is an integer-second ratio, so the
+    interpolated series is bit-deterministic. Two window passes (one
+    forward, one backward) over the dense grid — same single shuffle
+    on user_id as resample_ffill, no self-join per gap."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bounds = hourly.groupBy("user_id").agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+    grid = bounds.select(
+        "user_id", F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left").select(
+        "user_id", "h", (F.col("cents") * 1.0 / (100 * F.col("n"))).alias("v")
+    )
+    wp = Window.partitionBy("user_id").orderBy("h").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("user_id").orderBy("h").rowsBetween(0, Window.unboundedFollowing)
+    nn_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    ctx = joined.select(
+        "user_id",
+        "h",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(nn_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(nn_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    frac = (F.col("h").cast("long") - F.col("ph").cast("long")) / (
+        F.col("nh").cast("long") - F.col("ph").cast("long")
+    )
+    lerp = (
+        F.when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull() & (F.col("nh") > F.col("ph")),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return ctx.select("user_id", F.col("h").alias("hour_ts"), F.round(lerp, 6).alias("v_interp"))
