@@ -384,9 +384,17 @@ def q_rotate_grid_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-form 90° rotation (T1's ArrayType representation): a dense
     16×16 grid lives as a flat 256-element array column; the rotation
     is an index-remap `F.transform` — new[iy·16+ix] = old[(15−ix)·16+iy]
-    — no explode, no shuffle, pure codegen. The checksum Σ new[m]·m
-    pins every element's position. (Long-form rotation: rotate_grid.)"""
-    ev = load_table(spark, sf_dir, "events").select("event_id")
+    — no explode, no data shuffle beyond the input spread, pure
+    codegen. The checksum Σ new[m]·m pins every element's position.
+    (Long-form rotation: rotate_grid.) The single-file fixture arrives
+    as ONE input split, and this query evaluates ~130M array lambdas —
+    spread it across cores first (SCALE.md "known local-vs-cluster
+    deltas": a real cluster scan is already split)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     # build the dense wide tensor: old[q] = (event_id·(q+7)) mod 100
     old = F.transform(
         F.sequence(F.lit(0), F.lit(255)),

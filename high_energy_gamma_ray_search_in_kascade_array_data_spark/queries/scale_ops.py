@@ -633,12 +633,12 @@ ctx AS (
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT user_id, h AS hour_ts,
-       ROUND(CASE
+       FLOOR((CASE
          WHEN pv IS NOT NULL AND nv IS NOT NULL AND nh > ph THEN
            pv + (nv - pv) * (epoch(h) - epoch(ph)) / (epoch(nh) - epoch(ph))
          WHEN pv IS NOT NULL THEN pv
          ELSE nv
-       END, 6) AS v_interp
+       END) * 1000000) / 1000000 AS v_interp
 FROM ctx
 """,
 )
@@ -649,7 +649,13 @@ def q_resample_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame
     observed neighbors (trailing/leading gaps take the edge value).
     The hourly means use exact integer cent sums (summation-order
     proof), the lerp fraction is an integer-second ratio, so the
-    interpolated series is bit-deterministic. Two window passes (one
+    interpolated series is bit-deterministic. The 6-decimal output
+    truncation uses FLOOR, not ROUND: both engines compute the
+    identical lerp double, but their ROUND implementations disagree on
+    decimal-boundary values (Spark rounds the shortest decimal
+    rendering via BigDecimal, DuckDB scales and rounds the binary
+    value — a 1-digit split this corpus hit at sf0.1), while FLOOR of
+    the same double is exact everywhere. Two window passes (one
     forward, one backward) over the dense grid — same single shuffle
     on user_id as resample_ffill, no self-join per gap."""
     ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 0)
@@ -675,15 +681,22 @@ def q_resample_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame
         F.first("v", ignorenulls=True).over(wn).alias("nv"),
         F.first(nn_h, ignorenulls=True).over(wn).alias("nh"),
     )
-    frac = (F.col("h").cast("long") - F.col("ph").cast("long")) / (
-        F.col("nh").cast("long") - F.col("ph").cast("long")
-    )
+    # association order is load-bearing: ((nv-pv) * dt) / gap exactly as
+    # the oracle SQL parses — precomputing dt/gap first yields a
+    # different IEEE result ((a*b)/c != a*(b/c)), a 1-ulp split that
+    # surfaced at sf0.1
+    dt = F.col("h").cast("long") - F.col("ph").cast("long")
+    gap = F.col("nh").cast("long") - F.col("ph").cast("long")
     lerp = (
         F.when(
             F.col("pv").isNotNull() & F.col("nv").isNotNull() & (F.col("nh") > F.col("ph")),
-            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+            F.col("pv") + (F.col("nv") - F.col("pv")) * dt / gap,
         )
         .when(F.col("pv").isNotNull(), F.col("pv"))
         .otherwise(F.col("nv"))
     )
-    return ctx.select("user_id", F.col("h").alias("hour_ts"), F.round(lerp, 6).alias("v_interp"))
+    return ctx.select(
+        "user_id",
+        F.col("h").alias("hour_ts"),
+        (F.floor(lerp * 1000000) / 1000000).alias("v_interp"),
+    )
