@@ -141,7 +141,10 @@ def load_artifact_cached(path: str) -> dict:
     key = (path, st.st_mtime_ns, st.st_size)
     state = _artifact_cache.get(key)
     if state is None:
-        _artifact_cache.clear()  # drop stale versions of any path
+        # evict only stale versions of THIS path: a worker alternating
+        # between models must not thrash the other artifacts' entries
+        for k in [k for k in _artifact_cache if k[0] == path]:
+            del _artifact_cache[k]
         state = _artifact_cache[key] = load_model_artifact(path)
     return state
 

@@ -250,18 +250,16 @@ def q_cnn_pipeline_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     band = enriched.filter(
         (F.col("ze") >= 0) & (F.col("ze") < 30) & (F.col("lg_e") >= 14) & (F.col("lg_e") < 16)
     )
-    binned = band.groupBy(
-        "label",
-        F.least(F.floor(F.col("score") / 0.05).cast("bigint"), F.lit(19)).cast("int").alias("bin"),
-    ).agg(F.count(F.lit(1)).alias("bin_count"))
-    from pyspark.sql import Window as W
+    # compose the flagship operator, don't reimplement it: width
+    # 1.0/20 == 0.05 exactly, so the binning matches the oracle
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.survival import survival_curve
 
-    wl = W.partitionBy("label").orderBy("bin")
-    return binned.select(
+    curve = survival_curve(band, label_col="label", prob_col="score", nbins=20)
+    return curve.select(
         "label",
         "bin",
-        F.sum("bin_count").over(wl).cast("bigint").alias("cum_count"),
-        F.sum("bin_count").over(W.partitionBy("label")).cast("bigint").alias("class_total"),
+        F.col("cum_count").cast("bigint").alias("cum_count"),
+        F.col("class_total").cast("bigint").alias("class_total"),
     )
 
 

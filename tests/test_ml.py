@@ -222,9 +222,17 @@ def test_cnn_tiny_hand_computed():
                 assert z[0, o, 5 - r, 7 - c] == expected
         # away from the impulse support: bias only
         assert z[0, o, 0, 0] == b[o]
-        # full block output at one position
-        v = s[o] * max(z[0, o, 5, 7], 0.0) + t[o]
-        assert math.floor(v * 1024.0) / 1024.0 == np.floor(v * 1024.0) / 1024.0
+        # full block output at one position, computed INDEPENDENTLY by
+        # scalar python (relu -> BN affine -> quantize) and compared to
+        # the vectorized forward's first-layer output
+        v = math.floor((s[o] * max(w[o, 0, 0, 0] + b[o], 0.0) + t[o]) * 1024.0) / 1024.0
+        win_full = np.lib.stride_tricks.sliding_window_view(grids, (3, 3), axis=(2, 3))
+        z_full = np.einsum("bcyxrs,ocrs->boyx", win_full, w) + b[None, :, None, None]
+        h_full = (
+            s[None, :, None, None] * np.maximum(z_full, 0.0) + t[None, :, None, None]
+        )
+        q_full = np.floor(h_full * 1024.0) / 1024.0
+        assert q_full[0, o, 5, 7] == v
 
 
 def test_cnn_artifact_executor_roundtrip(spark, sf_dir):

@@ -443,10 +443,16 @@ def test_phash_banding_has_full_recall_at_radius_3():
 def test_pagerank_mass_invariant_under_repartitioning(spark, sf_dir):
     """Integer mass propagation must produce IDENTICAL masses at any
     shuffle width — the determinism claim that makes an iterative graph
-    algorithm hash-checkable. Also: every per-iteration total is
-    bounded by nodes·BASE + 0.85·previous (integer division only loses
-    mass, never creates it)."""
-    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.scale_ops import q_pagerank_mass
+    algorithm hash-checkable — and every mass must respect the
+    conservation bounds of truncating division: at least the teleport
+    BASE, at most BASE + 0.85 × the total circulating mass (integer
+    division only loses mass, never creates it)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.scale_ops import (
+        _PR_BASE,
+        _PR_INIT,
+        _PR_NODES,
+        q_pagerank_mass,
+    )
 
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
@@ -457,6 +463,12 @@ def test_pagerank_mass_invariant_under_repartitioning(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+    # circulating mass never exceeds nodes × max(BASE..INIT): truncation
+    # only sheds mass, so no node can hold more than BASE + 0.85 × the
+    # whole pool, and every node keeps its teleport floor
+    pool = _PR_NODES * max(_PR_INIT, _PR_BASE)
+    for _node, mass in a:
+        assert _PR_BASE <= mass <= _PR_BASE + int(0.85 * pool)
 
 
 def test_reservoir_sample_bounded_and_stable(spark, sf_dir):
