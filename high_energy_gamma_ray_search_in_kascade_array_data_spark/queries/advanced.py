@@ -443,3 +443,49 @@ def q_pandas_udaf_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(median_udaf("value").over(w), 6).alias("rolling_median"),
     )
+
+
+@register(
+    "apply_in_arrow_group_stats",
+    survey_ref="§2.12,§2.6",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+       CAST(MAX(user_id) AS BIGINT) AS max_user
+FROM events GROUP BY event_type
+""",
+)
+def q_apply_in_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped custom aggregation through ``applyInArrow`` (Spark 4's
+    Arrow-native sibling of applyInPandas): the kernel receives each
+    group as raw ``pyarrow.Table`` batches — no pandas block
+    conversion on either side, the lowest-overhead grouped-Python seam
+    for kernels that are themselves Arrow/numpy-native. Integer cent
+    sums keep the result summation-order-proof; the oracle is the
+    plain relational aggregate, so the custom kernel must agree with
+    the engine's own groupBy exactly."""
+    import pyarrow as pa
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(table.column("value"), pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "event_type": [table.column("event_type")[0].as_py()],
+                "n": [table.num_rows],
+                "sum_cents": [pc.sum(cents).as_py()],
+                "max_user": [pc.max(table.column("user_id")).as_py()],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "user_id")
+    return ev.groupBy("event_type").applyInArrow(
+        stats, "event_type string, n bigint, sum_cents bigint, max_user bigint"
+    )

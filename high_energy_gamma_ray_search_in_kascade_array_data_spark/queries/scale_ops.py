@@ -700,3 +700,73 @@ def q_resample_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("h").alias("hour_ts"),
         (F.floor(lerp * 1000000) / 1000000).alias("v_interp"),
     )
+
+
+@register(
+    "sql_pipe_syntax_revenue",
+    survey_ref="§2.6,§2.4",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+)
+def q_sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, SQL:2023-style ``|>`` chaining): the
+    same logical plan as the classic SELECT spelled as a linear
+    dataflow — the form warehouse users increasingly write and an
+    engine claiming the full SQL surface must parse. Catalyst compiles
+    it to the identical aggregate; the oracle is the classic spelling,
+    so the two syntaxes are pinned equal."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     ROUND(SUM(o_totalprice), 2) AS revenue
+           GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "string_collation_group",
+    survey_ref="§2.4,§2.6",
+    oracle="""
+SELECT lower(c_mktsegment) AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+FROM customer
+GROUP BY 1
+""",
+)
+def q_string_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive string COLLATION (Spark 4's UTF8_LCASE): the
+    engine-level answer to the lower()-everywhere anti-pattern —
+    grouping on a collated column compares case-insensitively inside
+    the hash aggregate itself, and at 100 TB collation-aware
+    comparisons let the optimizer keep statistics and pruning on the
+    original column instead of a derived expression. The oracle pins
+    the semantics with an explicit lower(); the output canonicalizes
+    the group key the same way so both engines emit identical keys."""
+    c = load_table(spark, sf_dir, "customer")
+    collated = c.select(
+        F.expr("CAST(c_mktsegment AS STRING COLLATE UTF8_LCASE)").alias("seg_ci"),
+        "c_nationkey",
+    )
+    return (
+        collated.groupBy("seg_ci")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("c_nationkey").alias("n_nations"),
+        )
+        .select(
+            F.lower(F.col("seg_ci").cast("string")).alias("seg"),
+            "n",
+            F.col("n_nations").cast("bigint").alias("n_nations"),
+        )
+    )
