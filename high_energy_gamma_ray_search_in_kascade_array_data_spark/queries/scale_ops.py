@@ -770,3 +770,109 @@ def q_string_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_nations").cast("bigint").alias("n_nations"),
         )
     )
+
+
+@register(
+    "scd2_dimension_lookup",
+    survey_ref="§2.7,§2.8",
+    oracle="""
+SELECT (user_id * 7 + LEAST(CAST(FLOOR((epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:00:00'))
+                                        / 864000) AS BIGINT), 3)) % 5 AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(user_id) AS BIGINT) AS sum_user
+FROM events
+GROUP BY 1
+""",
+)
+def q_scd2_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) lookup at scale: every event
+    must pick the dimension version whose validity window contains its
+    timestamp. The naive BETWEEN theta join degenerates to a
+    nested-loop at 100 TB; the scalable form used here MERGES the
+    version-change rows into the event stream and takes
+    ``last(attribute) ignore nulls`` over a per-key window ordered by
+    (ts, version-rows-first) — one shuffle on the key, state O(1) per
+    row, the same shape as the as-of join. The synthetic dimension has
+    4 versions per user (10-day windows from 2024-01-01, attribute
+    tier = (user·7+version) mod 5), so the oracle can verify through
+    an INDEPENDENT closed form instead of replaying the join."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    users = ev.select("user_id").distinct()
+    dim = users.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")
+    ).select(
+        "user_id",
+        (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(days=F.col("k") * 10)).alias(
+            "ts"
+        ),
+        ((F.col("user_id") * 7 + F.col("k")) % 5).alias("tier"),
+        F.lit(1).alias("is_dim"),
+    )
+    fact = ev.select(
+        "user_id", "ts", F.lit(None).cast("long").alias("tier"), F.lit(0).alias("is_dim")
+    )
+    merged = dim.unionByName(fact)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    looked_up = merged.select(
+        "user_id", "is_dim", F.last("tier", ignorenulls=True).over(w).alias("tier")
+    ).filter(F.col("is_dim") == 0)
+    return looked_up.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_id").alias("sum_user"),
+    )
+
+
+@register(
+    "csv_xml_parse_functions",
+    survey_ref="§2.4",
+    oracle="""
+SELECT event_id,
+       user_id AS csv_uid,
+       event_type AS csv_type,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS csv_cents,
+       user_id AS xml_uid,
+       event_type AS xml_type
+FROM events
+WHERE event_id % 61 = 0
+""",
+)
+def q_csv_xml_parse_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured parse surface: ``from_csv`` and ``from_xml``
+    (Spark 4 built-in) round-tripping engine-synthesized payloads —
+    the landing-zone pattern where raw feed strings parse into typed
+    columns inside whole-stage codegen, no Python. The oracle reads
+    the SAME values straight from the source columns, so a parser that
+    drops, truncates, or mis-types any field hash-fails. (JSON and
+    VARIANT have their own suites: json_functions,
+    variant_semistructured.)"""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 61 == 0)
+    csv_str = F.concat_ws(
+        ",",
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").cast("string"),
+    )
+    xml_str = F.concat(
+        F.lit("<r><u>"),
+        F.col("user_id").cast("string"),
+        F.lit("</u><t>"),
+        F.col("event_type"),
+        F.lit("</t></r>"),
+    )
+    parsed = ev.select(
+        "event_id",
+        F.from_csv(csv_str, "uid BIGINT, et STRING, cents BIGINT").alias("c"),
+        F.from_xml(xml_str, "u BIGINT, t STRING").alias("x"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("c.uid").alias("csv_uid"),
+        F.col("c.et").alias("csv_type"),
+        F.col("c.cents").alias("csv_cents"),
+        F.col("x.u").alias("xml_uid"),
+        F.col("x.t").alias("xml_type"),
+    )
