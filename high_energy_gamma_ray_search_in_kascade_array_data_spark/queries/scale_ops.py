@@ -876,3 +876,34 @@ def q_csv_xml_parse_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.u").alias("xml_uid"),
         F.col("x.t").alias("xml_type"),
     )
+
+
+@register(
+    "listagg_ordered",
+    survey_ref="§2.6,§2.4",
+    oracle="""
+SELECT n_regionkey,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM nation
+GROUP BY n_regionkey
+""",
+)
+def q_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (Spark 4's ``listagg ... WITHIN GROUP``,
+    the ANSI form of string_agg/group_concat) — the report-building
+    aggregate every warehouse migration asks about first. The explicit
+    WITHIN-GROUP order is what makes a concatenated string deterministic
+    at any partitioning; an unordered listagg is a hash-gate landmine.
+    DuckDB's string_agg with ORDER BY pins the same contract."""
+    n = load_table(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("nation_la_v")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM nation_la_v
+        GROUP BY n_regionkey
+        """
+    )
