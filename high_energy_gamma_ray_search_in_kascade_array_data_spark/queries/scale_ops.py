@@ -907,3 +907,36 @@ def q_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_regionkey
         """
     )
+
+
+@register(
+    "file_metadata_provenance",
+    survey_ref="§2.1,§2.4",
+    oracle="""
+SELECT 'events.parquet' AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS sum_ids
+FROM events
+""",
+)
+def q_file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-level provenance via the hidden ``_metadata`` struct — the
+    lineage column every lakehouse audit and bad-file quarantine
+    workflow relies on (which FILE did this row come from?). Exposing
+    it is free: the scan already knows the file; no join against a
+    manifest. Grouping by file name must reproduce the per-file row
+    counts and an exact content checksum — at 100 TB this is the
+    query that pinpoints a corrupt upstream partition without
+    rereading the lake."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("file_name"),
+            "event_id",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_ids"),
+        )
+    )
