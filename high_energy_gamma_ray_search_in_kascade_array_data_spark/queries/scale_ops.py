@@ -940,3 +940,37 @@ def q_file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").alias("sum_ids"),
         )
     )
+
+
+@register(
+    "bitmap_distinct_count",
+    survey_ref="§2.6",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+)
+def q_bitmap_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps
+    (bitmap_construct_agg / bitmap_or_agg / bitmap_count) — the scale
+    pattern between COUNT(DISTINCT) and HLL: per-bucket bitmaps are
+    precomputable per partition/day and OR-merge EXACTLY (HLL merges
+    approximately; COUNT(DISTINCT) can't pre-aggregate at all), so a
+    100 TB rollup unions small bitmap blobs instead of reshuffling raw
+    ids. Positions shift by +1 (bitmap_bit_position is 1-based; id 0
+    would vanish). The oracle is the plain COUNT(DISTINCT), pinning
+    bit-exact equality of the bitmap path."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_bm_v")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(bitmap_count(bitmap_or_agg(b)) AS BIGINT) AS n_users
+        FROM (
+          SELECT event_type,
+                 bitmap_construct_agg(bitmap_bit_position(user_id + 1)) AS b
+          FROM events_bm_v
+          GROUP BY event_type, bitmap_bucket_number(user_id + 1)
+        )
+        GROUP BY event_type
+        """
+    )
