@@ -974,3 +974,60 @@ def q_bitmap_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY event_type
         """
     )
+
+
+@register(
+    "hash_functions_suite",
+    survey_ref="§2.4",
+    oracle="""
+SELECT event_id,
+       md5(event_type || ':' || CAST(event_id AS VARCHAR)) AS h_md5,
+       sha256(event_type || ':' || CAST(event_id AS VARCHAR)) AS h_sha256
+FROM events
+WHERE event_id % 101 = 0
+""",
+)
+def q_hash_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic hash surface (md5, sha2-256) over derived keys —
+    the stable-id / change-detection primitive of ingest pipelines
+    (dedup keys, CDC row hashes, PII pseudonymization). Both engines
+    must produce byte-identical digests for identical inputs — a
+    mismatch means an encoding bug in the string pipeline, which is
+    exactly what this query would catch."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    key = F.concat(F.col("event_type"), F.lit(":"), F.col("event_id").cast("string"))
+    return ev.select(
+        "event_id",
+        F.md5(key).alias("h_md5"),
+        F.lower(F.sha2(key, 256)).alias("h_sha256"),
+    )
+
+
+@register(
+    "aes_column_encryption_roundtrip",
+    survey_ref="§2.4",
+    oracle="""
+SELECT event_id, event_type AS decrypted, 1 AS ct_differs
+FROM events
+WHERE event_id % 101 = 0
+""",
+)
+def q_aes_column_encryption_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level encryption surface: aes_encrypt → aes_decrypt must
+    round-trip exactly (deterministic ECB mode with a fixed key — the
+    mode that makes encrypted columns joinable/groupable; GCM's random
+    IV is the right default for storage but breaks determinism). The
+    oracle checks the DECRYPTED value against the source column plus
+    the invariant that ciphertext actually differs from plaintext —
+    DuckDB needs no AES of its own, the contract is the round-trip."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    # fixed 16-byte AES-128 key; ECB for deterministic ciphertexts
+    ct = F.expr("aes_encrypt(event_type, '0123456789abcdef', 'ECB')")
+    return ev.select(
+        "event_id",
+        F.expr(
+            "CAST(aes_decrypt(aes_encrypt(event_type, '0123456789abcdef', 'ECB'),"
+            " '0123456789abcdef', 'ECB') AS STRING)"
+        ).alias("decrypted"),
+        F.when(ct.cast("string") != F.col("event_type"), 1).otherwise(0).alias("ct_differs"),
+    )
