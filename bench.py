@@ -60,6 +60,10 @@ HEADLINE = [
     "multimodal_resize",
     "pandas_udf_inference",
     "cnn_artifact_inference",
+    "image_phash_neardup",
+    "pq_adc_topk",
+    "pagerank_mass",
+    "session_window_batch",
     "stream_tumbling_counts",
     "stream_stream_join",
     "stream_survival_curve",
