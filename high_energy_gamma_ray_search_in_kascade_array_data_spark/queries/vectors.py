@@ -613,16 +613,18 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
 
-    def xq(col, i):
-        return F.floor(F.element_at(col, i + 1).cast("double") * 64) / 64
-
     def sub_dist(col, s, c):
-        terms = None
-        for d in range(8):
-            t = xq(col, s * 8 + d) - F.lit(_pq_cent(s, c, d))
-            t2 = t * t
-            terms = t2 if terms is None else terms + t2
-        return terms
+        # slice + zip_with + left-fold keeps the expression tree ~4×
+        # smaller than unrolling 8 quantize/subtract/square terms (the
+        # 32 sub-distances otherwise cost several seconds of Janino
+        # codegen on first execution); every value is exact, so the
+        # fold order is irrelevant to the result
+        sub = F.slice(col, s * 8 + 1, 8)
+        cents = F.array(*[F.lit(_pq_cent(s, c, d)) for d in range(8)])
+        diffs = F.zip_with(
+            sub, cents, lambda x, m: F.floor(x.cast("double") * 64) / 64 - m
+        )
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, t: acc + t * t)
 
     # per-row code per subspace: argmin over centroids (struct min
     # orders by dist then centroid id — deterministic tie-break)
