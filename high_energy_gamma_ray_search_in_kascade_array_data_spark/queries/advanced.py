@@ -461,13 +461,19 @@ def q_apply_in_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-native sibling of applyInPandas): the kernel receives each
     group as raw ``pyarrow.Table`` batches — no pandas block
     conversion on either side, the lowest-overhead grouped-Python seam
-    for kernels that are themselves Arrow/numpy-native. Integer cent
-    sums keep the result summation-order-proof; the oracle is the
-    plain relational aggregate, so the custom kernel must agree with
-    the engine's own groupBy exactly."""
-    import pyarrow as pa
+    for kernels that are themselves Arrow/numpy-native.
 
-    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+    Scale shape: applyInArrow ships the WHOLE group to one Python
+    worker, so grouping a 5-value key directly would serialize the
+    corpus onto 5 tasks (and OOM them at 100 TB). The kernel therefore
+    runs per (event_type, user_id mod 64) SUB-group — 64-way parallel,
+    bounded state — and a relational second-level rollup merges the
+    partials (sums of sums, max of maxes): the map-side-combine
+    pattern, hand-built at the Python seam. Integer cent sums keep the
+    result summation-order-proof; the oracle is the plain relational
+    aggregate, so kernel + rollup must agree with the engine's own
+    groupBy exactly."""
+    import pyarrow as pa
 
     def stats(table: "pa.Table") -> "pa.Table":
         import pyarrow.compute as pc
@@ -485,7 +491,14 @@ def q_apply_in_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "user_id")
-    return ev.groupBy("event_type").applyInArrow(
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", "user_id", (F.col("user_id") % 64).alias("shard")
+    )
+    partials = ev.groupBy("event_type", "shard").applyInArrow(
         stats, "event_type string, n bigint, sum_cents bigint, max_user bigint"
+    )
+    return partials.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        F.max("max_user").cast("bigint").alias("max_user"),
     )

@@ -708,7 +708,7 @@ def q_resample_linear_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS revenue
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders
 WHERE o_orderstatus = 'O'
 GROUP BY o_orderpriority
@@ -720,14 +720,17 @@ def q_sql_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataflow — the form warehouse users increasingly write and an
     engine claiming the full SQL surface must parse. Catalyst compiles
     it to the identical aggregate; the oracle is the classic spelling,
-    so the two syntaxes are pinned equal."""
+    so the two syntaxes are pinned equal. Revenue sums exact integer
+    cents — a rounded double SUM is summation-order flaky (the class
+    SCALE.md documents), and this corpus adds no new instances of it."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
     return spark.sql(
         """
         FROM orders_pipe_v
         |> WHERE o_orderstatus = 'O'
         |> AGGREGATE COUNT(*) AS n_orders,
-                     ROUND(SUM(o_totalprice), 2) AS revenue
+                     CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
            GROUP BY o_orderpriority
         """
     )
@@ -781,6 +784,7 @@ SELECT (user_id * 7 + LEAST(CAST(FLOOR((epoch(ts) - epoch(TIMESTAMP '2024-01-01 
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(user_id) AS BIGINT) AS sum_user
 FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
 GROUP BY 1
 """,
 )
@@ -795,8 +799,16 @@ def q_scd2_dimension_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     row, the same shape as the as-of join. The synthetic dimension has
     4 versions per user (10-day windows from 2024-01-01, attribute
     tier = (user·7+version) mod 5), so the oracle can verify through
-    an INDEPENDENT closed form instead of replaying the join."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    an INDEPENDENT closed form instead of replaying the join. Events
+    before the first version's validity (the 2024-01-01 fixture epoch)
+    are filtered on BOTH sides — without the filter a pre-epoch event
+    would be NULL-tier in the lookup but negative-tier in the closed
+    form."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+        .select("user_id", "ts")
+    )
     users = ev.select("user_id").distinct()
     dim = users.select(
         "user_id", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k")
@@ -837,7 +849,7 @@ SELECT event_id,
        user_id AS xml_uid,
        event_type AS xml_type
 FROM events
-WHERE event_id % 61 = 0
+WHERE event_id % 61 = 0 AND regexp_matches(event_type, '^[a-z_]+$')
 """,
 )
 def q_csv_xml_parse_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -848,8 +860,14 @@ def q_csv_xml_parse_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SAME values straight from the source columns, so a parser that
     drops, truncates, or mis-types any field hash-fails. (JSON and
     VARIANT have their own suites: json_functions,
-    variant_semistructured.)"""
-    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 61 == 0)
+    variant_semistructured.) The payload synthesis assumes delimiters
+    never occur in event_type; that precondition is FILTERED into the
+    query on both sides (^[a-z_]+$) rather than left as an unasserted
+    coupling to the fixture's current values — a NULL or comma-bearing
+    type would silently shift CSV fields otherwise."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("event_id") % 61 == 0) & F.col("event_type").rlike("^[a-z_]+$")
+    )
     csv_str = F.concat_ws(
         ",",
         F.col("user_id").cast("string"),
@@ -913,7 +931,8 @@ def q_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "file_metadata_provenance",
     survey_ref="§2.1,§2.4",
     oracle="""
-SELECT 'events.parquet' AS file_name,
+SELECT CAST(1 AS BIGINT) AS n_files,
+       'events.parquet' AS first_file,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(event_id) AS BIGINT) AS sum_ids
 FROM events
@@ -927,9 +946,12 @@ def q_file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest. Grouping by file name must reproduce the per-file row
     counts and an exact content checksum — at 100 TB this is the
     query that pinpoints a corrupt upstream partition without
-    rereading the lake."""
+    rereading the lake. The oracle pins the CURRENT fixture layout
+    (exactly one file per table) explicitly via n_files — if the
+    driver ever regenerates fixtures as multi-part datasets this row
+    fails loudly by count, which is the correct tripwire behavior."""
     ev = load_table(spark, sf_dir, "events")
-    return (
+    per_file = (
         ev.select(
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("file_name"),
             "event_id",
@@ -939,6 +961,12 @@ def q_file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.sum("event_id").alias("sum_ids"),
         )
+    )
+    return per_file.agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.min("file_name").alias("first_file"),
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.sum("sum_ids").cast("bigint").alias("sum_ids"),
     )
 
 
@@ -999,7 +1027,7 @@ def q_hash_functions_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.md5(key).alias("h_md5"),
-        F.lower(F.sha2(key, 256)).alias("h_sha256"),
+        F.sha2(key, 256).alias("h_sha256"),
     )
 
 
