@@ -3,6 +3,7 @@ every query into the registry (see ``registry.py``)."""
 
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import (  # noqa: F401
     advanced,
+    analytics_ext,
     dedup,
     kascade,
     ml,

@@ -1,0 +1,350 @@
+"""Analytics extensions, round-4 continuation: OHLC candlesticks,
+time-weighted averages, robust (MAD) outlier detection, Pareto skyline,
+market-basket pair support, and BFS shortest hops — classic warehouse /
+feature-engineering operators the corpus did not yet cover, each with a
+structurally different DuckDB twin.
+
+Cross-engine determinism rules follow ``registry.py``: integer cents
+(``FLOOR(x*100 + 0.5)``), exact epoch-second durations, comparisons on
+exact dyadic values, deterministic tie-breaks on every pick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+
+@register(
+    "ohlc_candlestick",
+    survey_ref="§2.6,§2.8,A4",
+    oracle="""
+WITH t AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, day,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS volume
+FROM t GROUP BY 1, 2
+""",
+)
+def q_ohlc_candlestick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candlestick per event_type — the canonical
+    downsample of a tick stream to bar data (open/high/low/close/
+    volume). Open/close are first/last by (ts, event_id) — picked via
+    two row_number windows over the same (type, day) partitioning, so
+    the sort is reused; high/low are plain MIN/MAX. Every output value
+    is either a count or a RAW input double selected by comparison
+    (no arithmetic), so the result is hash-exact with no rounding at
+    any partitioning. One shuffle on (event_type, day); window state
+    per key is a single counter — at 100 TB the day column keeps
+    partitions bounded regardless of total history length."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts").alias("day")
+    base = ev.select("event_type", day, "ts", "event_id", "value")
+    wa = Window.partitionBy("event_type", "day").orderBy(F.asc("ts"), F.asc("event_id"))
+    wd = Window.partitionBy("event_type", "day").orderBy(F.desc("ts"), F.desc("event_id"))
+    t = base.select(
+        "event_type",
+        "day",
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return t.groupBy("event_type", "day").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+    )
+
+
+@register(
+    "time_weighted_average",
+    survey_ref="§2.6,§2.8",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc,
+         CAST(FLOOR(epoch(LEAD(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id))) AS BIGINT)
+           - CAST(FLOOR(epoch(ts)) AS BIGINT) AS dur_s
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(vc * dur_s) AS BIGINT) AS weighted_cents_s,
+       CAST(SUM(dur_s) AS BIGINT) AS total_s,
+       ROUND(SUM(vc * dur_s) / (100.0 * SUM(dur_s)), 6) AS twa
+FROM seq WHERE dur_s IS NOT NULL
+GROUP BY 1
+""",
+)
+def q_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of ``value`` per event_type — the
+    correct mean for irregularly sampled gauges (each reading holds
+    until the next one), the shape monitoring/IoT rollups and TWAP
+    pricing use. Each interval's weight is its exact integer duration
+    (FLOOR'd epoch seconds, the SCALE.md cross-engine rule) times the
+    integer cent value, so the big SUM is order-independent — exact at
+    ANY partitioning — and the average is one final division. One
+    window (lead) + one partial-aggregated shuffle, both keyed by
+    event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("long")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    seq = ev.select(
+        "event_type",
+        vc.alias("vc"),
+        (F.lead(epoch).over(w) - epoch).alias("dur_s"),
+    ).filter(F.col("dur_s").isNotNull())
+    return seq.groupBy("event_type").agg(
+        F.sum(F.col("vc") * F.col("dur_s")).cast("bigint").alias("weighted_cents_s"),
+        F.sum("dur_s").cast("bigint").alias("total_s"),
+        F.round(
+            F.sum(F.col("vc") * F.col("dur_s")) / (F.lit(100.0) * F.sum("dur_s")), 6
+        ).alias("twa"),
+    )
+
+
+@register(
+    "mad_outlier_events",
+    survey_ref="§2.6,A1",
+    oracle="""
+WITH v AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(vc, 0.5) AS med FROM v GROUP BY 1
+),
+dev AS (
+  SELECT v.event_type, m.med, ABS(v.vc - m.med) AS dev
+  FROM v JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type,
+       ROUND(MAX(d.med) / 100.0, 4) AS median_value,
+       ROUND(MAX(m.mad) / 100.0, 4) AS mad_value,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN d.dev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY 1
+""",
+)
+def q_mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen per event_type: median / MAD (median
+    absolute deviation) with a 3×MAD fence — the heavy-tail-safe
+    alternative to z-scores (``window_zscore_anomaly``) every data-
+    quality pipeline needs, since mean/stddev are themselves dragged
+    by the outliers they're meant to catch. Values are integer cents,
+    so both medians interpolate to exact dyadic (quarter-cent) values
+    and the fence comparison is bit-deterministic cross-engine. Plan:
+    two exact-percentile aggregations on the 5-key type column with a
+    broadcast join back after each — per-type stats are tiny forever,
+    so the joins never shuffle the event side more than the two
+    keyed aggregations already do. At 100 TB swap the exact
+    percentile for percentile_approx at the same seam."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc")
+    )
+    med = v.groupBy("event_type").agg(F.percentile("vc", F.lit(0.5)).alias("med"))
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("vc") - F.col("med")).alias("dev")
+    )
+    mad = dev.groupBy("event_type").agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
+    joined = dev.join(F.broadcast(mad), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.round(F.max("med") / 100.0, 4).alias("median_value"),
+        F.round(F.max("mad") / 100.0, 4).alias("mad_value"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_outliers"),
+    )
+
+
+@register(
+    "skyline_pareto",
+    survey_ref="§2.6,§2.8,A8",
+    oracle="""
+WITH pc AS (
+  SELECT p_partkey, CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c, p_size
+  FROM part
+),
+w AS (
+  SELECT p_partkey, price_c, p_size,
+         MAX(p_size) OVER (ORDER BY price_c
+                           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS strict_max,
+         MAX(p_size) OVER (ORDER BY price_c
+                           RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS tie_max
+  FROM pc
+)
+SELECT p_partkey, price_c, p_size
+FROM w
+WHERE (strict_max IS NULL OR strict_max < p_size) AND p_size = tie_max
+""",
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of ``part`` (minimize price, maximize size):
+    the parts no other part beats on both dimensions — the classic
+    multi-criteria shortlist operator. The naive form is an O(n²)
+    dominance anti-join; the 2-D skyline reduces to prefix-max over
+    the price order, which Spark runs WITHOUT a global single-
+    partition sort: rows bucket by price range, a per-bucket max-size
+    aggregate (hundreds of rows) takes a tiny window for the
+    strictly-lower-bucket running max and broadcasts back, and the
+    within-bucket strict/tie maxima come from range-frame windows
+    PARTITIONED by bucket. Dominated iff a strictly-cheaper part is
+    at least as large, or an equal-priced part is strictly larger.
+    All-integer comparisons (price cents) — hash-exact. The oracle
+    uses single-sort range windows: same semantics, different plan."""
+    p = load_table(spark, sf_dir, "part")
+    pc = p.select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100 + F.lit(0.5)).cast("bigint").alias("price_c"),
+        "p_size",
+    )
+    pc = pc.withColumn("bucket", (F.col("price_c") / F.lit(1000)).cast("bigint"))
+    # per-bucket max size: a few hundred rows at any SF — the window
+    # over it is tiny by construction (documented single-stage on
+    # purpose; the event-scale rows never enter a global sort)
+    bmax = pc.groupBy("bucket").agg(F.max("p_size").alias("bmax"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bmax = bmax.select("bucket", F.max("bmax").over(wb).alias("lower_max"))
+    wi_strict = (
+        Window.partitionBy("bucket").orderBy("price_c").rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wi_tie = Window.partitionBy("bucket").orderBy("price_c").rangeBetween(0, 0)
+    scored = (
+        pc.join(F.broadcast(bmax), "bucket")
+        .select(
+            "p_partkey",
+            "price_c",
+            "p_size",
+            F.greatest(
+                F.coalesce(F.col("lower_max"), F.lit(-1)),
+                F.coalesce(F.max("p_size").over(wi_strict), F.lit(-1)),
+            ).alias("strict_max"),
+            F.max("p_size").over(wi_tie).alias("tie_max"),
+        )
+    )
+    return scored.filter(
+        (F.col("strict_max") < F.col("p_size")) & (F.col("p_size") == F.col("tie_max"))
+    ).select("p_partkey", "price_c", "p_size")
+
+
+@register(
+    "basket_pair_support",
+    survey_ref="§2.7,§2.6,M5:text",
+    oracle="""
+WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+SELECT a.pk AS part_a, b.pk AS part_b, CAST(COUNT(*) AS BIGINT) AS support
+FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+""",
+)
+def q_basket_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket frequent-pair mining over orders: co-occurring
+    part pairs with support ≥ 2 — the candidate-generation step of
+    A-Priori / co-purchase recommendation. The pair join is keyed on
+    l_orderkey (one shuffle), so intermediates are bounded by
+    Σ basket_size² — baskets are ≤7 lines here and bounded in any
+    sane retail schema, which is what makes this shape safe at 100 TB
+    where an unkeyed pair enumeration would be quadratic. The
+    ``p1 < p2`` orientation halves the pair space and canonicalizes
+    pair identity (same trick as the dup-graph triangle count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+    return (
+        pairs.groupBy(
+            F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 2)
+    )
+
+
+# BFS graph: 2-out-regular digraph on the 512 event-id residues
+# (u -> 31u+7 mod 512, u -> 17u+3 mod 512) — every residue class is
+# populated at every SF, reachable diameter 15 from source 0.
+_BFS_N = 512
+_BFS_MAX_HOPS = 20
+
+
+@register(
+    "bfs_shortest_hops",
+    survey_ref="§2.7,§2.10,M5:dedup",
+    oracle=f"""
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT event_id % {_BFS_N} AS u, (event_id % {_BFS_N} * 31 + 7) % {_BFS_N} AS v
+  FROM events
+  UNION
+  SELECT DISTINCT event_id % {_BFS_N}, (event_id % {_BFS_N} * 17 + 3) % {_BFS_N}
+  FROM events
+),
+reach(node, hops) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.v, r.hops + 1
+  FROM reach r JOIN edges e ON e.u = r.node
+  WHERE r.hops < {_BFS_MAX_HOPS}
+)
+SELECT node, CAST(MIN(hops) AS INTEGER) AS hops
+FROM reach GROUP BY node
+""",
+)
+def q_bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest hop counts over a deterministic
+    link graph — the reachability/radius primitive of lineage walks,
+    social-distance features, and crawl-frontier scheduling. Spark
+    form: level-synchronous frontier expansion — per sweep ONE keyed
+    join (frontier ⋈ edges on the node key) and one anti-join against
+    the settled set, lineage cut per sweep, loop exits when the
+    frontier drains (≤ graph diameter sweeps, 15 here). This is the
+    scale-correct BFS: state is (node, hops), partitioned by node; no
+    global collect. The oracle is a DuckDB RECURSIVE CTE — a
+    genuinely different evaluation strategy (semi-naive datalog)
+    checking the same fixpoint. Graph derived from events residues
+    (FIXTURES.md-style deterministic derivation, all residues present
+    at every SF)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (F.col("event_id") % _BFS_N).alias("u")
+    e1 = ev.select(u, (((F.col("event_id") % _BFS_N) * 31 + 7) % _BFS_N).alias("v"))
+    e2 = ev.select(u, (((F.col("event_id") % _BFS_N) * 17 + 3) % _BFS_N).alias("v"))
+    edges = e1.union(e2).distinct().repartition("u").localCheckpoint(eager=True)
+    dist = (
+        spark.range(1)
+        .select(F.lit(0).cast("bigint").alias("node"), F.lit(0).cast("int").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for h in range(1, _BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(h).cast("int").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
