@@ -280,6 +280,137 @@ def q_basket_pair_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Spatial self-join fixture: points scattered over a 997×991 plane by a
+# murmur-style mix (multiply, xor-fold the high half back, multiply
+# again, prime modulus) — the xor fold + prime moduli matter: a plain
+# multiplicative hash mod a composite leaves event-id arithmetic
+# progressions on a near-lattice where every close pair shares one
+# difference vector.
+_SP_R = 12  # pairing radius; grid cell width = radius → 3×3 neighborhood
+
+
+def _scatter_sql(mult1: int, mult2: int, mod: int) -> str:
+    h = f"(event_id * {mult1} % 4294967296)"
+    return f"(xor({h}, {h} // 65536) * {mult2} % 4294967296) % {mod}"
+
+
+@register(
+    "spatial_grid_pair_histogram",
+    survey_ref="§2.7,§2.6,M5:dedup",
+    oracle=f"""
+WITH pts AS (
+  SELECT event_id AS id,
+         {_scatter_sql(2654435761, 49157, 997)} AS x,
+         {_scatter_sql(2246822519, 40503, 991)} AS y
+  FROM events WHERE event_id % 5 = 0
+)
+SELECT (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pts a JOIN pts b
+  ON b.x BETWEEN a.x - {_SP_R} AND a.x + {_SP_R}
+ AND b.y BETWEEN a.y - {_SP_R} AND a.y + {_SP_R}
+ AND a.id < b.id
+WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= {_SP_R * _SP_R}
+GROUP BY 1
+""",
+)
+def q_spatial_grid_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius self-join (all point pairs within distance r) reduced to
+    a squared-distance histogram — the spatial companion of the LSH
+    dedup family and the core of collision detection, geo dedup, and
+    sensor clustering. The scale-correct plan: snap points to r-wide
+    grid cells, EXPLODE each left point to its 3×3 neighbor cells, and
+    equi-join on the cell id — candidate pairs are bounded by local
+    density times 9, never all-pairs; one shuffle keyed on the cell.
+    The ``a.id < b.id`` orientation canonicalizes pairs (each found in
+    exactly one offset). All-integer coordinates → exact d². The
+    oracle is a DuckDB range join (IEJoin) over the raw coordinates —
+    a genuinely different physical strategy for the same predicate."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 5 == 0)
+
+    def scatter(mult1: int, mult2: int, mod: int):
+        h = (F.col("event_id") * mult1) % F.lit(4294967296)
+        mixed = h.bitwiseXOR(F.floor(h / F.lit(65536)).cast("bigint"))
+        return (mixed * mult2 % F.lit(4294967296)) % F.lit(mod)
+
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        scatter(2654435761, 49157, 997).alias("x"),
+        scatter(2246822519, 40503, 991).alias("y"),
+    )
+    r = F.lit(_SP_R)
+    offsets = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    a = pts.select(
+        F.col("id").alias("ia"), F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.explode(offsets).alias("o"),
+    ).select(
+        "ia", "xa", "ya",
+        (F.floor(F.col("xa") / r) + F.col("o.dx")).alias("cx"),
+        (F.floor(F.col("ya") / r) + F.col("o.dy")).alias("cy"),
+    )
+    b = pts.select(
+        F.col("id").alias("ib"), F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.floor(F.col("x") / r).alias("cx"), F.floor(F.col("y") / r).alias("cy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("ia") < F.col("ib")) & (d2 <= _SP_R * _SP_R))
+        .select(d2.alias("d2"))
+        .groupBy("d2")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "repeated_passage_mining",
+    survey_ref="M5:text,M5:dedup,§2.6",
+    oracle="""
+WITH sh AS (
+  SELECT doc_id, substring(text, s, 30) AS sg
+  FROM documents
+  CROSS JOIN UNNEST(range(1, GREATEST(len(text) - 29, 1) + 1, 10)) AS t(s)
+  WHERE len(text) >= 30
+)
+SELECT sg,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_occ
+FROM sh
+GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+""",
+)
+def q_repeated_passage_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage mining: fixed-length character
+    shingles (30 chars, stride 10) that appear in ≥2 distinct
+    documents — the detection half of exact-substring dedup (Lee et
+    al., "Deduplicating Training Data Makes Language Models Better"),
+    which removes verbatim boilerplate MinHash's whole-document
+    granularity misses. Shingling is row-local (sequence + substring
+    HOFs, no UDF), then ONE aggregation keyed by the shingle string:
+    pairs of duplicate docs never materialize — the group-by bounds
+    work by total shingle count, not doc², which is what survives a
+    100 TB corpus where boilerplate passages may occur millions of
+    times. Complements ``decontaminate_overlap`` (train-vs-eval
+    equi-join) and ``doc_repetition_metrics`` (within-doc)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 30)
+    positions = F.sequence(F.lit(1), F.greatest(F.length("text") - 29, F.lit(1)), F.lit(10))
+    sh = d.select(
+        "doc_id",
+        F.explode(F.transform(positions, lambda s: F.substring(F.col("text"), s, F.lit(30)))).alias("sg"),
+    )
+    return (
+        sh.groupBy("sg")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
 # BFS graph: 2-out-regular digraph on the 512 event-id residues
 # (u -> 31u+7 mod 512, u -> 17u+3 mod 512) — every residue class is
 # populated at every SF, reachable diameter 15 from source 0.
