@@ -411,6 +411,145 @@ def q_repeated_passage_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- integer Lloyd's k-means ------------------------------------------------
+_KM_K, _KM_T, _KM_D = 4, 2, 64
+
+
+def _km_assign_cte(prev_c: str, pts: str = "pts") -> str:
+    d2 = (
+        f"list_sum(list_transform(range(1, {_KM_D + 1}), "
+        f"i -> (p.x[i]-c.c[i])*(p.x[i]-c.c[i])))"
+    )
+    return f"""(
+  SELECT vec_id, x, cl, d2 FROM (
+    SELECT p.vec_id, p.x, c.cl, {d2} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY {d2}, c.cl) AS rn
+    FROM {pts} p CROSS JOIN {prev_c} c
+  ) WHERE rn = 1
+)"""
+
+
+def _km_oracle() -> str:
+    sql = f"""
+WITH pts AS (
+  SELECT vec_id,
+         list_transform(embedding, e -> CAST(FLOOR(CAST(e AS DOUBLE)*1000 + 0.5) AS BIGINT)) AS x
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cl, x AS c
+  FROM (SELECT vec_id, x FROM pts ORDER BY vec_id LIMIT {_KM_K})
+)"""
+    for t in range(1, _KM_T + 1):
+        sql += f""",
+a{t} AS {_km_assign_cte(f'c{t - 1}')},
+s{t} AS (
+  SELECT cl, r.i AS i, CAST(FLOOR(CAST(SUM(x[r.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS ci
+  FROM a{t} CROSS JOIN UNNEST(range(1, {_KM_D + 1})) AS r(i)
+  GROUP BY cl, r.i
+),
+c{t} AS (SELECT cl, list(ci ORDER BY i) AS c FROM s{t} GROUP BY cl)"""
+    sql += f""",
+fin AS {_km_assign_cte(f'c{_KM_T}')}
+SELECT f.cl, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(f.d2) AS BIGINT) AS inertia,
+       CAST(MAX(list_sum(list_transform(c.c, v -> ABS(v)))) AS BIGINT) AS centroid_l1
+FROM fin f JOIN c{_KM_T} c ON c.cl = f.cl
+GROUP BY 1
+"""
+    return sql
+
+
+@register(
+    "kmeans_lloyd_integer",
+    survey_ref="M4,A1,§2.6,M5:ann",
+    oracle=_km_oracle(),
+)
+def q_kmeans_lloyd_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (K=4, 2 update sweeps + final
+    assignment) over the embedding corpus, BIT-EXACT cross-engine:
+    vectors quantize to integer milliunits, distances are exact
+    integer sums, and centroid updates floor the per-dim mean through
+    one exact double division — so a *clustering algorithm* passes a
+    byte-level hash gate, which float k-means (summation-order
+    dependent) never could. The layout is MLlib's own: centroids live
+    on the DRIVER (K·D = 256 ints — metadata, same license as the IVF
+    cell fetch in ``queries/advanced.py``), assignment is a pure
+    column expression against centroid literals (NO shuffle, no
+    crossJoin), and each sweep's only shuffle is the K·D-row partial
+    aggregate of per-cluster per-dim sums. Per-sweep cost at 100 TB:
+    one map-side-combined aggregation, exactly like
+    ``KMeans.fit``'s ``treeAggregate``. Init = the K lowest vec_ids
+    (k-means‖ would slot in the same seam). The DuckDB oracle
+    recomputes every sweep relationally (cross join + window argmin +
+    per-dim regrouping) — a different plan for the same fixpoint.
+    Empty clusters drop out of the centroid relation identically in
+    both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * 1000 + F.lit(0.5)).cast("bigint"),
+        ).alias("x"),
+    ).localCheckpoint(eager=True)  # scanned T+2 times: quantize once
+
+    seeds = pts.orderBy("vec_id").limit(_KM_K).collect()
+    # (cluster label, centroid) pairs — labels survive empty clusters
+    cl_ids: list[int] = list(range(_KM_K))
+    cents: list[list[int]] = [list(r["x"]) for r in seeds]
+
+    def dist_cols(cent_list: list[list[int]]):
+        out = []
+        for c in cent_list:
+            diff = F.zip_with(
+                F.col("x"),
+                F.array(*[F.lit(int(v)).cast("bigint") for v in c]),
+                lambda a, b: (a - b) * (a - b),
+            )
+            out.append(F.aggregate(diff, F.lit(0).cast("bigint"), lambda acc, v: acc + v))
+        return out
+
+    def assign_expr():
+        """cluster label of the nearest centroid (ties → lowest label;
+        dist_cols follow ascending cl_ids order, and array_position
+        picks the FIRST minimum, so the tie-break matches the oracle's
+        ORDER BY d2, cl)."""
+        ds = F.array(*dist_cols(cents))
+        labels = F.array(*[F.lit(int(c)).cast("int") for c in cl_ids])
+        pos = F.array_position(ds, F.array_min(ds))
+        return F.element_at(labels, pos.cast("int")).alias("cl"), F.array_min(ds).alias("d2")
+
+    import math
+
+    for _t in range(_KM_T):
+        cl_col, _ = assign_expr()
+        sums = (
+            pts.select(cl_col, F.posexplode("x").alias("i", "v"))
+            .groupBy("cl", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cl: dict[int, dict[int, int]] = {}
+        for r in sums:
+            by_cl.setdefault(r["cl"], {})[r["i"]] = int(
+                math.floor(float(r["s"]) / r["n"])
+            )
+        cl_ids = sorted(by_cl)
+        cents = [[by_cl[cl][i] for i in range(_KM_D)] for cl in cl_ids]
+
+    cl_col, d2_col = assign_expr()
+    fin = pts.select(cl_col, d2_col)
+    l1_pairs = F.map_from_arrays(
+        F.array(*[F.lit(int(c)).cast("int") for c in cl_ids]),
+        F.array(*[F.lit(int(sum(abs(v) for v in c))).cast("bigint") for c in cents]),
+    )
+    return fin.groupBy("cl").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d2").cast("bigint").alias("inertia"),
+        F.max(F.element_at(l1_pairs, F.col("cl"))).cast("bigint").alias("centroid_l1"),
+    )
+
+
 # BFS graph: 2-out-regular digraph on the 512 event-id residues
 # (u -> 31u+7 mod 512, u -> 17u+3 mod 512) — every residue class is
 # populated at every SF, reachable diameter 15 from source 0.
