@@ -1,0 +1,159 @@
+"""Structural invariants for the analytics_ext operators — checked
+against brute-force recomputation in plain Python at sf0.001,
+independent of the DuckDB oracle (SURVEY §5.2 model: the oracle pins
+cross-engine equality, these pin the SEMANTICS)."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pyspark.sql.functions as F
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import analytics_ext as ax
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+_Q = corpus()
+
+
+def test_skyline_is_exactly_the_undominated_set(spark, sf_dir):
+    """Every skyline member is undominated and every non-member is
+    dominated — brute force over the full part relation."""
+    parts = [
+        (r["p_partkey"], int(math.floor(r["p_retailprice"] * 100 + 0.5)), r["p_size"])
+        for r in load_table(spark, sf_dir, "part").collect()
+    ]
+    def dominated(p):
+        return any(
+            q[1] <= p[1] and q[2] >= p[2] and (q[1] < p[1] or q[2] > p[2])
+            for q in parts
+        )
+    expect = {(k, pc, sz) for (k, pc, sz) in parts if not dominated((k, pc, sz))}
+    got = {
+        (r["p_partkey"], r["price_c"], r["p_size"])
+        for r in _Q["skyline_pareto"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_bfs_hops_are_a_valid_shortest_hop_labeling(spark, sf_dir):
+    """BFS output: source at 0; every hop-h node has a predecessor at
+    h-1; no edge crosses from a settled node to an unsettled one
+    (closure is complete); hop counts never skip a level."""
+    rows = _Q["bfs_shortest_hops"].fn(spark, sf_dir).collect()
+    hops = {r["node"]: r["hops"] for r in rows}
+    assert hops[0] == 0
+    n = ax._BFS_N
+    edges = defaultdict(set)
+    for u in range(n):
+        edges[u].add((u * 31 + 7) % n)
+        edges[u].add((u * 17 + 3) % n)
+    for node, h in hops.items():
+        if h > 0:
+            assert any(
+                hops.get(p) == h - 1 and node in edges[p] for p in hops
+            ), f"node {node} at hop {h} has no hop-{h-1} predecessor"
+    for u in hops:
+        for v in edges[u]:
+            assert v in hops, f"reachable node {v} missing from closure"
+            assert hops[v] <= hops[u] + 1, "hop labels skip a level"
+
+
+def test_spatial_histogram_matches_brute_force(spark, sf_dir):
+    """The grid-bucketed pair histogram equals the all-pairs brute
+    force on the same scattered points."""
+    def scatter(eid, m1, m2, mod):
+        h = eid * m1 % 4294967296
+        return ((h ^ (h // 65536)) * m2 % 4294967296) % mod
+    ids = [
+        r["event_id"]
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 5 == 0)
+        .select("event_id")
+        .collect()
+    ]
+    pts = [(scatter(i, 2654435761, 49157, 997), scatter(i, 2246822519, 40503, 991)) for i in ids]
+    expect: dict[int, int] = defaultdict(int)
+    r2 = ax._SP_R * ax._SP_R
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            d2 = (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2
+            if d2 <= r2:
+                expect[d2] += 1
+    got = {
+        r["d2"]: r["n_pairs"]
+        for r in _Q["spatial_grid_pair_histogram"].fn(spark, sf_dir).collect()
+    }
+    assert got == dict(expect)
+
+
+def test_basket_pairs_are_oriented_and_supported(spark, sf_dir):
+    rows = _Q["basket_pair_support"].fn(spark, sf_dir).collect()
+    assert rows, "no frequent pairs — weak fixture"
+    baskets = defaultdict(set)
+    for r in (
+        load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    ):
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        true_support = sum(
+            1 for b in baskets.values() if r["part_a"] in b and r["part_b"] in b
+        )
+        assert true_support == r["support"] >= 2
+
+
+def test_ohlc_bars_are_internally_consistent(spark, sf_dir):
+    rows = _Q["ohlc_candlestick"].fn(spark, sf_dir).collect()
+    assert rows
+    total = 0
+    for r in rows:
+        assert r["low"] <= min(r["open"], r["close"]) <= max(r["open"], r["close"]) <= r["high"]
+        assert r["volume"] >= 1
+        total += r["volume"]
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_time_weighted_average_is_bounded_by_value_range(spark, sf_dir):
+    rows = _Q["time_weighted_average"].fn(spark, sf_dir).collect()
+    bounds = {
+        r["event_type"]: (r["lo"], r["hi"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        lo, hi = bounds[r["event_type"]]
+        assert lo - 0.01 <= r["twa"] <= hi + 0.01
+        assert r["total_s"] > 0
+
+
+def test_mad_outliers_are_a_strict_minority(spark, sf_dir):
+    for r in _Q["mad_outlier_events"].fn(spark, sf_dir).collect():
+        assert r["mad_value"] >= 0
+        # by definition of the median fence, >50% of points sit within
+        # 1 MAD, so the 3-MAD fence can never flag a majority
+        assert r["n_outliers"] < r["n"] / 2
+
+
+def test_kmeans_partitions_all_points_into_k_clusters(spark, sf_dir):
+    rows = _Q["kmeans_lloyd_integer"].fn(spark, sf_dir).collect()
+    n_emb = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n"] for r in rows) == n_emb
+    assert len(rows) == ax._KM_K
+    assert all(r["inertia"] >= 0 for r in rows)
+
+
+def test_repeated_passages_really_repeat(spark, sf_dir):
+    """Every mined shingle occurs in ≥2 distinct documents' text."""
+    rows = _Q["repeated_passage_mining"].fn(spark, sf_dir).limit(20).collect()
+    assert rows
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    for r in rows:
+        holders = {d for d, t in docs if r["sg"] in t}
+        assert len(holders) >= r["n_docs"] >= 2
