@@ -411,6 +411,134 @@ def q_repeated_passage_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "global_row_index",
+    survey_ref="§2.8,§2.9,X4",
+    oracle="""
+SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS idx
+FROM documents
+""",
+)
+def q_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable global row numbering (zipWithIndex-at-scale): assign each
+    document its 1-based rank in doc_id order WITHOUT the
+    single-partition global-sort window that a naive
+    ``row_number() OVER (ORDER BY ...)`` plans, and without
+    ``monotonically_increasing_id`` (whose values depend on physical
+    partitioning). Two-phase: rows bucket by key range, a per-bucket
+    count aggregate (hundreds of rows) takes a tiny prefix-sum window
+    and broadcasts offsets back, and ranks come from a window
+    PARTITIONED by bucket — the same decomposition Spark's own
+    zipWithIndex uses (per-partition counts → offsets), expressed
+    declaratively. The primitive every training-data shard writer
+    needs for stable example ids."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = d.withColumn("bucket", (F.col("doc_id") / F.lit(64)).cast("bigint"))
+    counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(wb), F.lit(0)).alias("offset")
+    )
+    wi = Window.partitionBy("bucket").orderBy("doc_id")
+    return (
+        d.join(F.broadcast(offsets), "bucket")
+        .select("doc_id", (F.col("offset") + F.row_number().over(wi)).alias("idx"))
+    )
+
+
+@register(
+    "seasonal_hour_baseline",
+    survey_ref="§2.6,§2.8,A1",
+    oracle="""
+WITH v AS (
+  SELECT event_type, EXTRACT(hour FROM ts) AS hod,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+),
+stats AS (
+  SELECT event_type, hod,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vc) AS BIGINT) AS s,
+         CAST(SUM(vc * vc) AS BIGINT) AS sq
+  FROM v GROUP BY 1, 2
+)
+SELECT v.event_type, CAST(v.hod AS INTEGER) AS hod,
+       MAX(st.n) AS n,
+       CAST(FLOOR(MAX(st.s) * 100.0 / MAX(st.n) + 0.5) AS BIGINT) / 10000.0 AS baseline,
+       CAST(SUM(CASE WHEN (v.vc * st.n - st.s) * (v.vc * st.n - st.s)
+                          > 4 * (st.n * st.sq - st.s * st.s)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous
+FROM v JOIN stats st USING (event_type, hod)
+GROUP BY 1, 2
+""",
+)
+def q_seasonal_hour_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal (hour-of-day) baseline + 2σ anomaly counts per
+    event_type — the monitoring pattern that beats a global z-score
+    (``window_zscore_anomaly``) on strongly diurnal metrics: each
+    observation is judged against ITS OWN hour's distribution. The 2σ
+    fence is evaluated in cross-multiplied integer form
+    ((vc·n − s)² > 4(n·sq − s²), all exact BIGINTs — no sqrt, no
+    float σ), so anomaly counts are bit-deterministic at any
+    partitioning. One sufficient-stats aggregation on the bounded
+    (type, hour) key, broadcast back, one counting pass."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
+    )
+    stats = v.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("sq"),
+    )
+    j = v.join(F.broadcast(stats), ["event_type", "hod"])
+    dev = F.col("vc") * F.col("n") - F.col("s")
+    fence = dev * dev > 4 * (F.col("n") * F.col("sq") - F.col("s") * F.col("s"))
+    return j.groupBy("event_type", "hod").agg(
+        F.max("n").cast("bigint").alias("n"),
+        (
+            F.floor(F.max("s") * F.lit(100.0) / F.max("n") + F.lit(0.5)).cast("bigint")
+            / F.lit(10000.0)
+        ).alias("baseline"),
+        F.sum(F.when(fence, 1).otherwise(0)).cast("bigint").alias("n_anomalous"),
+    )
+
+
+@register(
+    "cumulative_distinct_users",
+    survey_ref="§2.6,§2.8",
+    oracle="""
+WITH f AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS day FROM events GROUP BY 1
+),
+d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY 1)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM d
+""",
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-curve query that
+    naively needs COUNT(DISTINCT) over an ever-growing prefix per day
+    (quadratic re-scans). The scale form: distinct collapses to each
+    user's FIRST-SEEN day (one keyed aggregation over users), daily
+    new-user counts follow, and the running total is a window over the
+    ~30-row daily series — incremental-materialization friendly, since
+    yesterday's curve never changes. Same first-touch decomposition
+    every funnel/growth pipeline uses."""
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("day"))
+    d = f.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return d.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
 # --- integer Lloyd's k-means ------------------------------------------------
 _KM_K, _KM_T, _KM_D = 4, 2, 64
 

@@ -394,3 +394,36 @@ def q_stream_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFram
         daily, "stream_chained_rollup_sink", output_mode="append", state_partitions=8
     )
     return spark.table("stream_chained_rollup_sink")
+
+
+@register(
+    "stream_ohlc_candlestick",
+    survey_ref="§2.11,§2.6",
+    oracle="""
+WITH t AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT day, event_type,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       CAST(COUNT(*) AS BIGINT) AS volume
+FROM t GROUP BY 1, 2
+""",
+)
+def q_stream_ohlc_candlestick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candlestick — the incremental form of
+    ``ohlc_candlestick``: min_by/max_by on the unique (ts, event_id)
+    struct give open/close with O(1) state per bar instead of the
+    batch row_number sort, so a month of bars is maintained live as
+    ticks arrive. Replay-equivalence: the drained stream must equal
+    the batch window computation (same oracle shape)."""
+    ev = core.read_events_stream(spark, sf_dir)
+    core.run_to_memory(core.daily_ohlc(ev), "stream_ohlc_sink", state_partitions=8)
+    return spark.table("stream_ohlc_sink")

@@ -209,3 +209,34 @@ def drain_foreach_batch_to_parquet(
     )
     q.awaitTermination()
     q.stop()
+
+
+def daily_ohlc(events: DataFrame) -> DataFrame:
+    """Streaming daily OHLC bars per event_type: open/close via
+    ``min_by``/``max_by`` on the (ts, event_id) struct key — both are
+    incremental aggregates (state = one candidate row per bar), so the
+    candlestick maintains itself per micro-batch with no sort, and the
+    (ts, event_id) key is globally unique, making the pick
+    deterministic under any batch interleaving. The 1-day tumbling
+    window in the UTC session zone makes bar boundaries identical to
+    the batch ``CAST(ts AS DATE)`` grouping."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .select(
+            F.to_date(F.col("w.start")).alias("day"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+    )
