@@ -684,6 +684,33 @@ def q_kmeans_lloyd_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BFS_N = 512
 _BFS_MAX_HOPS = 20
 
+_EDGES_SQL = f"""edges AS (
+  SELECT u, v, 1 + (u + v) % 7 AS w FROM (
+    SELECT DISTINCT event_id % {_BFS_N} AS u, (event_id % {_BFS_N} * 31 + 7) % {_BFS_N} AS v
+    FROM events
+    UNION
+    SELECT DISTINCT event_id % {_BFS_N}, (event_id % {_BFS_N} * 17 + 3) % {_BFS_N}
+    FROM events
+  )
+)"""
+
+
+def _residue_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic residue digraph with integer edge weights
+    w(u,v) = 1 + (u+v) mod 7, pre-partitioned on the join key and
+    lineage-cut (reused every sweep by the BFS / Bellman-Ford loops)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = (F.col("event_id") % _BFS_N).alias("u")
+    e1 = ev.select(u, (((F.col("event_id") % _BFS_N) * 31 + 7) % _BFS_N).alias("v"))
+    e2 = ev.select(u, (((F.col("event_id") % _BFS_N) * 17 + 3) % _BFS_N).alias("v"))
+    return (
+        e1.union(e2)
+        .distinct()
+        .select("u", "v", (1 + (F.col("u") + F.col("v")) % 7).alias("w"))
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+
 
 @register(
     "bfs_shortest_hops",
@@ -721,11 +748,7 @@ def q_bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     checking the same fixpoint. Graph derived from events residues
     (FIXTURES.md-style deterministic derivation, all residues present
     at every SF)."""
-    ev = load_table(spark, sf_dir, "events")
-    u = (F.col("event_id") % _BFS_N).alias("u")
-    e1 = ev.select(u, (((F.col("event_id") % _BFS_N) * 31 + 7) % _BFS_N).alias("v"))
-    e2 = ev.select(u, (((F.col("event_id") % _BFS_N) * 17 + 3) % _BFS_N).alias("v"))
-    edges = e1.union(e2).distinct().repartition("u").localCheckpoint(eager=True)
+    edges = _residue_edges(spark, sf_dir)
     dist = (
         spark.range(1)
         .select(F.lit(0).cast("bigint").alias("node"), F.lit(0).cast("int").alias("hops"))
@@ -745,4 +768,62 @@ def q_bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         dist = dist.union(nxt).localCheckpoint(eager=True)
         frontier = nxt
+    return dist
+
+
+_BF_COST_BOUND = 80  # > max min-cost (47) — verified in tests
+
+
+@register(
+    "bellman_ford_min_cost",
+    survey_ref="§2.7,§2.10,M5:dedup",
+    oracle=f"""
+WITH RECURSIVE {_EDGES_SQL},
+paths(node, cost) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+  UNION
+  SELECT e.v, p.cost + e.w
+  FROM paths p JOIN edges e ON e.u = p.node
+  WHERE p.cost + e.w <= {_BF_COST_BOUND}
+)
+SELECT node, CAST(MIN(cost) AS BIGINT) AS cost
+FROM paths GROUP BY node
+""",
+)
+def q_bellman_ford_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source WEIGHTED shortest paths (Bellman-Ford) over the
+    residue digraph with integer edge weights 1+(u+v) mod 7 — the
+    cost-aware sibling of ``bfs_shortest_hops`` (routing cost, ETL
+    dependency latency, cheapest-join-path planning). Spark form:
+    relaxation sweeps — per sweep ONE keyed join (settled ⋈ edges),
+    a min-combine per node, and a convergence check (anti-join on
+    improved labels), lineage cut per sweep; terminates in at most
+    |longest optimal path| sweeps. Integer costs → bit-exact minima.
+    The DuckDB oracle explores the bounded-cost path space with a
+    RECURSIVE CTE (bound {_BF_COST_BOUND} > max optimal cost 47, so
+    no optimal path is pruned — margin asserted by the property
+    test) and takes MIN per node: semi-naive datalog vs iterative
+    relaxation, same fixpoint."""
+    edges = _residue_edges(spark, sf_dir)
+    dist = (
+        spark.range(1)
+        .select(F.lit(0).cast("bigint").alias("node"), F.lit(0).cast("bigint").alias("cost"))
+        .localCheckpoint(eager=True)
+    )
+    for _sweep in range(2 * _BFS_MAX_HOPS):
+        relaxed = (
+            dist.join(edges, dist["node"] == edges["u"])
+            .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        nxt = (
+            dist.union(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        # converged when no label improved (new frame ⊆ old frame)
+        improved = nxt.join(dist, ["node", "cost"], "left_anti").limit(1).count()
+        dist = nxt
+        if improved == 0:
+            break
     return dist

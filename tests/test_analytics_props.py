@@ -157,3 +157,29 @@ def test_repeated_passages_really_repeat(spark, sf_dir):
     for r in rows:
         holders = {d for d, t in docs if r["sg"] in t}
         assert len(holders) >= r["n_docs"] >= 2
+
+
+def test_bellman_ford_labels_satisfy_triangle_inequality(spark, sf_dir):
+    """Min-cost labels: source 0; every label is tight (achieved via
+    some in-edge) and no edge can relax further; the oracle's cost
+    bound leaves margin above the true maximum."""
+    rows = _Q["bellman_ford_min_cost"].fn(spark, sf_dir).collect()
+    cost = {r["node"]: r["cost"] for r in rows}
+    assert cost[0] == 0
+    n = ax._BFS_N
+    edges = {}
+    for u in range(n):
+        for v in ((u * 31 + 7) % n, (u * 17 + 3) % n):
+            w = 1 + (u + v) % 7
+            edges.setdefault(u, {})[v] = min(edges.get(u, {}).get(v, w), w)
+    for u, c in cost.items():
+        for v, w in edges[u].items():
+            assert cost[v] <= c + w, f"edge {u}->{v} can still relax"
+        if c > 0:
+            assert any(
+                cost.get(p) is not None and v == u and cost[p] + w == c
+                for p in cost
+                for v, w in edges[p].items()
+            ), f"label of {u} not achieved by any in-edge"
+    assert max(cost.values()) + max(w for d in edges.values() for w in d.values()) \
+        <= ax._BF_COST_BOUND, "oracle cost bound has no safety margin"
