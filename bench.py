@@ -63,6 +63,13 @@ HEADLINE = [
     "image_phash_neardup",
     "pq_adc_topk",
     "pagerank_mass",
+    "bfs_shortest_hops",
+    "bellman_ford_min_cost",
+    "spatial_grid_pair_histogram",
+    "repeated_passage_mining",
+    "basket_pair_support",
+    "kmeans_lloyd_integer",
+    "skyline_pareto",
     "session_window_batch",
     "stream_tumbling_counts",
     "stream_stream_join",

@@ -14,8 +14,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from contextlib import contextmanager
+
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+
+@contextmanager
+def _loop_shuffle(spark: SparkSession, n: int):
+    """Pin spark.sql.shuffle.partitions for an iterative driver loop
+    whose per-sweep state is a few hundred rows: every sweep launches
+    jobs, and at fixture scale 32 near-empty shuffle tasks per job are
+    pure scheduling overhead (the same sizing rule as
+    ``streaming.core.run_to_memory``'s ``state_partitions``). A real
+    cluster sizes this to state volume instead — the loop SHAPE
+    (keyed join + partial agg per sweep) is what scales, not the
+    partition count."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 @register(
@@ -637,26 +657,35 @@ def q_kmeans_lloyd_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(F.aggregate(diff, F.lit(0).cast("bigint"), lambda acc, v: acc + v))
         return out
 
-    def assign_expr():
-        """cluster label of the nearest centroid (ties → lowest label;
-        dist_cols follow ascending cl_ids order, and array_position
-        picks the FIRST minimum, so the tie-break matches the oracle's
-        ORDER BY d2, cl)."""
-        ds = F.array(*dist_cols(cents))
+    def assigned_frame():
+        """(x, cl, d2) with the distance array STAGED in its own
+        projection: ``ds`` feeds both array_min and array_position,
+        and downstream Generate/aggregate nodes block projection
+        collapse, so without the stage the 4 fold expressions would
+        interpret twice per row (the expression-recompute trap —
+        measured 8× on the sweep). Ties → lowest label: dist_cols
+        follow ascending cl_ids order and array_position picks the
+        FIRST minimum, matching the oracle's ORDER BY d2, cl."""
+        staged = pts.select("x", F.array(*dist_cols(cents)).alias("ds"))
         labels = F.array(*[F.lit(int(c)).cast("int") for c in cl_ids])
-        pos = F.array_position(ds, F.array_min(ds))
-        return F.element_at(labels, pos.cast("int")).alias("cl"), F.array_min(ds).alias("d2")
+        pos = F.array_position(F.col("ds"), F.array_min("ds"))
+        return staged.select(
+            "x",
+            F.element_at(labels, pos.cast("int")).alias("cl"),
+            F.array_min("ds").alias("d2"),
+        )
 
     import math
 
     for _t in range(_KM_T):
-        cl_col, _ = assign_expr()
-        sums = (
-            pts.select(cl_col, F.posexplode("x").alias("i", "v"))
-            .groupBy("cl", "i")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        with _loop_shuffle(spark, 8):
+            sums = (
+                assigned_frame()
+                .select("cl", F.posexplode("x").alias("i", "v"))
+                .groupBy("cl", "i")
+                .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
         by_cl: dict[int, dict[int, int]] = {}
         for r in sums:
             by_cl.setdefault(r["cl"], {})[r["i"]] = int(
@@ -665,8 +694,7 @@ def q_kmeans_lloyd_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         cl_ids = sorted(by_cl)
         cents = [[by_cl[cl][i] for i in range(_KM_D)] for cl in cl_ids]
 
-    cl_col, d2_col = assign_expr()
-    fin = pts.select(cl_col, d2_col)
+    fin = assigned_frame().select("cl", "d2")
     l1_pairs = F.map_from_arrays(
         F.array(*[F.lit(int(c)).cast("int") for c in cl_ids]),
         F.array(*[F.lit(int(sum(abs(v) for v in c))).cast("bigint") for c in cents]),
@@ -748,26 +776,29 @@ def q_bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     checking the same fixpoint. Graph derived from events residues
     (FIXTURES.md-style deterministic derivation, all residues present
     at every SF)."""
+    # edge dedup is event-scale — build it at full parallelism, BEFORE
+    # pinning the loop's state-partition count
     edges = _residue_edges(spark, sf_dir)
-    dist = (
-        spark.range(1)
-        .select(F.lit(0).cast("bigint").alias("node"), F.lit(0).cast("int").alias("hops"))
-        .localCheckpoint(eager=True)
-    )
-    frontier = dist
-    for h in range(1, _BFS_MAX_HOPS + 1):
-        nxt = (
-            frontier.join(edges, frontier["node"] == edges["u"])
-            .select(F.col("v").alias("node"))
-            .distinct()
-            .join(dist, "node", "left_anti")
-            .select("node", F.lit(h).cast("int").alias("hops"))
+    with _loop_shuffle(spark, 4):
+        dist = (
+            spark.range(1)
+            .select(F.lit(0).cast("bigint").alias("node"), F.lit(0).cast("int").alias("hops"))
             .localCheckpoint(eager=True)
         )
-        if nxt.isEmpty():
-            break
-        dist = dist.union(nxt).localCheckpoint(eager=True)
-        frontier = nxt
+        frontier = dist
+        for h in range(1, _BFS_MAX_HOPS + 1):
+            nxt = (
+                frontier.join(edges, frontier["node"] == edges["u"])
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(dist, "node", "left_anti")
+                .select("node", F.lit(h).cast("int").alias("hops"))
+                .localCheckpoint(eager=True)
+            )
+            if nxt.isEmpty():
+                break
+            dist = dist.union(nxt).localCheckpoint(eager=True)
+            frontier = nxt
     return dist
 
 
@@ -796,34 +827,43 @@ def q_bellman_ford_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost-aware sibling of ``bfs_shortest_hops`` (routing cost, ETL
     dependency latency, cheapest-join-path planning). Spark form:
     relaxation sweeps — per sweep ONE keyed join (settled ⋈ edges),
-    a min-combine per node, and a convergence check (anti-join on
-    improved labels), lineage cut per sweep; terminates in at most
+    a min-combine per node, and an O(1)-row convergence check (labels
+    only improve, so the (node count, Σcost) signature is a strictly
+    decreasing measure), lineage cut per sweep; terminates in at most
     |longest optimal path| sweeps. Integer costs → bit-exact minima.
     The DuckDB oracle explores the bounded-cost path space with a
     RECURSIVE CTE (bound {_BF_COST_BOUND} > max optimal cost 47, so
     no optimal path is pruned — margin asserted by the property
     test) and takes MIN per node: semi-naive datalog vs iterative
     relaxation, same fixpoint."""
-    edges = _residue_edges(spark, sf_dir)
-    dist = (
-        spark.range(1)
-        .select(F.lit(0).cast("bigint").alias("node"), F.lit(0).cast("bigint").alias("cost"))
-        .localCheckpoint(eager=True)
-    )
-    for _sweep in range(2 * _BFS_MAX_HOPS):
-        relaxed = (
-            dist.join(edges, dist["node"] == edges["u"])
-            .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
-        )
-        nxt = (
-            dist.union(relaxed)
-            .groupBy("node")
-            .agg(F.min("cost").alias("cost"))
+    edges = _residue_edges(spark, sf_dir)  # event-scale dedup: full parallelism
+    with _loop_shuffle(spark, 4):
+        dist = (
+            spark.range(1)
+            .select(F.lit(0).cast("bigint").alias("node"), F.lit(0).cast("bigint").alias("cost"))
             .localCheckpoint(eager=True)
         )
-        # converged when no label improved (new frame ⊆ old frame)
-        improved = nxt.join(dist, ["node", "cost"], "left_anti").limit(1).count()
-        dist = nxt
-        if improved == 0:
-            break
+        # labels only ever improve, so (n_nodes, Σcost) is a strictly
+        # decreasing convergence measure: count grows on discovery, the
+        # sum strictly drops on any relaxation — one tiny aggregate per
+        # sweep instead of an anti-join action
+        prev_sig = (1, 0)
+        for _sweep in range(2 * _BFS_MAX_HOPS):
+            relaxed = (
+                dist.join(edges, dist["node"] == edges["u"])
+                .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+            )
+            dist = (
+                dist.union(relaxed)
+                .groupBy("node")
+                .agg(F.min("cost").alias("cost"))
+                .localCheckpoint(eager=True)
+            )
+            row = dist.agg(
+                F.count(F.lit(1)).alias("n"), F.sum("cost").alias("s")
+            ).collect()[0]
+            sig = (row["n"], row["s"])
+            if sig == prev_sig:
+                break
+            prev_sig = sig
     return dist
