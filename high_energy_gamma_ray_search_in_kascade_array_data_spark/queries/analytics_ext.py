@@ -867,3 +867,103 @@ def q_bellman_ford_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
                 break
             prev_sig = sig
     return dist
+
+
+@register(
+    "set_similarity_prefix_join",
+    survey_ref="M5:dedup,§2.7,§2.8",
+    oracle="""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(l3) AS tok FROM (
+    SELECT doc_id, [l[x] || ' ' || l[x+1] || ' ' || l[x+2] FOR x IN range(1, len(l)-1)] AS l3
+    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents) WHERE len(l) >= 3
+  )
+),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id, t.tok,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS r,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+  FROM toks t JOIN dfreq d USING (tok)
+),
+prefix AS (SELECT doc_id, tok FROM ranked WHERE r <= n - CEIL(n / 2.0) + 1),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1)
+SELECT doc_a, doc_b,
+       CAST(i AS BIGINT) AS n_common,
+       ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 3 * i >= sa.n + sb.n
+""",
+)
+def q_set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (Jaccard ≥ 0.5 on 3-word
+    shingle sets) via AllPairs/PPJoin prefix filtering (Bayardo et
+    al., WWW'07; Xiao et al., WWW'08) — the deterministic complement
+    of the MinHash-LSH family (``operators/dedup.py``): LSH is
+    probabilistic recall, the prefix filter is LOSSLESS. Tokens order
+    globally by ascending document frequency (rarest first); each
+    set's prefix is its first |s| − ⌈t·|s|⌉ + 1 tokens, and any pair
+    with Jaccard ≥ t MUST collide in both prefixes — so the join is
+    keyed on prefix tokens (bounded candidates, no all-pairs), then
+    verified by counting full-set intersections FOR CANDIDATES ONLY.
+    The ≥ t test is the integer predicate 3·|∩| ≥ |a|+|b| (t = 1/2) —
+    no float threshold, bit-exact. Shuffles: token-keyed df count,
+    per-doc rank window (partitioned by doc), prefix equi-join,
+    candidate-keyed verification joins. At 100 TB the df dictionary
+    broadcast and the rarest-first ordering are what keep prefix
+    buckets shallow."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.dedup import doc_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = doc_tokens(docs, shingle=3).localCheckpoint(eager=True)  # reused 4×
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    wr = Window.partitionBy("doc_id").orderBy("df", "tok")
+    wn = Window.partitionBy("doc_id")
+    ranked = toks.join(F.broadcast(dfreq), "tok").select(
+        "doc_id",
+        "tok",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("r") <= F.col("n") - F.ceil(F.col("n") / 2.0) + 1
+    ).select("doc_id", "tok")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(3 * F.col("i") >= F.col("na") + F.col("nb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").cast("bigint").alias("n_common"),
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jaccard"),
+        )
+    )

@@ -183,3 +183,27 @@ def test_bellman_ford_labels_satisfy_triangle_inequality(spark, sf_dir):
             ), f"label of {u} not achieved by any in-edge"
     assert max(cost.values()) + max(w for d in edges.values() for w in d.values()) \
         <= ax._BF_COST_BOUND, "oracle cost bound has no safety margin"
+
+
+def test_prefix_join_equals_brute_force_similarity(spark, sf_dir):
+    """The PPJoin prefix filter is LOSSLESS: its output equals the
+    all-pairs brute force (same shingles, same threshold) — the
+    property that separates it from MinHash-LSH's probabilistic
+    recall."""
+    rows = _Q["set_similarity_prefix_join"].fn(spark, sf_dir).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["n_common"] for r in rows}
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    sets = {}
+    for r in docs:
+        w = r["text"].split(" ")
+        if len(w) >= 3:
+            sets[r["doc_id"]] = {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+    ids = sorted(sets)
+    expect = {}
+    for i, da in enumerate(ids):
+        for db in ids[i + 1 :]:
+            inter = len(sets[da] & sets[db])
+            if 3 * inter >= len(sets[da]) + len(sets[db]):
+                expect[(da, db)] = inter
+    assert got == expect
+    assert expect, "no similar pairs at this SF — weak fixture"
