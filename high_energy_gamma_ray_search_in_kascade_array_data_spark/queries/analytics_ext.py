@@ -967,3 +967,134 @@ def q_set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jaccard"),
         )
     )
+
+
+_CURATION_ORACLE = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(l3) AS tok FROM (
+    SELECT doc_id, [l[x] || ' ' || l[x+1] || ' ' || l[x+2] FOR x IN range(1, len(l)-1)] AS l3
+    FROM (SELECT doc_id, string_split(text,' ') AS l FROM documents) WHERE len(l) >= 3
+  )
+),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id, t.tok,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.tok) AS r,
+         COUNT(*) OVER (PARTITION BY t.doc_id) AS n
+  FROM toks t JOIN dfreq d USING (tok)
+),
+prefix AS (SELECT doc_id, tok FROM ranked WHERE r <= n - CEIL(n / 2.0) + 1),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM prefix a JOIN prefix b ON a.tok = b.tok AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_a
+  JOIN toks tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY 1),
+neardup AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE 3 * i.i >= sa.n + sb.n
+),
+contaminated AS (
+  SELECT tr.doc_id
+  FROM toks tr JOIN toks ev ON ev.tok = tr.tok AND ev.doc_id % 97 = 0
+  WHERE tr.doc_id % 97 <> 0
+  GROUP BY tr.doc_id HAVING COUNT(DISTINCT tr.tok) >= 2
+),
+base AS (
+  SELECT d.doc_id, d.lang,
+         LEN(string_split(d.text,' ')) AS n_tokens,
+         LEN(list_distinct(string_split(d.text,' '))) * 1.0 / LEN(string_split(d.text,' ')) AS ttr,
+         MIN(d.doc_id) OVER (PARTITION BY d.text) AS canonical
+  FROM documents d
+),
+status AS (
+  SELECT b.lang, b.n_tokens,
+         CASE WHEN b.doc_id % 97 = 0 THEN 'eval_holdout'
+              WHEN b.n_tokens < 5 OR b.ttr < 0.3 THEN 'quality_fail'
+              WHEN b.doc_id <> b.canonical THEN 'exact_dup'
+              WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+              WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+              ELSE 'kept' END AS status
+  FROM base b
+  LEFT JOIN neardup nd ON nd.doc_id = b.doc_id
+  LEFT JOIN contaminated ct ON ct.doc_id = b.doc_id
+)
+SELECT lang, status,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN status = 'kept' THEN CAST(CEIL(n_tokens / 512.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS n_bins
+FROM status GROUP BY 1, 2
+"""
+
+
+@register(
+    "corpus_curation_report",
+    survey_ref="M5:text,M5:dedup,§3.1,§2.7",
+    oracle=_CURATION_ORACLE,
+)
+def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus curation funnel in ONE declarative
+    DAG — the report a 100 TB data build publishes with every release:
+    per (lang, disposition) doc/token counts through eval-holdout
+    carve-out → quality gates (length, lexical diversity) → exact-dup
+    keep-first → LOSSLESS near-dup suppression (the PPJoin prefix
+    join, ``set_similarity_prefix_join`` reused as a subquery — the
+    corpus operators COMPOSE) → n-gram decontamination vs the held-out
+    split, plus 512-token packing-bin counts for what ships.
+    Disposition precedence is first-gate-wins, so the funnel counts
+    are a partition of the corpus (Σ n_docs = |documents|, asserted by
+    the property test). Every stage is a keyed join/aggregate on the
+    doc or shingle key; statuses resolve with two LEFT joins against
+    tiny suppression sets — nothing quadratic anywhere."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.dedup import doc_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = q_set_similarity_prefix_join(spark, sf_dir)
+    neardup = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    toks = doc_tokens(d, shingle=3)
+    tr = toks.filter(F.col("doc_id") % 97 != 0)
+    ev = toks.filter(F.col("doc_id") % 97 == 0).select(F.col("tok").alias("etok"))
+    contaminated = (
+        tr.join(ev.distinct(), tr["tok"] == F.col("etok"))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tok").alias("n_overlap"))
+        .filter(F.col("n_overlap") >= 2)
+        .select("doc_id")
+    )
+    toks_split = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(toks_split).alias("n_tokens"),
+        (F.size(F.array_distinct(toks_split)) / F.size(toks_split)).alias("ttr"),
+    ).withColumn("canonical", F.min("doc_id").over(Window.partitionBy("text")))
+    status = (
+        base.join(neardup.withColumn("is_nd", F.lit(True)), "doc_id", "left")
+        .join(contaminated.withColumn("is_ct", F.lit(True)), "doc_id", "left")
+        .select(
+            "lang",
+            "n_tokens",
+            F.when(F.col("doc_id") % 97 == 0, "eval_holdout")
+            .when((F.col("n_tokens") < 5) | (F.col("ttr") < 0.3), "quality_fail")
+            .when(F.col("doc_id") != F.col("canonical"), "exact_dup")
+            .when(F.col("is_nd"), "near_dup")
+            .when(F.col("is_ct"), "contaminated")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+    return status.groupBy("lang", "status").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("status") == "kept", F.ceil(F.col("n_tokens") / 512.0)).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_bins"),
+    )

@@ -207,3 +207,22 @@ def test_prefix_join_equals_brute_force_similarity(spark, sf_dir):
                 expect[(da, db)] = inter
     assert got == expect
     assert expect, "no similar pairs at this SF — weak fixture"
+
+
+def test_curation_funnel_partitions_the_corpus(spark, sf_dir):
+    """Disposition precedence is first-gate-wins, so the report is a
+    partition of documents: doc and token totals across statuses equal
+    the whole table's."""
+    rows = _Q["corpus_curation_report"].fn(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    totals = d.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("toks"),
+    ).collect()[0]
+    assert sum(r["n_docs"] for r in rows) == totals["n"]
+    assert sum(r["total_tokens"] for r in rows) == totals["toks"]
+    statuses = {r["status"] for r in rows}
+    assert "kept" in statuses and "eval_holdout" in statuses
+    for r in rows:
+        if r["status"] != "kept":
+            assert r["n_bins"] == 0
