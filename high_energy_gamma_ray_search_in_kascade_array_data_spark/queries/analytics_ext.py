@@ -1098,3 +1098,97 @@ def q_corpus_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_bins"),
     )
+
+
+@register(
+    "multi_touch_attribution",
+    survey_ref="§2.7,§2.8,§2.6",
+    oracle="""
+WITH purchases AS (
+  SELECT event_id AS pid, user_id, ts AS pts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT p.pid, p.vc, e.event_id, e.event_type, e.ts,
+         COUNT(*) OVER (PARTITION BY p.pid) AS n,
+         ROW_NUMBER() OVER (PARTITION BY p.pid ORDER BY e.ts, e.event_id) AS rn
+  FROM purchases p
+  JOIN events e ON e.user_id = p.user_id
+              AND e.ts < p.pts AND e.ts >= p.pts - INTERVAL '1 hour'
+              AND e.event_type <> 'purchase'
+),
+credited AS (
+  SELECT event_type,
+         (vc * 1000) // n + CASE WHEN rn = 1 THEN (vc * 1000) % n ELSE 0 END AS credit
+  FROM touches
+),
+direct AS (
+  SELECT '(direct)' AS event_type, p.vc * 1000 AS credit
+  FROM purchases p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM events e
+    WHERE e.user_id = p.user_id AND e.ts < p.pts
+      AND e.ts >= p.pts - INTERVAL '1 hour' AND e.event_type <> 'purchase'
+  )
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_credits,
+       CAST(SUM(credit) AS BIGINT) AS credited_millicents
+FROM (SELECT * FROM credited UNION ALL SELECT * FROM direct)
+GROUP BY 1
+""",
+)
+def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    EQUALLY across the user's touches in the prior hour, unmatched
+    purchases credit '(direct)' — the ad-tech companion of
+    ``asof_last_click`` (last-touch) that exercises a per-key temporal
+    RANGE join plus an exact integer split: every touch gets
+    ⌊v·1000/n⌋ millicents and the remainder goes to the EARLIEST touch
+    (deterministic tie-break), so credits sum to exactly v·1000 —
+    conservation asserted by the property test, and the whole report
+    is bit-exact with no float shares. The join is keyed on user_id
+    with a bounded 1-hour range predicate: per-user event counts bound
+    the intermediates, the same locality argument as
+    ``interval_overlap_join``. The no-touch side reuses the join as a
+    LEFT ANTI — Spark plans both from one shuffle layout."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("puser"),
+        F.col("ts").alias("pts"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("vc"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("puser"))
+        & (F.col("ts") < F.col("pts"))
+        & (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("event_type") != "purchase")
+    )
+    touches = purchases.join(ev, cond)
+    wn = Window.partitionBy("pid")
+    wr = Window.partitionBy("pid").orderBy("ts", "event_id")
+    credited = touches.select(
+        "event_type",
+        "vc",
+        F.count(F.lit(1)).over(wn).alias("n"),
+        F.row_number().over(wr).alias("rn"),
+    ).select(
+        "event_type",
+        (
+            F.expr("(vc * 1000) div n")
+            + F.when(F.col("rn") == 1, (F.col("vc") * 1000) % F.col("n")).otherwise(0)
+        ).alias("credit"),
+    )
+    direct = (
+        purchases.join(ev, cond, "left_anti")
+        .select(F.lit("(direct)").alias("event_type"), (F.col("vc") * 1000).alias("credit"))
+    )
+    return (
+        credited.unionByName(direct)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("credit").cast("bigint").alias("credited_millicents"),
+        )
+    )

@@ -226,3 +226,16 @@ def test_curation_funnel_partitions_the_corpus(spark, sf_dir):
     for r in rows:
         if r["status"] != "kept":
             assert r["n_bins"] == 0
+
+
+def test_attribution_conserves_purchase_value(spark, sf_dir):
+    """Linear attribution credits sum EXACTLY to total purchase value
+    in millicents — the integer split loses nothing."""
+    rows = _Q["multi_touch_attribution"].fn(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint") * 1000).alias("t")
+    ).collect()[0]["t"]
+    assert sum(r["credited_millicents"] for r in rows) == total
+    assert {r["event_type"] for r in rows} >= {"(direct)"}
