@@ -15,6 +15,7 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import m
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.common import SHOWER_CTE, rnd_col, shower_frame
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources import sink
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
@@ -329,3 +330,57 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (self-join for adjacent-sample sign changes)."""
     media = multimodal.synth_media(spark, sf_dir)
     return multimodal.audio_features(media)
+
+
+@register(
+    "jsonl_roundtrip_source",
+    survey_ref="S3,S4,§2.4",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(LEN(text)) AS BIGINT) AS sum_text_len,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents GROUP BY 1
+""",
+)
+def q_jsonl_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → source roundtrip: documents write as
+    newline-delimited JSON (the interchange format every crawl /
+    annotation pipeline emits) and read back with an EXPLICIT schema —
+    never inference, which at 100 TB means a full extra pass and
+    type drift between runs (ints silently widening to doubles when
+    one file holds a null). The checksum aggregate must equal the
+    parquet original, proving the text survives JSON escaping
+    byte-for-byte (quotes, unicode, backslashes). The write is
+    SF-tagged and overwrite-idempotent; at scale the same two lines
+    target object storage and the reader parallelizes by line
+    splits — JSON parsing is CPU-bound, which is exactly why the
+    engine's canonical storage is parquet and JSONL stays an ingest
+    edge."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = load_table(spark, sf_dir, "documents")
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, f"jsonl_docs_{os.path.basename(sf_dir.rstrip(chr(47)))}")
+    d.write.mode("overwrite").json(path)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    back = spark.read.schema(schema).json(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
