@@ -1192,3 +1192,104 @@ def q_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("credit").cast("bigint").alias("credited_millicents"),
         )
     )
+
+
+@register(
+    "date_spine_zero_fill",
+    survey_ref="§2.6,§2.7,§2.4",
+    oracle="""
+WITH bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+),
+spine AS (
+  SELECT t.h, ty.event_type
+  FROM bounds b
+  CROSS JOIN UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS t(h)
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) ty
+),
+counts AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT s.event_type, s.h AS hour_start,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM spine s LEFT JOIN counts c ON c.event_type = s.event_type AND c.h = s.h
+""",
+)
+def q_date_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly activity per event_type with a GENERATED time spine —
+    the gap-filling idiom every dashboard needs: hours with zero
+    events must appear as explicit zeros, which no GROUP BY over the
+    raw table can produce (absent groups don't exist). The spine is
+    one 1-row min/max aggregate exploded through ``sequence()`` and
+    cross-joined with the tiny type dimension — generated rows =
+    hours × types, independent of event volume — then LEFT-joined to
+    the hourly counts (the fact side aggregates BEFORE the join, so
+    the spine join touches slot-count rows, never events). Companion
+    of ``resample_ffill`` (which fills by carrying values; this fills
+    by zero, the correct semantics for counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("h")
+        )
+        .crossJoin(F.broadcast(types))
+    )
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_start"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+
+
+@register(
+    "event_path_trigrams",
+    survey_ref="§2.8,§2.6,§2.9",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t3
+  FROM events
+)
+SELECT event_type || '>' || t2 || '>' || t3 AS path, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path LIMIT 25
+""",
+)
+def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey trigrams (3 consecutive event types per user)
+    — the path-mining step between the pair-level
+    ``event_transition_matrix`` and full sequence mining: one lead
+    window per user (sliding trigrams materialize row-locally, no
+    self-join), a path-keyed count, and a deterministic top-k
+    (count desc, path asc ties). Path cardinality is bounded by
+    |types|³, so the final sort is a TakeOrdered over ≤125 rows no
+    matter how many events flow in."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "t2", "t3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(25)
+    )
