@@ -1293,3 +1293,59 @@ def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(25)
     )
+
+
+@register(
+    "clamped_inventory_balance",
+    survey_ref="§2.12,§2.6,§2.8",
+    oracle="""
+WITH deltas AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN -3 * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+              ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS d
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(list_reduce(
+         list_prepend(CAST(0 AS BIGINT), list(d ORDER BY ts, event_id)),
+         (acc, x) -> GREATEST(acc + x, 0)
+       ) AS BIGINT) AS final_balance_cents
+FROM deltas GROUP BY user_id
+""",
+)
+def q_clamped_inventory_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CLAMPED running balance (inventory semantics: stock
+    floors at zero, so a sale into empty stock is lost, not owed) —
+    the canonical NON-LINEAR fold that no window function can express:
+    greatest(acc+x, 0) is order-dependent and non-associative, unlike
+    a running SUM. The Spark form stays declarative: per key, the
+    ordered delta sequence materializes via sort_array over
+    (ts, event_id, delta) structs (struct comparison = lexicographic,
+    the deterministic order both engines share) and folds through the
+    ``aggregate`` higher-order function — state per key is one array,
+    bounded by per-user event counts, the same per-key-bounded
+    argument as sessionization. The clamp is load-bearing: it differs
+    from max(sum, 0) for a third of users (pinned by the property
+    test). All-integer deltas → bit-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    d = F.when(F.col("event_type") == "purchase", -3 * vc).otherwise(vc)
+    rows = ev.select(
+        "user_id",
+        F.struct(F.col("ts"), F.col("event_id"), d.alias("d")).alias("s"),
+    )
+    folded = rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.aggregate(
+            F.transform(F.sort_array(F.collect_list("s")), lambda s: s["d"]),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: F.greatest(acc + x, F.lit(0).cast("bigint")),
+        ).alias("final_balance_cents"),
+    )
+    return folded.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("final_balance_cents").cast("bigint").alias("final_balance_cents"),
+    )

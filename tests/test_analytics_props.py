@@ -239,3 +239,32 @@ def test_attribution_conserves_purchase_value(spark, sf_dir):
     ).collect()[0]["t"]
     assert sum(r["credited_millicents"] for r in rows) == total
     assert {r["event_type"] for r in rows} >= {"(direct)"}
+
+
+def test_clamped_balance_is_nonlinear_and_bounded(spark, sf_dir):
+    """The clamp genuinely changes results vs max(sum,0) for a
+    nontrivial share of users, and every balance is ≥ 0 and ≤ total
+    positive inflow."""
+    rows = _Q["clamped_inventory_balance"].fn(spark, sf_dir).collect()
+    got = {r["user_id"]: r["final_balance_cents"] for r in rows}
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    ).collect()
+    from collections import defaultdict
+    seqs = defaultdict(list)
+    for r in ev:
+        vc = math.floor(r["value"] * 100 + 0.5)
+        d = -3 * vc if r["event_type"] == "purchase" else vc
+        seqs[r["user_id"]].append((r["ts"], r["event_id"], d))
+    differs = 0
+    for uid, seq in seqs.items():
+        seq.sort()
+        bal, tot_pos = 0, 0
+        for _, _, d in seq:
+            bal = max(bal + d, 0)
+            tot_pos += max(d, 0)
+        assert got[uid] == bal
+        assert 0 <= bal <= tot_pos
+        if bal != max(sum(d for _, _, d in seq), 0):
+            differs += 1
+    assert differs > 0, "clamp never fired — degenerate fixture"
