@@ -384,3 +384,96 @@ def q_jsonl_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc"),
         F.max("doc_id").cast("bigint").alias("max_doc"),
     )
+
+
+@register(
+    "partition_pruned_read",
+    survey_ref="S4,S3,§2.5",
+    oracle="""
+SELECT CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def q_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write → PARTITION-PRUNED read: events land
+    partitioned by event_type (the canonical layout choice when one
+    column dominates predicates), and the reader's filter on that
+    column prunes to ONE directory at PLANNING time — 4/5 of the data
+    is never listed, opened, or scanned, the single biggest free win
+    a 100 TB layout buys. `tests/test_plans.py` pins the plan: the
+    scan's PartitionFilters carry the predicate and the row filter
+    list stays empty (nothing left to filter at runtime). The
+    aggregate then checksums the surviving partition against the
+    unpartitioned oracle."""
+    import os
+
+    d = load_table(spark, sf_dir, "events")
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, f"events_by_type_{os.path.basename(sf_dir.rstrip(chr(47)))}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):  # idempotent per SF: layout, then reuse
+        d.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return back.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+
+
+@register(
+    "bucketed_join_no_shuffle",
+    survey_ref="S4,§2.7,§2.5",
+    oracle="""
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+""",
+)
+def q_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: lineitem and orders persist
+    bucketed (8 buckets) AND sorted on the join key, so the fact-fact
+    join runs as a SortMergeJoin with ZERO exchanges on either side —
+    the layout investment that amortizes one shuffle-write into every
+    future join on that key, THE decisive technique when two 100 TB
+    fact tables meet repeatedly (pre-shuffled on disk, co-partitioned
+    by bucket id). `tests/test_plans.py` pins the shape: both scans
+    show SelectedBucketsCount and the only Exchange in the plan
+    belongs to the final small aggregate. Merge hints force the SMJ so
+    the demonstration never degrades to a broadcast at fixture scale;
+    table names and paths are SF-tagged."""
+    import os
+
+    tag = os.path.basename(sf_dir.rstrip(chr(47))).replace(".", "_")
+    os.makedirs(SCRATCH, exist_ok=True)
+    tables = {
+        f"li_bucketed_{tag}": ("lineitem", "l_orderkey"),
+        f"ord_bucketed_{tag}": ("orders", "o_orderkey"),
+    }
+    for name, (src, key) in tables.items():
+        if not spark.catalog.tableExists(name):
+            (
+                load_table(spark, sf_dir, src)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .option("path", os.path.join(SCRATCH, name))
+                .saveAsTable(name)
+            )
+    li = spark.table(f"li_bucketed_{tag}")
+    od = spark.table(f"ord_bucketed_{tag}")
+    j = li.hint("merge").join(od.hint("merge"), li["l_orderkey"] == od["o_orderkey"])
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    return j.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(rev).cast("bigint").alias("revenue_cents"),
+    )

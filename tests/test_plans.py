@@ -354,3 +354,29 @@ def test_cnn_inference_single_arrow_crossing(spark, sf_dir):
     # tree occurrences only (before the first node-detail block)
     tree = plan.split("(1) ")[0]
     assert tree.count("ArrowEvalPython") == 1, tree
+
+
+def test_partition_pruned_read_prunes_at_planning_time(spark, sf_dir):
+    """The event_type predicate must land in PartitionFilters (pruned
+    at planning time) — NOT in the data filters: a layout-partitioned
+    column never needs a runtime row filter."""
+    df = _q("partition_pruned_read", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PartitionFilters" in plan
+    import re
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "event_type" in pf.group(1), f"partition filter missing: {pf}"
+    # the row-level PushedFilters on the same scan must NOT re-check it
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed is None or "event_type" not in pushed.group(1)
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
+    """Both bucketed scans co-partition the SortMergeJoin: the only
+    Exchange in the plan belongs to the final aggregate."""
+    df = _q("bucketed_join_no_shuffle", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan
+    tree = plan.split("\n\n", 1)[0]
+    assert tree.count("Exchange") == 1, tree
