@@ -1349,3 +1349,76 @@ def q_clamped_inventory_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("final_balance_cents").cast("bigint").alias("final_balance_cents"),
     )
+
+
+@register(
+    "split_distinct_agg",
+    survey_ref="§2.6,A3",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""",
+)
+def q_split_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key distinct counting via SPLIT (salted two-phase) distinct
+    aggregation — Flink's SPLIT_DISTINCT_AGG / BigQuery's
+    "partial distinct" pattern: plain COUNT(DISTINCT) on a 5-value
+    group key funnels EVERY distinct value through 5 reducers (map-
+    side combine cannot shrink distinct sets the way it shrinks sums),
+    so one hot key owns one task at 100 TB. The salt (user_id mod 16)
+    splits each group's distinct set into 16 DISJOINT shards —
+    per-(key, salt) exact distinct counts, then an algebraic SUM per
+    key: correctness is exact because the shards partition the user
+    space. Same answer, 16× the reduce parallelism on the heavy
+    phase. The oracle is the naive one-phase form."""
+    ev = load_table(spark, sf_dir, "events")
+    phase1 = (
+        ev.groupBy("event_type", (F.col("user_id") % 16).alias("salt"))
+        .agg(F.count_distinct("user_id").alias("nd"))
+    )
+    return phase1.groupBy("event_type").agg(
+        F.sum("nd").cast("bigint").alias("n_users")
+    )
+
+
+@register(
+    "ewma_final_per_user",
+    survey_ref="§2.12,§2.6",
+    oracle="""
+WITH d AS (
+  SELECT user_id, ts, event_id, CAST(FLOOR(value*100+0.5) AS BIGINT) AS vc FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       list_reduce(list_prepend(CAST(0 AS DOUBLE), list(CAST(vc AS DOUBLE) ORDER BY ts, event_id)),
+                   (acc, x) -> acc * 0.5 + x * 0.5) AS ewma_cents
+FROM d GROUP BY 1
+""",
+)
+def q_ewma_final_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 1/2) per user — the
+    classic recursive smoother that NO window frame expresses (each
+    state depends on the previous state, not on a frame of inputs).
+    Like ``clamped_inventory_balance`` it runs as an ordered per-key
+    fold — and it makes a sharper point about float determinism: the
+    fold's operation SEQUENCE is pinned by the explicit (ts, event_id)
+    sort, so even though the accumulator is a double, both engines
+    execute the identical IEEE mul/add chain and the result is
+    BIT-exact with no rounding — order-dependent float math is fine
+    when the order is part of the semantics. α = 1/2 keeps every
+    intermediate dyadic-scaled. State per key: one array, bounded by
+    per-user event counts."""
+    ev = load_table(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    rows = ev.select(
+        "user_id",
+        F.struct(F.col("ts"), F.col("event_id"), vc.cast("double").alias("v")).alias("s"),
+    )
+    return rows.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.aggregate(
+            F.transform(F.sort_array(F.collect_list("s")), lambda s: s["v"]),
+            F.lit(0.0),
+            lambda acc, x: acc * 0.5 + x * 0.5,
+        ).alias("ewma_cents"),
+    )
