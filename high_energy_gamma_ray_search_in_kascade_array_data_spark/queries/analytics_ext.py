@@ -869,10 +869,10 @@ def q_bellman_ford_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist
 
 
-@register(
-    "set_similarity_prefix_join",
-    survey_ref="M5:dedup,§2.7,§2.8",
-    oracle="""
+# Exact Jaccard ≥ 0.5 pairs over 3-word shingle sets — shared by the
+# PPJoin query AND the MLlib MinHashLSH query (both must produce the
+# complete exact answer; the LSH path post-verifies its candidates).
+_SIMILAR_PAIRS_ORACLE = """
 WITH toks AS (
   SELECT DISTINCT doc_id, unnest(l3) AS tok FROM (
     SELECT doc_id, [l[x] || ' ' || l[x+1] || ' ' || l[x+2] FOR x IN range(1, len(l)-1)] AS l3
@@ -904,7 +904,13 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE 3 * i >= sa.n + sb.n
-""",
+"""
+
+
+@register(
+    "set_similarity_prefix_join",
+    survey_ref="M5:dedup,§2.7,§2.8",
+    oracle=_SIMILAR_PAIRS_ORACLE,
 )
 def q_set_similarity_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT set-similarity self-join (Jaccard ≥ 0.5 on 3-word
@@ -1421,4 +1427,68 @@ def q_ewma_final_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0),
             lambda acc, x: acc * 0.5 + x * 0.5,
         ).alias("ewma_cents"),
+    )
+
+
+@register(
+    "mllib_minhash_lsh_join",
+    survey_ref="M5:dedup,M4,§2.7",
+    oracle=_SIMILAR_PAIRS_ORACLE,
+)
+def q_mllib_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib-NATIVE near-dup join (SURVEY M5 named this estimator
+    explicitly): CountVectorizer(binary) → ``MinHashLSH`` (24 hash
+    tables, fixed seed) → ``approxSimilarityJoin`` at distance 0.6 →
+    EXACT post-verification (recompute |∩| on the token sets, keep
+    3·|∩| ≥ |a|+|b|). The verification makes precision exact by
+    construction, and at the corpus's similarity profile (true pairs
+    all at Jaccard ≥ 0.5, miss probability ≤ (1−s)²⁴ per pair) recall
+    is complete — so the MLlib estimator is held to the SAME exact
+    oracle as the lossless prefix join and the custom LSH family, and
+    the three implementations triangulate each other. The LSH join is
+    banded/bucketed exactly like ``operators/dedup.py``'s custom path;
+    what this adds is the stock-estimator surface a migrating MLlib
+    user calls."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.dedup import doc_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = doc_tokens(docs, shingle=3).localCheckpoint(eager=True)
+    sets = toks.groupBy("doc_id").agg(F.collect_set("tok").alias("toks"))
+    cv = CountVectorizer(inputCol="toks", outputCol="features", binary=True).fit(sets)
+    feat = cv.transform(sets).select("doc_id", "features")
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=24, seed=42
+    ).fit(feat)
+    cand = (
+        mh.approxSimilarityJoin(feat, feat, 0.6, distCol="d")
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(3 * F.col("i") >= F.col("na") + F.col("nb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("i").cast("bigint").alias("n_common"),
+            F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jaccard"),
+        )
     )
