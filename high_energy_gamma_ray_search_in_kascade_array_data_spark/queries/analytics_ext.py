@@ -1492,3 +1492,53 @@ def q_mllib_minhash_lsh_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("i") / (F.col("na") + F.col("nb") - F.col("i")), 6).alias("jaccard"),
         )
     )
+
+
+@register(
+    "mllib_brp_lsh_transform",
+    survey_ref="M5:ann,M4,§2.12",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       8 AS n_tables,
+       1 AS hashes_complete
+FROM embeddings
+""",
+)
+def q_mllib_brp_lsh_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib-native ``BucketedRandomProjectionLSH`` over the embedding
+    corpus (SURVEY M5 named this estimator) — the stock euclidean-LSH
+    indexing surface a migrating MLlib user calls before
+    ``approxNearestNeighbors``. The fixture's random vectors
+    concentrate at pairwise distance ≈ √2 (the curse-of-dimensionality
+    regime), so UNLIKE ``mllib_minhash_lsh_join`` no exact-recall
+    oracle is honest here; the checked surface is the
+    ``mllib_lr_pipeline``-style invariants, which ARE deterministic:
+    every vector is indexed exactly once (n_items equals the table
+    count), every row carries all 8 hash-table signatures, and no
+    signature is null/empty — an indexing pass that drops rows or
+    emits ragged signatures fails the gate. The deterministic ANN
+    paths with value-checked results live in
+    ``queries/vectors.py``/``advanced.py`` (custom LSH / IVF / PQ);
+    this query adds the stock-estimator seam."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    feat = e.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=1.0, numHashTables=8, seed=7
+    ).fit(feat)
+    hashed = brp.transform(feat)
+    return hashed.select(
+        F.size("hashes").alias("n_t"),
+        F.when(
+            F.exists(F.col("hashes"), lambda h: h.isNull()), 0
+        ).otherwise(1).alias("ok"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.min("n_t").cast("int").alias("n_tables"),
+        F.min("ok").cast("int").alias("hashes_complete"),
+    )
