@@ -1542,3 +1542,181 @@ def q_mllib_brp_lsh_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_t").cast("int").alias("n_tables"),
         F.min("ok").cast("int").alias("hashes_complete"),
     )
+
+
+@register(
+    "referential_integrity_audit",
+    survey_ref="§2.7,§2.6,§3.1",
+    oracle="""
+SELECT 'orphan_order_fk' AS check_name, CAST((
+  SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_violations
+UNION ALL
+SELECT 'orphan_part_fk', CAST((
+  SELECT COUNT(*) FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_partkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'orphan_cust_fk', CAST((
+  SELECT COUNT(*) FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE c.c_custkey IS NULL) AS BIGINT)
+UNION ALL
+SELECT 'dup_order_pk', CAST((
+  SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)) AS BIGINT)
+UNION ALL
+SELECT 'dup_line_pk', CAST((
+  SELECT COUNT(*) FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+                        GROUP BY 1, 2 HAVING COUNT(*) > 1)) AS BIGINT)
+""",
+)
+def q_referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint audit across the star schema — the data-quality
+    gate a warehouse runs after every load: FK orphans (lineitem →
+    orders/part, orders → customer) via LEFT ANTI joins, PK
+    uniqueness via HAVING>1 groups. The fixture genuinely violates
+    the composite (l_orderkey, l_linenumber) key (118k dup groups at
+    sf0.1), so the audit exercises a real failure, not a vacuous
+    zero. Each check is one keyed join/aggregate collapsed to a
+    single count; the five 1-row results union into the report —
+    Spark runs them as independent subtrees (no driver round-trips),
+    and at 100 TB each check shares the scan of its fact table via
+    the usual exchange reuse."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    pt = load_table(spark, sf_dir, "part")
+    cs = load_table(spark, sf_dir, "customer")
+
+    def count_row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    checks = [
+        count_row(
+            "orphan_order_fk",
+            li.join(od, li["l_orderkey"] == od["o_orderkey"], "left_anti"),
+        ),
+        count_row(
+            "orphan_part_fk",
+            li.join(pt, li["l_partkey"] == pt["p_partkey"], "left_anti"),
+        ),
+        count_row(
+            "orphan_cust_fk",
+            od.join(cs, od["o_custkey"] == cs["c_custkey"], "left_anti"),
+        ),
+        count_row(
+            "dup_order_pk",
+            od.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1),
+        ),
+        count_row(
+            "dup_line_pk",
+            li.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > 1),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register(
+    "trailing_7d_active_users",
+    survey_ref="§2.6,§2.7,§2.8",
+    oracle="""
+WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau_trailing
+FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
+""",
+)
+def q_trailing_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users per day (rolling WAU) — the metric
+    windowed COUNT(DISTINCT) cannot express (distinct is not frame-
+    decomposable). Scale form: events collapse FIRST to distinct
+    (day, user) pairs (one keyed aggregation — the only event-scale
+    pass), then a bounded range join fans each pair into the ≤7 days
+    it supports, and a distinct count per day finishes. Intermediates
+    are |distinct day-user pairs| × 7, independent of raw event
+    volume — the decomposition that keeps rolling-distinct metrics
+    tractable over years of history. Complements
+    ``cumulative_distinct_users`` (all-time) and
+    ``weekly_active_growth`` (calendar buckets)."""
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct()
+    joined = days.alias("d").join(
+        du.alias("u"),
+        (F.col("u.day") >= F.date_sub(F.col("d.day"), 6))
+        & (F.col("u.day") <= F.col("d.day")),
+    )
+    return joined.groupBy(F.col("d.day").alias("day")).agg(
+        F.count_distinct("user_id").cast("bigint").alias("wau_trailing")
+    )
+
+
+def _entropy_oracle_cte(table: str, col: str) -> str:
+    return f"""(
+  WITH c AS (SELECT {col} AS v, COUNT(*) AS n FROM {table} GROUP BY 1),
+  t AS (SELECT SUM(n) AS tot, COUNT(*) AS k, list(CAST(n AS DOUBLE) ORDER BY v) AS ns FROM c)
+  SELECT '{table}.{col}' AS column_name,
+         CAST(k AS BIGINT) AS n_categories,
+         CAST(tot AS BIGINT) AS n_rows,
+         ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), ns),
+               (acc, x) -> acc - (x / tot) * LN(x / tot)), 6) AS entropy_nats
+  FROM t
+)"""
+
+
+@register(
+    "categorical_entropy_profile",
+    survey_ref="§2.6,§3.1,§2.12",
+    oracle=f"""
+SELECT * FROM {_entropy_oracle_cte('events', 'event_type')}
+UNION ALL
+SELECT * FROM {_entropy_oracle_cte('documents', 'lang')}
+UNION ALL
+SELECT * FROM {_entropy_oracle_cte('documents', 'source')}
+""",
+)
+def q_categorical_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the categorical columns — the distribution-
+    drift / balance metric corpus profilers publish next to counts
+    (a collapsing source mix shows up as falling entropy long before
+    a hard failure). The interesting mechanics: H = −Σ p·ln p is a sum
+    of TRANSCENDENTAL terms, normally summation-order flaky — here
+    the per-category counts collapse to a tiny array SORTED by
+    category value and fold through the ``aggregate`` HOF, the same
+    order-pinning trick as ``ewma_final_per_user``, so both engines
+    run the identical ln/mul/sub chain and the value is stable to the
+    final ROUND. One keyed count per column (the only data-scale
+    pass); the fold touches k ≤ 25 elements."""
+    out = None
+    for table, col in [("events", "event_type"), ("documents", "lang"), ("documents", "source")]:
+        c = load_table(spark, sf_dir, table).groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        t = c.agg(
+            F.sum("n").alias("tot"),
+            F.count(F.lit(1)).alias("k"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("v"), F.col("n")))),
+                lambda s: s["n"].cast("double"),
+            ).alias("ns"),
+        )
+        row = t.select(
+            F.lit(f"{table}.{col}").alias("column_name"),
+            F.col("k").cast("bigint").alias("n_categories"),
+            F.col("tot").cast("bigint").alias("n_rows"),
+            F.round(
+                F.aggregate(
+                    F.col("ns"),
+                    F.lit(0.0),
+                    lambda acc, x: acc - (x / F.col("tot")) * F.log(x / F.col("tot")),
+                ),
+                6,
+            ).alias("entropy_nats"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
