@@ -1720,3 +1720,96 @@ def q_categorical_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_KCORE_K, _KCORE_ROUNDS = 4, 12
+
+
+def _kcore_oracle() -> str:
+    sql = f"""
+WITH dir AS MATERIALIZED (
+  SELECT DISTINCT event_id % {_BFS_N} AS u, (event_id % {_BFS_N} * 31 + 7) % {_BFS_N} AS v FROM events
+  UNION
+  SELECT DISTINCT event_id % {_BFS_N}, (event_id % {_BFS_N} * 17 + 3) % {_BFS_N} FROM events
+),
+edges AS MATERIALIZED (SELECT u, v FROM dir WHERE u <> v UNION SELECT v, u FROM dir WHERE u <> v),
+n0 AS (SELECT DISTINCT u AS node FROM edges)"""
+    for t in range(1, _KCORE_ROUNDS + 1):
+        sql += f""",
+d{t} AS (
+  SELECT e.u AS node, COUNT(*) AS deg
+  FROM edges e JOIN n{t-1} a ON a.node = e.u JOIN n{t-1} b ON b.node = e.v
+  GROUP BY 1
+),
+n{t} AS MATERIALIZED (SELECT node FROM d{t} WHERE deg >= {_KCORE_K}),
+p{t} AS (SELECT {t} AS peel_round, COUNT(*) AS n_peeled
+         FROM n{t-1} WHERE node NOT IN (SELECT node FROM n{t}))"""
+    sql += (
+        "\nSELECT CAST(peel_round AS INTEGER) AS peel_round,"
+        " CAST(n_peeled AS BIGINT) AS n_peeled FROM (\n"
+        + "\nUNION ALL\n".join(f"SELECT * FROM p{t}" for t in range(1, _KCORE_ROUNDS + 1))
+        + "\n) WHERE n_peeled > 0"
+    )
+    return sql
+
+
+@register(
+    "kcore_peel_profile",
+    survey_ref="§2.7,§2.10,M5:dedup",
+    oracle=_kcore_oracle(),
+)
+def q_kcore_peel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition peel profile (k = {k}) of the undirected
+    residue graph: repeatedly drop nodes of degree < k and record how
+    many fall in each round — the degeneracy cascade that community
+    detection, spam-farm pruning and graph-sparsification pipelines
+    read (this graph collapses COMPLETELY in 9 rounds: its 4-regular
+    shell hides no 4-core, and the profile shows the avalanche).
+    Spark form: per peel round one degree count (edges ⋈ survivor set
+    on BOTH endpoints, keyed) and one anti-join to find the dropped
+    nodes, lineage cut per round, loop exits at the fixpoint —
+    exactly the level-synchronous shape of the BFS/Bellman family but
+    with a SHRINKING vertex state. The DuckDB oracle unrolls
+    {rounds} rounds as materialized CTEs ({rounds} > the 9-round
+    fixpoint, margin asserted by the property test)."""
+    edges_dir = _residue_edges(spark, sf_dir).select("u", "v")
+    edges = (
+        edges_dir.union(edges_dir.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .repartition("u")
+        .localCheckpoint(eager=True)
+    )
+    with _loop_shuffle(spark, 4):
+        nodes = edges.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
+        peeled = None
+        for rnd in range(1, _KCORE_ROUNDS + 1):
+            deg = (
+                edges.join(nodes, edges["u"] == nodes["node"])
+                .drop("node")
+                .join(nodes.select(F.col("node").alias("vn")), F.col("v") == F.col("vn"))
+                .groupBy("u")
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            keep = (
+                deg.filter(F.col("deg") >= _KCORE_K)
+                .select(F.col("u").alias("node"))
+                .localCheckpoint(eager=True)
+            )
+            removed = nodes.join(keep, "node", "left_anti").select(
+                "node", F.lit(rnd).cast("int").alias("peel_round")
+            )
+            # removed's lineage is two checkpointed frames deep — no
+            # extra checkpoint needed; one count doubles as the
+            # convergence probe
+            if removed.count() == 0:
+                break
+            peeled = removed if peeled is None else peeled.union(removed)
+            nodes = keep
+    return peeled.groupBy("peel_round").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_peeled")
+    )
+
+
+q_kcore_peel_profile.__doc__ = q_kcore_peel_profile.__doc__.format(
+    k=_KCORE_K, rounds=_KCORE_ROUNDS
+)

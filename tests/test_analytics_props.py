@@ -268,3 +268,14 @@ def test_clamped_balance_is_nonlinear_and_bounded(spark, sf_dir):
         if bal != max(sum(d for _, _, d in seq), 0):
             differs += 1
     assert differs > 0, "clamp never fired — degenerate fixture"
+
+
+def test_kcore_peel_is_a_partition_with_margin(spark, sf_dir):
+    """Peel rounds partition the vertex set (this graph has no
+    4-core), rounds are contiguous from 1, and the fixpoint lands
+    well inside the oracle's unroll budget."""
+    rows = _Q["kcore_peel_profile"].fn(spark, sf_dir).collect()
+    by_round = {r["peel_round"]: r["n_peeled"] for r in rows}
+    assert sum(by_round.values()) == ax._BFS_N
+    assert sorted(by_round) == list(range(1, max(by_round) + 1))
+    assert max(by_round) + 2 <= ax._KCORE_ROUNDS, "no fixpoint margin"
