@@ -6,6 +6,7 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import (  
     analytics_ext,
     dedup,
     kascade,
+    linalg,
     ml,
     pipelines,
     relational,
