@@ -4,6 +4,7 @@ every query into the registry (see ``registry.py``)."""
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import (  # noqa: F401
     advanced,
     analytics_ext,
+    approx_ops,
     dedup,
     kascade,
     linalg,

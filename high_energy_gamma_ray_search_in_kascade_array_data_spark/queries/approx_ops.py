@@ -1,0 +1,458 @@
+"""Approximate-query sketches, join pruning, and layout/survivorship ops.
+
+Scale rationale: at 100 TB the winning shapes are (a) BOUNDED-STATE
+summaries that replace unbounded relations (a 4×64 count-min sketch, a
+16 384-position Bloom bitmap, a per-file zone map), and (b) hash-lookup
+membership instead of array scans (the Bloom probe is an equi-join
+against the broadcast position set, not ``array_contains`` over a 16 k
+array per row).  Everything is exact integer arithmetic — the string
+hash is an unrolled 8-char polynomial over ``ascii``/``substring``
+(identical in Spark and DuckDB on the all-ASCII fixture corpus) — so
+every query hash-matches its oracle at any partitioning.
+
+Reference tie-in: the reference's pipeline has no sketches — it holds
+all data in driver memory (``tools.py``, ``train_classification.py``).
+These are the structures that replace that assumption at cluster scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Cross-engine deterministic string hash: 8-char polynomial, base 31.
+# rpad TRUNCATES to 8 chars in both engines; the pad char ' ' (ascii 32)
+# keeps short tokens well-defined; + LENGTH distinguishes truncations.
+
+_HASH_CHARS = 8
+_HASH_BASE = 31
+
+
+def _tok_hash_spark(tok: Column) -> Column:
+    padded = F.rpad(tok, _HASH_CHARS, " ")
+    h: Column = F.length(tok).cast("bigint")
+    for i in range(1, _HASH_CHARS + 1):
+        h = h + F.ascii(F.substring(padded, i, 1)).cast("bigint") * F.lit(
+            _HASH_BASE ** (i - 1)
+        )
+    return h
+
+
+def _tok_hash_sql(tok: str) -> str:
+    terms = [f"CAST(LENGTH({tok}) AS BIGINT)"]
+    for i in range(1, _HASH_CHARS + 1):
+        terms.append(
+            f"CAST(ascii(substring(rpad({tok}, {_HASH_CHARS}, ' '), {i}, 1)) AS BIGINT)"
+            f" * {_HASH_BASE ** (i - 1)}"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: depth 4, width 64, pairwise-ish row hashes.
+
+_CMS_A = [31, 37, 41, 43]
+_CMS_B = [7, 11, 13, 17]
+_CMS_P = 1_000_003
+_CMS_W = 64
+_CMS_PROBES = 20
+
+
+def _cms_bucket_spark(h: Column, r: int) -> Column:
+    return (h * _CMS_A[r] + _CMS_B[r]) % _CMS_P % _CMS_W
+
+
+def _cms_bucket_sql(h: str, r: int) -> str:
+    return f"(({h} * {_CMS_A[r]} + {_CMS_B[r]}) % {_CMS_P}) % {_CMS_W}"
+
+
+@register(
+    "count_min_sketch_estimate",
+    survey_ref="§2.6,M5:text",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+toks3 AS (SELECT tok FROM toks WHERE LENGTH(tok) >= 3),
+hashed AS (SELECT tok, {_tok_hash_sql('tok')} AS h FROM toks3),
+cells AS (
+  {" UNION ALL ".join(
+    f"SELECT {r} AS r, {_cms_bucket_sql('h', r)} AS bucket, "
+    f"CAST(COUNT(*) AS BIGINT) AS cnt FROM hashed GROUP BY 2"
+    for r in range(4)
+  )}
+),
+exact AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n, MIN(h) AS h
+  FROM hashed GROUP BY tok
+  ORDER BY exact_n DESC, tok LIMIT {_CMS_PROBES}
+),
+probes AS (
+  SELECT e.tok, e.exact_n, r.r AS r,
+         CASE r.r
+           WHEN 0 THEN {_cms_bucket_sql('e.h', 0)}
+           WHEN 1 THEN {_cms_bucket_sql('e.h', 1)}
+           WHEN 2 THEN {_cms_bucket_sql('e.h', 2)}
+           ELSE {_cms_bucket_sql('e.h', 3)}
+         END AS bucket
+  FROM exact e, (SELECT unnest(range(4)) AS r) r
+)
+SELECT p.tok, p.exact_n, CAST(MIN(c.cnt) AS BIGINT) AS cms_est,
+       CAST(MIN(c.cnt) - p.exact_n AS BIGINT) AS overcount
+FROM probes p JOIN cells c ON c.r = p.r AND c.bucket = p.bucket
+GROUP BY p.tok, p.exact_n
+""",
+)
+def q_count_min_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch build + point queries, checked against exact
+    counts (CMS guarantee: estimate ≥ exact, so ``overcount ≥ 0``).
+
+    The sketch is the 100 TB shape for frequency estimation: the token
+    stream collapses map-side into ≤ 4×64 = 256 cells — constant state
+    per task, one bounded shuffle, mergeable across any partitioning
+    (cell-wise sum), unlike the exact vocabulary aggregate whose group
+    count follows the data.  Probing joins the 20 heaviest exact terms
+    (TakeOrdered, no global window) against the broadcast sketch."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.length("tok") >= 3)
+        .select("tok", _tok_hash_spark(F.col("tok")).alias("h"))
+    )
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cms_bucket_spark(F.col("h"), r).alias("bucket"),
+                        )
+                        for r in range(4)
+                    ]
+                )
+            ).alias("c")
+        )
+        .groupBy("c.r", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_n"), F.min("h").alias("h"))
+        .orderBy(F.desc("exact_n"), F.asc("tok"))
+        .limit(_CMS_PROBES)
+    )
+    probes = exact.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket_spark(F.col("h"), r).alias("bucket"),
+                    )
+                    for r in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "exact_n", "p.r", "p.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(
+            F.min("cnt").alias("cms_est"),
+            (F.min("cnt") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter semi-join reduction.
+
+_BLOOM_A = [2654435761, 2246822519, 3266489917]
+_BLOOM_B = [97, 193, 389]
+_BLOOM_P = 1_000_000_007
+_BLOOM_M = 16384
+_BLOOM_SEGMENT = "BUILDING"
+
+
+def _bloom_pos_sql(key: str, i: int) -> str:
+    return f"(({key} * {_BLOOM_A[i]} + {_BLOOM_B[i]}) % {_BLOOM_P}) % {_BLOOM_M}"
+
+
+@register(
+    "bloom_semijoin_reduction",
+    survey_ref="§2.7,§2.10",
+    oracle=f"""
+WITH dim AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEGMENT}'
+),
+bits AS (
+  SELECT DISTINCT pos FROM (
+    {" UNION ALL ".join(f"SELECT {_bloom_pos_sql('c_custkey', i)} AS pos FROM dim" for i in range(3))}
+  )
+),
+probe AS (
+  SELECT o.o_orderkey, o.o_custkey,
+         CAST(COUNT(b.pos) AS BIGINT) AS hits
+  FROM (
+    SELECT o_orderkey, o_custkey, unnest([
+      {", ".join(_bloom_pos_sql('o_custkey', i) for i in range(3))}
+    ]) AS pos
+    FROM orders
+  ) o LEFT JOIN bits b ON b.pos = o.pos
+  GROUP BY 1, 2
+),
+counts AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM dim) AS n_dim,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM probe WHERE hits = 3) AS candidates,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+     WHERE o_custkey IN (SELECT c_custkey FROM dim)) AS true_matches
+)
+SELECT n_dim, bits_set, candidates, true_matches,
+       candidates - true_matches AS false_positives
+FROM counts
+""",
+)
+def q_bloom_semijoin_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction — the classic distributed-join
+    optimization: summarize the dim-side key set as k=3 hashed bit
+    positions in an m=16 384-bit filter, prune the fact side by
+    membership, then verify with the exact semi-join and report the
+    false-positive overhead.
+
+    Scale shape: the filter is built by explode → DISTINCT (group
+    count bounded by m, map-side combinable — never a driver-side
+    ``collect_set`` over the dim), and the probe is an equi-JOIN of the
+    fact's exploded positions against the broadcast position set (hash
+    lookup per probe) rather than ``array_contains`` over a 16 k array
+    per row.  At 100 TB this ships a ≤ m-row bitmap instead of the dim
+    table to every executor — semi-join reduction with bounded state."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == _BLOOM_SEGMENT).select("c_custkey")
+
+    def positions(key: Column) -> Column:
+        return F.array(
+            *[
+                (key * _BLOOM_A[i] + _BLOOM_B[i]) % _BLOOM_P % _BLOOM_M
+                for i in range(3)
+            ]
+        )
+
+    bits = (
+        dim.select(F.explode(positions(F.col("c_custkey"))).alias("pos"))
+        .distinct()
+    )
+    probe = (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.explode(positions(F.col("o_custkey"))).alias("pos"),
+        )
+        .join(F.broadcast(bits), "pos")
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    candidates = probe.filter(F.col("hits") == 3).agg(
+        F.count(F.lit(1)).alias("candidates")
+    )
+    true_matches = (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("true_matches"))
+    )
+    n_dim = dim.agg(F.count(F.lit(1)).alias("n_dim"))
+    bits_set = bits.agg(F.count(F.lit(1)).alias("bits_set"))
+    return (
+        n_dim.crossJoin(bits_set)
+        .crossJoin(candidates)
+        .crossJoin(true_matches)
+        .select(
+            "n_dim",
+            "bits_set",
+            "candidates",
+            "true_matches",
+            (F.col("candidates") - F.col("true_matches")).alias("false_positives"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Golden-record survivorship (entity resolution merge rules).
+
+
+@register(
+    "golden_record_survivorship",
+    survey_ref="§2.6,§2.7,§2.8",
+    oracle="""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_orderpriority, o_orderdate,
+         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+ranked AS (
+  SELECT o.*,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_latest,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY cents DESC, o_orderkey DESC) AS rn_big
+  FROM o
+),
+golden AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS total_spend_cents,
+         MIN(o_orderdate) AS first_order_ts,
+         MAX(CASE WHEN rn_latest = 1 THEN o_orderstatus END) AS latest_status,
+         MAX(CASE WHEN rn_big = 1 THEN o_orderpriority END) AS top_priority
+  FROM ranked GROUP BY o_custkey
+)
+SELECT g.o_custkey AS custkey, c.c_name, c.c_mktsegment,
+       g.n_orders, g.total_spend_cents, g.first_order_ts,
+       g.latest_status, g.top_priority
+FROM golden g JOIN customer c ON c.c_custkey = g.o_custkey
+""",
+)
+def q_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record merge (entity-resolution survivorship): collapse
+    each customer's order history into one record where every column
+    survives by its OWN rule — latest-wins for status (keyed by
+    (orderdate, orderkey)), biggest-transaction-wins for priority
+    (keyed by (cents, orderkey)), min for first-seen, exact integer
+    cents for lifetime spend.
+
+    One hash aggregate does all rules at once via ``max_by`` over
+    composite struct keys (tie-broken by the unique orderkey, so the
+    survivor is deterministic at any partitioning — the oracle's
+    window formulation is the proof), then a join attaches the
+    dimension attributes.  No windows on the Spark side: survivorship
+    is a single map-side-combinable aggregate, which is what makes the
+    golden-record build a one-shuffle operation at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    o = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    golden = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("total_spend_cents"),
+        F.min("o_orderdate").alias("first_order_ts"),
+        F.max_by(
+            "o_orderstatus", F.struct(F.col("o_orderdate"), F.col("o_orderkey"))
+        ).alias("latest_status"),
+        F.max_by(
+            "o_orderpriority", F.struct(F.col("cents"), F.col("o_orderkey"))
+        ).alias("top_priority"),
+    )
+    return golden.join(
+        cust, golden.o_custkey == cust.c_custkey
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        "c_name",
+        "c_mktsegment",
+        "n_orders",
+        "total_spend_cents",
+        "first_order_ts",
+        "latest_status",
+        "top_priority",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zone-map data skipping: row-order vs value-clustered layout.
+
+_ZM_ROWS_PER_FILE = 3125
+_ZM_LO, _ZM_HI = 100.0, 120.0
+_ZM_VALUE_WIDTH = 18  # 560.21 max / 32 files
+
+
+@register(
+    "zone_map_skipping_stats",
+    survey_ref="§2.6,S4",
+    oracle=f"""
+WITH tagged AS (
+  SELECT value,
+         event_id // {_ZM_ROWS_PER_FILE} AS f_row,
+         LEAST(CAST(FLOOR(value / {_ZM_VALUE_WIDTH}) AS BIGINT), 31) AS f_clu
+  FROM events
+),
+files AS (
+  SELECT layout, f, MIN(value) AS minv, MAX(value) AS maxv,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT 'row_order' AS layout, f_row AS f, value FROM tagged
+    UNION ALL
+    SELECT 'value_clustered' AS layout, f_clu AS f, value FROM tagged
+  )
+  GROUP BY layout, f
+)
+SELECT layout,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(CASE WHEN maxv < {_ZM_LO} OR minv > {_ZM_HI} THEN 1 ELSE 0 END)
+            AS BIGINT) AS files_skipped,
+       CAST(SUM(n) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN maxv < {_ZM_LO} OR minv > {_ZM_HI} THEN n ELSE 0 END)
+            AS BIGINT) AS rows_skipped
+FROM files
+GROUP BY layout
+""",
+)
+def q_zone_map_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (per-file min/max) data-skipping audit, quantifying the
+    clustering payoff: the SAME predicate (``value BETWEEN 100 AND
+    120``) against (a) the natural row-order file layout and (b) a
+    value-range-clustered layout — the report a table optimizer reads
+    before choosing a CLUSTER BY / Z-ORDER rewrite.
+
+    One scan: each row is tagged with both layouts' file ids and
+    exploded into (layout, file) pairs; min/max/count per file is a
+    bounded hash aggregate (group count = #files, map-side combined);
+    the verdict aggregate runs on the tiny file-stats relation.  No
+    global sort is needed to MODEL the clustered layout — file
+    assignment is a pure value-range function, which is exactly how a
+    range-partitioned rewrite would bin rows at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "value",
+        F.expr(f"event_id DIV {_ZM_ROWS_PER_FILE}").alias("f_row"),
+        F.least(
+            F.floor(F.col("value") / _ZM_VALUE_WIDTH).cast("bigint"), F.lit(31)
+        ).alias("f_clu"),
+    )
+    pairs = tagged.select(
+        "value",
+        F.explode(
+            F.array(
+                F.struct(F.lit("row_order").alias("layout"), F.col("f_row").alias("f")),
+                F.struct(
+                    F.lit("value_clustered").alias("layout"), F.col("f_clu").alias("f")
+                ),
+            )
+        ).alias("t"),
+    ).select("value", "t.layout", "t.f")
+    files = pairs.groupBy("layout", "f").agg(
+        F.min("value").alias("minv"),
+        F.max("value").alias("maxv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    skipped = (F.col("maxv") < _ZM_LO) | (F.col("minv") > _ZM_HI)
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.when(skipped, 1).otherwise(0)).alias("files_skipped"),
+        F.sum("n").alias("rows_total"),
+        F.sum(F.when(skipped, F.col("n")).otherwise(0)).alias("rows_skipped"),
+    )
