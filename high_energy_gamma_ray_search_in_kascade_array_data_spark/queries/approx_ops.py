@@ -456,3 +456,105 @@ def q_zone_map_skipping_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("rows_total"),
         F.sum(F.when(skipped, F.col("n")).otherwise(0)).alias("rows_skipped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity release with generalization-lattice fallback.
+
+_KANON_K = 8
+
+
+@register(
+    "k_anonymity_generalize",
+    survey_ref="§2.6,P5",
+    oracle=f"""
+WITH base AS (
+  SELECT event_type,
+         strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS hour_b,
+         strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day_b,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+hourly AS (
+  SELECT event_type, hour_b, MIN(day_b) AS day_b,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM base GROUP BY event_type, hour_b
+),
+rel_h AS (SELECT * FROM hourly WHERE n >= {_KANON_K}),
+daily AS (
+  SELECT event_type, day_b, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(sum_cents) AS BIGINT) AS sum_cents
+  FROM hourly WHERE n < {_KANON_K} GROUP BY event_type, day_b
+),
+rel_d AS (SELECT * FROM daily WHERE n >= {_KANON_K}),
+supp AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n
+  FROM daily WHERE n < {_KANON_K} GROUP BY event_type
+)
+SELECT 'hour' AS granularity, event_type, hour_b AS bucket, n, sum_cents FROM rel_h
+UNION ALL
+SELECT 'day' AS granularity, event_type, day_b AS bucket, n, sum_cents FROM rel_d
+UNION ALL
+SELECT 'suppressed' AS granularity, event_type, '*' AS bucket, n,
+       CAST(NULL AS BIGINT) AS sum_cents
+FROM supp
+""",
+)
+def q_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymous aggregate release (k=8) over the quasi-identifier
+    (event_type, time bucket), with a generalization-lattice fallback:
+    hour-level groups below k are COARSENED to day level by re-rolling
+    the hourly PARTIAL aggregates (never rescanning the base table);
+    groups still below k at day level are suppressed into a per-type
+    total with the value column withheld — the release shape a
+    training-data pipeline needs before publishing usage statistics.
+
+    Scale shape: one base scan feeds the hour aggregate; every further
+    lattice level is an aggregate OF aggregates over the already-tiny
+    group relation (counts and integer-cent sums are mergeable partial
+    states, which is what makes generalization a rollup rather than a
+    second pass).  All arithmetic is exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm").alias("hour_b"),
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day_b"),
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    hourly = base.groupBy("event_type", "hour_b").agg(
+        F.min("day_b").alias("day_b"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    rel_h = hourly.filter(F.col("n") >= _KANON_K).select(
+        F.lit("hour").alias("granularity"),
+        "event_type",
+        F.col("hour_b").alias("bucket"),
+        "n",
+        "sum_cents",
+    )
+    daily = (
+        hourly.filter(F.col("n") < _KANON_K)
+        .groupBy("event_type", "day_b")
+        .agg(F.sum("n").alias("n"), F.sum("sum_cents").alias("sum_cents"))
+    )
+    rel_d = daily.filter(F.col("n") >= _KANON_K).select(
+        F.lit("day").alias("granularity"),
+        "event_type",
+        F.col("day_b").alias("bucket"),
+        "n",
+        "sum_cents",
+    )
+    supp = (
+        daily.filter(F.col("n") < _KANON_K)
+        .groupBy("event_type")
+        .agg(F.sum("n").alias("n"))
+        .select(
+            F.lit("suppressed").alias("granularity"),
+            "event_type",
+            F.lit("*").alias("bucket"),
+            "n",
+            F.lit(None).cast("bigint").alias("sum_cents"),
+        )
+    )
+    return rel_h.unionByName(rel_d).unionByName(supp)

@@ -297,3 +297,75 @@ def q_polynomial_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         p[3].alias("t_xy"),
         p[4].alias("t_y2"),
     )
+
+
+@register(
+    "mllib_als_recommend",
+    survey_ref="M4,§2.12",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       3 AS recs_per_user_lo,
+       3 AS recs_per_user_hi,
+       1 AS preds_finite,
+       1 AS items_in_domain
+FROM events
+""",
+)
+def q_mllib_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collaborative-filtering recommendations via MLlib ALS — the
+    matrix-factorization workload a training-data platform runs next to
+    its corpus pipelines (implicit user→document affinity).  Ratings
+    are derived deterministically from ``events`` (user_id × a 100-item
+    catalog, integer rating 1–5), ALS(rank=4, maxIter=5, seed=7), then
+    ``recommendForAllUsers(3)``.
+
+    ALS factors come from a random-init alternating solver, so (like
+    ``mllib_lr_pipeline``) the checked surface is the pipeline's
+    INVARIANTS, which are deterministic: every training user receives
+    exactly 3 recommendations (none lost, none duplicated — lo = hi =
+    3), every recommended item is from the catalog domain, and every
+    predicted score is finite.  A recommender that drops cold users,
+    leaks out-of-catalog ids, or emits NaN scores fails the oracle.
+
+    Scale notes: ALS is MLlib's flagship *block-partitioned* factorizer
+    (user/item factor blocks co-partitioned to keep each least-squares
+    solve local); ``recommendForAllUsers`` is the blocked cross-product
+    top-k, not a naive user×item materialization."""
+    from pyspark.ml.recommendation import ALS
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    ratings = ev.select(
+        F.col("user_id").cast("int").alias("user"),
+        (F.col("event_id") % 100).cast("int").alias("item"),
+        ((F.col("event_id") * 7 % 5) + 1).cast("float").alias("rating"),
+    )
+    als = ALS(
+        rank=4,
+        maxIter=5,
+        seed=7,
+        regParam=0.1,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(3).select(
+        "user", F.explode("recommendations").alias("r")
+    ).select("user", F.col("r.item").alias("item"), F.col("r.rating").alias("score"))
+    per_user = recs.groupBy("user").agg(
+        F.count(F.lit(1)).alias("n_recs"),
+        F.min(F.when(F.col("item").between(0, 99), 1).otherwise(0)).alias("item_ok"),
+        F.min(
+            F.when(~F.isnan("score") & F.col("score").isNotNull(), 1).otherwise(0)
+        ).alias("finite_ok"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min("n_recs").cast("int").alias("recs_per_user_lo"),
+        F.max("n_recs").cast("int").alias("recs_per_user_hi"),
+        F.min("finite_ok").cast("int").alias("preds_finite"),
+        F.min("item_ok").cast("int").alias("items_in_domain"),
+    )

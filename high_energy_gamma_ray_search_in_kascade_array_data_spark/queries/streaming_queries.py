@@ -427,3 +427,156 @@ def q_stream_ohlc_candlestick(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = core.read_events_stream(spark, sf_dir)
     core.run_to_memory(core.daily_ohlc(ev), "stream_ohlc_sink", state_partitions=8)
     return spark.table("stream_ohlc_sink")
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data protocol, held to an exact SQL twin.
+
+_LATE_BATCHES = 3
+_LATE_DELAY = "1 hour"
+
+
+def _late_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per SF, atomically) a 3-file arrival-ordered replay
+    copy of ``events``: file k holds time-tertile k, except that the
+    10% of rows with ``event_id % 10 == 0`` arrive TWO files late —
+    stragglers that land after their windows have already been
+    finalized (one file late would still find the window open, because
+    eviction lags the watermark by one batch — see the query
+    docstring).  File mtimes are pinned ascending so the streaming
+    file source replays them in a deterministic order;
+    ``maxFilesPerTrigger = 1`` then yields exactly one microbatch per
+    file.
+
+    The tertile/late assignment is pure integer arithmetic over
+    ``unix_millis(ts)`` and ``event_id`` so the DuckDB oracle can
+    recompute the batch schedule bit-for-bit."""
+    import os
+    import shutil
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.sources_multimodal import SCRATCH
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(SCRATCH, f"late_replay2_{tag}")
+    if os.path.isdir(path):
+        return path
+    ev = load_table(spark, sf_dir, "events")
+    mn, mx = ev.agg(
+        F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))
+    ).collect()[0]
+    bb = F.least(
+        F.expr(f"(unix_millis(ts) - {mn}) * 3 DIV {mx - mn + 1}"),
+        F.lit(_LATE_BATCHES - 1),
+    )
+    b = F.least(
+        F.when(F.col("event_id") % 10 == 0, bb + 2).otherwise(bb),
+        F.lit(_LATE_BATCHES - 1),
+    )
+    tagged = ev.withColumn("__b", b)
+    build = path + ".build"
+    shutil.rmtree(build, ignore_errors=True)
+    os.makedirs(build)
+    for k in range(_LATE_BATCHES):
+        tmp = os.path.join(build, f"_tmp{k}")
+        tagged.filter(F.col("__b") == k).drop("__b").coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = os.path.join(build, f"b{k}.parquet")
+        os.rename(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp)
+        os.utime(dst, (1000 * (k + 1), 1000 * (k + 1)))
+    try:
+        os.rename(build, path)  # atomic publish; loser of a race cleans up
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+    return path
+
+
+@register(
+    "stream_late_data_accounting",
+    survey_ref="§2.11",
+    oracle="""
+WITH p AS (
+  SELECT event_id, event_type, ts, epoch_ms(ts) AS ms FROM events
+),
+mm AS (SELECT MIN(ms) AS mn, MAX(ms) AS mx FROM p),
+tagged AS (
+  SELECT event_type, ts,
+         LEAST(CASE WHEN event_id % 10 = 0 THEN bb + 2 ELSE bb END, 2) AS b
+  FROM (
+    SELECT event_id, event_type, ts,
+           LEAST(((ms - mn) * 3) // (mx - mn + 1), 2) AS bb
+    FROM p, mm
+  )
+),
+maxs AS (SELECT b, MAX(ts) AS mts FROM tagged GROUP BY b),
+-- the watermark in effect during batch b (max event time over batches
+-- < b, minus delay); windows with end <= that were EVICTED at the end
+-- of batch b-1, so a batch-b row for such a window is dropped.
+evict_horizon AS (
+  SELECT t.b,
+         (SELECT MAX(m.mts) FROM maxs m WHERE m.b < t.b - 1)
+           - INTERVAL 1 HOUR AS closed_before
+  FROM (SELECT DISTINCT b FROM tagged) t
+),
+kept AS (
+  SELECT tg.event_type, time_bucket(INTERVAL '1 hour', tg.ts) AS window_start
+  FROM tagged tg JOIN evict_horizon e ON e.b = tg.b
+  WHERE e.closed_before IS NULL
+     OR time_bucket(INTERVAL '1 hour', tg.ts) + INTERVAL 1 HOUR > e.closed_before
+)
+SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM kept
+GROUP BY window_start, event_type
+HAVING window_start + INTERVAL 1 HOUR <=
+       (SELECT MAX(mts) - INTERVAL 1 HOUR FROM maxs)
+""",
+)
+def q_stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode watermark protocol, held to an exact relational
+    twin: the events fixture is replayed as 3 arrival-ordered files
+    (one microbatch each, 10% of rows arriving two batches late), a
+    1-h watermark guards a tumbling (window × event_type) count, and
+    the memory sink receives only FINALIZED windows.
+
+    The oracle reproduces the engine's protocol exactly as pinned by
+    experiment on this engine version (the naive "filter late input
+    against the current watermark" model is WRONG and this oracle
+    fails under it): the watermark in effect during batch k is
+    max(event time over batches < k) − delay; input rows always merge
+    into still-open windows — even rows below the current watermark;
+    windows are EVICTED and emitted at the END of the batch whose
+    in-effect watermark reaches their end (end ≤ wm, inclusive); only
+    a row arriving for an already-evicted window is dropped, so the
+    drop horizon for batch k is wm_{k-1}, one batch behind the
+    watermark.  The terminal no-data microbatch advances the watermark
+    to global-max − delay and flushes what it reaches; windows still
+    open after that are withheld — the oracle's HAVING clause.  The
+    conservation property (emitted + dropped + unflushed = input) is
+    asserted from the engine's own numRowsDroppedByWatermark telemetry
+    in ``tests/test_streaming_semantics.py``.
+
+    Scale: state is one counter per open (window, type) — bounded by
+    the watermark horizon; stragglers beyond it are rejected before
+    the shuffle ships them anywhere."""
+    replay = _late_replay_dir(spark, sf_dir)
+    schema = spark.read.parquet(replay).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "b*.parquet")
+        .parquet(replay)
+    )
+    agg = (
+        stream.withWatermark("ts", _LATE_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    core.run_to_memory(
+        agg,
+        "stream_late_sink",
+        output_mode="append",
+        state_partitions=8,
+    )
+    return spark.table("stream_late_sink")

@@ -893,3 +893,146 @@ def q_bigram_association_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training — the iterative tokenizer-training loop.
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_merge_fold(syms, a: str, b: str):
+    """Apply one BPE merge rule (a, b) → a+b to a symbol array,
+    left-to-right, non-overlapping — as a single JVM-side array fold.
+
+    The accumulator is seeded with a sentinel '' (symbols are never
+    empty) so ``element_at(acc, -1)`` is always defined under ANSI
+    mode; the sentinel is stripped by the final single-pass filter, so
+    the fold expression is referenced exactly once (no expression
+    recompute)."""
+    merged = a + b
+    folded = F.aggregate(
+        syms,
+        F.array(F.lit("")),
+        lambda acc, x: F.when(
+            (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return F.filter(folded, lambda y: y != "")
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
+    """Unrolled materialized-CTE twin of the BPE training loop: each
+    round recomputes pair counts, picks the same lexicographically
+    tie-broken top pair, and re-folds every word with ``list_reduce``
+    (same sentinel trick as the Spark side)."""
+    parts = [
+        """w0 AS MATERIALIZED (
+  SELECT string_split(tok, '') AS s
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+  WHERE LENGTH(tok) >= 2
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT (pr).a AS a, (pr).b AS b, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (
+    SELECT unnest(list_transform(range(1, len(s)),
+                  i -> {{'a': s[i], 'b': s[i+1]}})) AS pr
+    FROM w{r - 1}
+  )
+  GROUP BY 1, 2
+),
+t{r} AS MATERIALIZED (
+  SELECT a, b, a || b AS m, freq FROM p{r}
+  ORDER BY freq DESC, a, b LIMIT 1
+),
+w{r} AS MATERIALIZED (
+  SELECT list_filter(
+           list_reduce([['']] || list_transform(s, x -> [x]),
+             (acc, x) -> CASE WHEN acc[-1] = t.a AND x[1] = t.b
+                         THEN acc[1:len(acc)-1] || [t.m]
+                         ELSE acc || x END),
+           y -> y <> '') AS s
+  FROM w{r - 1}, t{r} t
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS sym_a, b AS sym_b, m AS merged, freq FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+@register(
+    "bpe_merge_training",
+    survey_ref="M5:text,§2.6",
+    oracle=_bpe_oracle_sql(_BPE_ROUNDS),
+)
+def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING — the iterative merge-learning loop
+    itself, not just pretokenization (which ``bpe_pretokenize_counts``
+    covers): 5 rounds of (count adjacent symbol pairs corpus-wide →
+    adopt the most frequent pair as a merge rule, ties broken
+    lexicographically → re-segment every word), returning the learned
+    merge table (round, pair, merged symbol, frequency at adoption).
+
+    Loop layout follows the kmeans/Bellman-Ford family: per round ONE
+    map-side-combinable pair-count aggregate (group count = current
+    pair vocabulary, never the token stream) and a driver-held rule
+    (3 strings — metadata, same license as the kmeans centroids); the
+    merge application is a pure JVM array fold, and each round's
+    re-segmented corpus is lineage-truncated (``localCheckpoint``) so
+    round k never recomputes rounds 1..k-1 — at cluster scale that
+    checkpoint is a persisted intermediate table, the standard shape
+    for iterative corpus rewrites.  Counts are exact integers; the
+    tie-break is total, so the learned merge table is bit-stable at
+    any partitioning and identical in the unrolled DuckDB twin."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.analytics_ext import _loop_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        # Spark's split('', -1) keeps a trailing empty string where
+        # DuckDB's string_split does not — filter to the real chars.
+        .select(F.filter(F.split(F.col("tok"), ""), lambda c: c != "").alias("s"))
+        # The fixture is one parquet file = one input partition; the
+        # per-round folds would otherwise run on a single task. A real
+        # corpus arrives pre-partitioned — here the one-off spread is
+        # part of the checkpoint write it shares a pass with.
+        .repartition(8)
+        .localCheckpoint(eager=True)
+    )
+    rules: list[tuple[int, str, str, str, int]] = []
+    cur = words
+    for r in range(1, _BPE_ROUNDS + 1):
+        s = F.col("s")
+        pairs = cur.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(s, 1, F.size(s) - 1),
+                    F.slice(s, 2, F.size(s) - 1),
+                    lambda p, q: F.struct(p.alias("a"), q.alias("b")),
+                )
+            ).alias("pr")
+        )
+        with _loop_shuffle(spark, 8):
+            top = (
+                pairs.groupBy("pr.a", "pr.b")
+                .agg(F.count(F.lit(1)).alias("freq"))
+                .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )[0]
+        a, b, freq = top["a"], top["b"], int(top["freq"])
+        rules.append((r, a, b, a + b, freq))
+        if r < _BPE_ROUNDS:
+            cur = cur.select(_bpe_merge_fold(s, a, b).alias("s")).localCheckpoint(
+                eager=True
+            )
+    return spark.createDataFrame(
+        rules, "round int, sym_a string, sym_b string, merged string, freq bigint"
+    )

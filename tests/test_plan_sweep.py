@@ -18,6 +18,13 @@ _SIDE_EFFECT_PREFIXES = ("stream_", "npz_legacy", "partitioned_split", "ivf_part
 # the UDTF is the documented row-at-a-time API demonstration
 _ROW_PYTHON_ALLOWED = {"udtf_chunk_documents"}
 
+# MLlib's recommendForAllUsers IS a deliberate blocked cross product:
+# all-pairs (user-block × item-block) scoring over the small FACTOR
+# matrices (rank-4 rows, not input rows) is the algorithm for global
+# top-k recommendation — the sweep exists to catch accidental
+# cartesians over base relations, which this is not.
+_CARTESIAN_ALLOWED = {"mllib_als_recommend"}
+
 _NAMES = [
     n
     for n in sorted(_C)
@@ -28,7 +35,8 @@ _NAMES = [
 @pytest.mark.parametrize("name", _NAMES)
 def test_no_cartesian_no_row_python(name, spark, sf_dir):
     plan = physical_plan(_C[name].fn(spark, sf_dir))
-    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+    if name not in _CARTESIAN_ALLOWED:
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
     if name not in _ROW_PYTHON_ALLOWED:
         assert "BatchEvalPython" not in plan, f"{name} plans row-at-a-time Python"
 

@@ -228,3 +228,59 @@ def test_stream_dedup_within_watermark_across_batches(spark):
 
     got = sorted((r["event_id"], r["value"]) for r in spark.table("dedup_probe").collect())
     assert got == [(1, 1.0), (2, 2.0), (3, 3.0)], got
+
+
+def test_late_data_conservation_from_engine_telemetry(spark, sf_dir):
+    """The watermark protocol's books must balance: every input row is
+    either aggregated into an emitted window, dropped as a straggler
+    into an already-evicted window (the engine's own
+    numRowsDroppedByWatermark counter), or withheld in a window still
+    open at termination.  Also pins that the +2-batch stragglers make
+    the drop path non-degenerate (>0 drops at every SF)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.streaming_queries import _late_replay_dir
+    import os
+
+    replay = _late_replay_dir(spark, sf_dir)
+    schema = spark.read.parquet(replay).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "b*.parquet")
+        .parquet(replay)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("late_conservation_probe")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        progress = list(q.recentProgress)
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    total_in = sum(p["numInputRows"] for p in progress)
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in progress
+    )
+    emitted = (
+        spark.table("late_conservation_probe").agg(F.sum("n")).collect()[0][0] or 0
+    )
+    n_total = spark.read.parquet(replay).count()
+    assert total_in == n_total
+    unflushed = total_in - emitted - dropped
+    assert dropped > 0, "straggler construction degenerated: nothing was late"
+    assert unflushed >= 0
+    assert emitted + dropped + unflushed == total_in
