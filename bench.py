@@ -71,8 +71,15 @@ HEADLINE = [
     "kmeans_lloyd_integer",
     "skyline_pareto",
     "session_window_batch",
+    "gram_matrix_embeddings",
+    "count_min_sketch_estimate",
+    "bloom_semijoin_reduction",
+    "golden_record_survivorship",
+    "weighted_median_price",
     "stream_tumbling_counts",
     "stream_stream_join",
+    "stream_stream_left_outer_join",
+    "stream_late_data_accounting",
     "stream_survival_curve",
 ]
 

@@ -558,3 +558,212 @@ def q_k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rel_h.unionByName(rel_d).unionByName(supp)
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: merge partial aggregate states.
+
+_IVM_CUTOFF = "1998-01-01"
+
+
+@register(
+    "incremental_agg_maintenance",
+    survey_ref="§2.6,A4",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       MIN(o_orderdate) AS first_order,
+       MAX(o_orderdate) AS last_order
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def q_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for an aggregate view: the orders
+    before the cutoff are reduced to PARTIAL STATES (count, integer-
+    cent sum, min/max), the post-cutoff delta is reduced separately,
+    and the view refresh MERGES the two state relations — never
+    rescanning the base.  The oracle aggregates the whole table in one
+    pass, so the gate proves merge(base_state, delta_state) ≡ full
+    recompute, which is the algebraic property (commutative-monoid
+    state) every IVM engine rests on.
+
+    At 100 TB this is the difference between an O(delta) nightly
+    refresh and an O(history) one: count/sum/min/max (and any other
+    monoid — HLL, bitmap, CMS from this corpus) merge cell-wise, so
+    the refresh shuffles only |groups| rows per side."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")).alias(
+                "sum_cents"
+            ),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < _IVM_CUTOFF))
+    delta = partial(orders.filter(F.col("o_orderdate") >= _IVM_CUTOFF))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("first_order").alias("first_order"),
+            F.max("last_order").alias("last_order"),
+        )
+    )
+
+
+@register(
+    "weighted_median_price",
+    survey_ref="§2.6,§2.8",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_c,
+         CAST(l_quantity AS BIGINT) AS qty,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+cum AS (
+  SELECT l_returnflag, price_c, qty,
+         SUM(qty) OVER (PARTITION BY l_returnflag
+                        ORDER BY price_c, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c,
+         SUM(qty) OVER (PARTITION BY l_returnflag) AS total
+  FROM w
+),
+hit AS (
+  SELECT l_returnflag, price_c,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY c, price_c) AS rn
+  FROM cum WHERE 2 * c >= total
+)
+SELECT l_returnflag, price_c AS weighted_median_cents
+FROM hit WHERE rn = 1
+""",
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the
+    survey-statistics generalization of the exact median: the first
+    price (in (price, orderkey, linenumber) order) whose cumulative
+    quantity reaches half the stratum total.  All integer arithmetic
+    (cents × integer quantities), totally ordered by the unique line
+    key, so the answer is exact and partitioning-independent.
+
+    Shape: one window cumsum per stratum (the only shuffle, keyed by
+    the stratum) + a per-stratum total as a window aggregate on the
+    same partitioning — no second scan, no join; the 'first crossing'
+    is a TakeOrdered-per-group over rows already filtered to the
+    crossing region."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("price_c"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    byflag = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("qty")
+        .over(
+            byflag.orderBy("price_c", "l_orderkey", "l_linenumber").rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        .alias("c"),
+        F.sum("qty").over(byflag).alias("total"),
+    )
+    hit = cum.filter(2 * F.col("c") >= F.col("total")).withColumn(
+        "rn", F.row_number().over(byflag.orderBy("c", "price_c"))
+    )
+    return hit.filter(F.col("rn") == 1).select(
+        "l_returnflag", F.col("price_c").alias("weighted_median_cents")
+    )
+
+
+@register(
+    "null_imputation_report",
+    survey_ref="§2.6,P5,F6",
+    oracle="""
+WITH masked AS (
+  SELECT event_type, event_id,
+         CASE WHEN event_id % 17 = 0 THEN NULL
+              ELSE CAST(FLOOR(value * 100 + 0.5) AS BIGINT) END AS cents
+  FROM events
+),
+ranked AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY cents, event_id) AS rk,
+         COUNT(cents) OVER (PARTITION BY event_type) AS n_obs
+  FROM masked WHERE cents IS NOT NULL
+),
+med AS (
+  SELECT event_type, cents AS median_cents
+  FROM ranked WHERE rk = (n_obs + 1) // 2
+)
+SELECT m.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN m.cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_missing,
+       MIN(med.median_cents) AS median_cents,
+       CAST(SUM(COALESCE(m.cents, med.median_cents)) AS BIGINT)
+         AS sum_imputed_cents
+FROM masked m JOIN med ON med.event_type = m.event_type
+GROUP BY m.event_type
+""",
+)
+def q_null_imputation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation with an audit report — the data-repair step a
+    curation pipeline runs before training: 1-in-17 of the value cells
+    is masked NULL (deterministically, so the oracle sees the same
+    holes), each hole is filled with its group's EXACT lower median
+    (integer cents, rank ⌈n/2⌉ in (value, event_id) order — no
+    interpolation, no float percentile), and the report accounts for
+    every cell: total, missing, the imputation value, and the repaired
+    sum.
+
+    Shape: one window pass over the non-null rows ranks each group
+    (the shuffle is keyed by the low-cardinality group column), the
+    1-row-per-group median relation broadcasts back, and the repaired
+    aggregate is a plain hash aggregate — the imputation itself never
+    shuffles the fact table a second time."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_type",
+        "event_id",
+        F.when(F.col("event_id") % 17 == 0, F.lit(None).cast("bigint")).otherwise(
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+        ).alias("cents"),
+    )
+    byt = Window.partitionBy("event_type")
+    ranked = (
+        masked.filter(F.col("cents").isNotNull())
+        .withColumn("rk", F.row_number().over(byt.orderBy("cents", "event_id")))
+        .withColumn("n_obs", F.count("cents").over(byt))
+    )
+    med = ranked.filter(F.col("rk") == F.expr("(n_obs + 1) DIV 2")).select(
+        "event_type", F.col("cents").alias("median_cents")
+    )
+    return (
+        masked.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("cents").isNull(), 1).otherwise(0)).alias("n_missing"),
+            F.min("median_cents").alias("median_cents"),
+            F.sum(F.coalesce(F.col("cents"), F.col("median_cents"))).alias(
+                "sum_imputed_cents"
+            ),
+        )
+    )

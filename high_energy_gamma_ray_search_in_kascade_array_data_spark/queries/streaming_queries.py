@@ -580,3 +580,57 @@ def q_stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
         state_partitions=8,
     )
     return spark.table("stream_late_sink")
+
+
+@register(
+    "stream_stream_left_outer_join",
+    survey_ref="§2.11,§2.7",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id AS view_id, ts AS v_ts
+  FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS p_ts
+  FROM events WHERE event_type = 'purchase'
+),
+wmf AS (
+  SELECT LEAST((SELECT MAX(v_ts) FROM v), (SELECT MAX(p_ts) FROM p))
+         - INTERVAL 1 HOUR AS wm
+)
+SELECT v.user_id, v.view_id, p.purchase_id
+FROM v JOIN p
+  ON p.user_id = v.user_id
+ AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+UNION ALL
+SELECT v.user_id, v.view_id, CAST(NULL AS BIGINT) AS purchase_id
+FROM v, wmf
+WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.p_ts >= v.v_ts AND p.p_ts <= v.v_ts + INTERVAL 1 HOUR
+      )
+  AND v.v_ts + INTERVAL 1 HOUR < wmf.wm
+""",
+)
+def q_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream LEFT OUTER join with watermark-proven null
+    emission, held to an exact relational twin: inner matches equal
+    the batch theta-join; an unmatched view emits its null-padded row
+    only once the GLOBAL watermark (min over both sides' operators,
+    here least(max view ts, max purchase ts) − 1 h after the terminal
+    no-data batch) strictly passes the view's match horizon — views
+    whose horizon is still inside the watermark at termination are
+    withheld, exactly like the open windows of
+    ``stream_late_data_accounting``.  The oracle's NOT-EXISTS branch
+    encodes that boundary; replay-equivalence would fail if the
+    engine emitted eager, retracted, or duplicate outer rows."""
+    ev = core.read_events_stream(spark, sf_dir)
+    joined = core.view_purchase_left_join(ev)
+    core.run_to_memory(
+        joined,
+        "stream_stream_loj_sink",
+        output_mode="append",
+        state_partitions=4,
+    )
+    return spark.table("stream_stream_loj_sink")

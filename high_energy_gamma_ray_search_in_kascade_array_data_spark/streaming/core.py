@@ -240,3 +240,45 @@ def daily_ohlc(events: DataFrame) -> DataFrame:
             "volume",
         )
     )
+
+
+def view_purchase_left_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:
+    """Stream–stream LEFT OUTER join: every view row is answered —
+    either with a same-user purchase within ``horizon``, or with a
+    null-padded row once the watermark PROVES no match can still
+    arrive.  Matches emit on arrival; the outer null for an unmatched
+    view emits only when the global watermark (min across both sides'
+    watermark operators) passes ``v_ts + horizon`` — strictly, as
+    pinned by experiment: a view whose horizon lands exactly ON the
+    final watermark is withheld.  State on each side expires at the
+    same boundary, which is the state-boundedness contract that makes
+    outer stream joins runnable forever."""
+    views = (
+        events.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    return views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+    )
