@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 from collections.abc import Sequence
+from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import Column
@@ -183,3 +184,42 @@ def linear_score_expr(feature_cols: Sequence[str], weights: Sequence[float], bia
 
 def sigmoid(x: float) -> float:
     return 1.0 / (1.0 + math.exp(-x))
+
+
+def make_mlp_scorer_iter_udf(artifact_path: str):
+    """Iterator-form twin of ``make_mlp_scorer_udf`` (SURVEY §2.12):
+    ``Iterator[pd.Series] → Iterator[pd.Series]`` — the pandas-UDF
+    variant whose contract lets expensive per-task setup run ONCE and
+    amortize across every Arrow batch the task processes.  For a real
+    torch checkpoint the artifact load (+ GPU transfer) dominates a
+    batch, so this is the inference form a 1000-executor scorer
+    actually uses; the scalar form re-enters the cache per batch,
+    which is correct but pays the lookup every time.
+
+    Numerics are identical to the scalar form (same ``_forward``,
+    same left-to-right accumulation), so both variants hash against
+    the SAME unrolled-SQL oracle."""
+    import numpy as np
+
+    def _forward(state: dict, mat):
+        x = mat
+        n_layers = len({k.split(".")[0] for k in state})
+        for li in range(1, n_layers + 1):
+            w, b = state[f"fc{li}.weight"], state[f"fc{li}.bias"]
+            z = np.empty((x.shape[0], w.shape[0]), dtype="float64")
+            for u in range(w.shape[0]):
+                acc = np.full(x.shape[0], b[u])
+                for j in range(w.shape[1]):
+                    acc = acc + w[u, j] * x[:, j]
+                z[:, u] = acc
+            x = z if li == n_layers else np.maximum(z, 0.0)
+        return 1.0 / (1.0 + np.exp(-x[:, 0]))
+
+    @F.pandas_udf(DoubleType())
+    def score(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        state = load_artifact_cached(artifact_path)  # once per task
+        for features in batches:
+            mat = np.stack(features.to_numpy())
+            yield pd.Series(_forward(state, mat))
+
+    return score

@@ -502,3 +502,76 @@ def q_apply_in_arrow_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_cents").cast("bigint").alias("sum_cents"),
         F.max("max_user").cast("bigint").alias("max_user"),
     )
+
+
+@register(
+    "cogroup_asof_merge",
+    survey_ref="§2.12,§2.7",
+    oracle="""
+WITH lim AS (
+  SELECT user_id, ts,
+         CAST(MAX(FLOOR(value * 100 + 0.5)) AS BIGINT) AS limit_cents
+  FROM events WHERE event_type = 'signup'
+  GROUP BY user_id, ts
+),
+ev AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type <> 'signup'
+)
+SELECT ev.user_id, ev.event_id, ev.cents, lim.limit_cents,
+       CASE WHEN lim.limit_cents IS NOT NULL AND ev.cents > lim.limit_cents
+            THEN 1 ELSE 0 END AS over_limit
+FROM ev ASOF LEFT JOIN lim
+  ON ev.user_id = lim.user_id AND ev.ts >= lim.ts
+""",
+)
+def q_cogroup_asof_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped ``applyInPandas`` (SURVEY §2.12's third grouped-map
+    form): the event stream and a per-user limit-change stream are
+    COGROUPED on user_id and merged as-of inside pandas —
+    ``pd.merge_asof`` per group, each user's latest limit at-or-before
+    the event's time, nulls before the first change.  DuckDB's native
+    ASOF LEFT JOIN is the oracle, so the Python cogroup path is held
+    to the engine-native join semantics exactly (ties are impossible:
+    the right side is pre-aggregated unique per (user, ts)).
+
+    Scale shape: cogroup shuffles BOTH sides once on the group key and
+    hands each group to one task as two aligned pandas frames — the
+    same co-partitioned layout a JVM sort-merge as-of join would use;
+    Arrow moves each group in columnar batches.  The engine-native
+    alternative (``asof_last_click``) stays the default — this query
+    exists because a custom Python merge (model-feature alignment,
+    custom tolerance logic) needs the cogroup seam."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev_all = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    lim = (
+        ev_all.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max(cents).alias("limit_cents"))
+    )
+    ev = ev_all.filter(F.col("event_type") != "signup").select(
+        "user_id", "event_id", "ts", cents.alias("cents")
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("ts", kind="mergesort")
+        right = right.drop(columns=["user_id"]).sort_values("ts", kind="mergesort")
+        out = pd.merge_asof(left, right, on="ts", direction="backward")
+        out["limit_cents"] = out["limit_cents"].astype("Int64")
+        out["over_limit"] = (
+            out["limit_cents"].notna() & (out["cents"] > out["limit_cents"])
+        ).astype("int32")
+        return out[["user_id", "event_id", "cents", "limit_cents", "over_limit"]]
+
+    return (
+        ev.groupBy("user_id")
+        .cogroup(lim.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "user_id bigint, event_id bigint, cents bigint, "
+            "limit_cents bigint, over_limit int",
+        )
+    )

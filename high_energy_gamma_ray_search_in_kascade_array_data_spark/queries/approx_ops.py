@@ -767,3 +767,65 @@ def q_null_imputation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy subtree rollup via closed-form ancestor enumeration.
+
+_BOM_LEVELS = 8  # ceil(log10(max partkey)) + headroom
+
+
+@register(
+    "bom_subtree_rollup",
+    survey_ref="§2.6,§2.7",
+    oracle=f"""
+WITH anc AS (
+  SELECT DISTINCT
+         unnest(list_distinct(list_transform(range({_BOM_LEVELS}),
+                j -> p_partkey // CAST(POWER(10, j) AS BIGINT)))) AS node,
+         p_partkey,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c
+  FROM part
+)
+SELECT node,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(price_c) AS BIGINT) AS subtree_cents
+FROM anc
+GROUP BY node
+""",
+)
+def q_bom_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials subtree rollup over the implicit decimal-trie
+    part hierarchy (parent(k) = k DIV 10, root 0): every node's part
+    count and total retail value across its ENTIRE subtree,
+    self-inclusive.
+
+    The Spark-first shape: because the parent function is closed-form,
+    each row's full ancestor chain is enumerated as a per-row array
+    (``transform`` over 8 levels + ``array_distinct`` — the trie is at
+    most 8 deep), exploded, and hash-aggregated — ONE scan, ONE
+    bounded shuffle (≤ 8 rows per part, group count = node count), NO
+    iteration.  This is the materialized-path pattern that replaces a
+    recursive CTE whenever depth is bounded: the iterative
+    level-by-level join family (``bfs_shortest_hops``, ``kcore``)
+    stays for graphs where ancestry is data-dependent.  All integer
+    cents, hash-exact."""
+    p = load_table(spark, sf_dir, "part")
+    # integer division via DIV to stay in exact bigint land
+    ancestors = F.array_distinct(
+        F.expr(
+            f"transform(sequence(0, {_BOM_LEVELS - 1}), "
+            f"j -> p_partkey DIV CAST(POWER(10, j) AS BIGINT))"
+        )
+    )
+    return (
+        p.select(
+            F.explode(ancestors).alias("node"),
+            F.floor(F.col("p_retailprice") * 100 + 0.5).cast("bigint").alias("price_c"),
+        )
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("price_c").alias("subtree_cents"),
+        )
+    )

@@ -369,3 +369,37 @@ def q_mllib_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("finite_ok").cast("int").alias("preds_finite"),
         F.min("item_ok").cast("int").alias("items_in_domain"),
     )
+
+
+@register(
+    "mlp_iter_inference",
+    survey_ref="M1,S5,§2.12",
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT event_id,
+       ROUND({inference.mlp_score_sql(_mlp_state(), _MLP_INPUT_EXPRS)}, 6) AS score
+FROM shower
+""",
+)
+def q_mlp_iter_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-form (``Iterator[pd.Series] → Iterator[pd.Series]``)
+    pandas-UDF inference from the same persisted artifact as
+    ``mlp_artifact_inference`` — the API whose contract amortizes the
+    checkpoint load over every Arrow batch in the task (a real torch
+    model's load + device transfer dominates a batch, so this is the
+    form a production batch scorer uses).  Numerics are identical to
+    the scalar form, so both variants are held to the SAME
+    unrolled-SQL oracle — the gate proves the two UDF evaluation modes
+    are observationally equivalent, not just both plausible."""
+    import os
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.sources_multimodal import SCRATCH
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table  # noqa: F401
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    artifact = os.path.join(SCRATCH, "mlp_head.npz")
+    inference.save_model_artifact(artifact, _mlp_state())
+    df = shower_frame(spark, sf_dir)
+    feats = F.array(*[F.expr(e).cast("double") for e in _MLP_INPUT_EXPRS])
+    score = inference.make_mlp_scorer_iter_udf(artifact)
+    return df.select("event_id", F.round(score(feats), 6).alias("score"))

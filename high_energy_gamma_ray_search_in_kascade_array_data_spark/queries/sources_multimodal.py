@@ -477,3 +477,67 @@ def q_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(rev).cast("bigint").alias("revenue_cents"),
     )
+
+
+@register(
+    "npz_datasource_write_roundtrip",
+    survey_ref="S4,S2,§2.12",
+    oracle=f"""
+WITH {SHOWER_CTE}
+SELECT 'k' || CAST(event_id % 4 AS VARCHAR) AS key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(lg_e * 1000 + 0.5) AS BIGINT)
+              + CAST(FLOOR(ze * 1000 + 0.5) AS BIGINT)
+              + CAST(FLOOR(p * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS checksum
+FROM shower
+GROUP BY 1
+""",
+)
+def q_npz_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE half of the Python Data Source surface (S4):
+    ``df.write.format("npz").mode("overwrite")`` pushes the shower
+    features through the custom ``DataSourceWriter`` — per-task
+    key-grouped float64 stacks written as temp shards, a driver-side
+    two-phase ``commit`` that atomically publishes ``part-*.npz``
+    names (abort removes temps, so a failed job leaves no readable
+    partial output) — and the same engine reads the archives straight
+    back with the S2 reader.  The oracle recomputes the per-key
+    checksum from the relational source, so the gate covers the full
+    write → commit → scan cycle: a writer that dropped rows,
+    duplicated a shard at commit, or corrupted an array would
+    hash-fail.  Values quantize exactly (float64 roundtrips npz
+    bit-for-bit), keeping the checksum partition-independent."""
+    import shutil
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.npz_datasource import NpzDataSource
+
+    spark.dataSource.register(NpzDataSource)
+    sf_tag = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(SCRATCH, f"npz_writer_{sf_tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    df = shower_frame(spark, sf_dir).select(
+        F.concat(F.lit("k"), (F.col("event_id") % 4).cast("string")).alias("key"),
+        F.array(
+            F.col("lg_e").cast("double"),
+            F.col("ze").cast("double"),
+            F.col("p").cast("double"),
+        ).alias("values"),
+    )
+    df.write.format("npz").mode("overwrite").option("path", out_dir).save()
+
+    back = (
+        spark.read.format("npz")
+        .option("path", os.path.join(out_dir, "part-*.npz"))
+        .load()
+    )
+    v = F.col("values")
+    quantsum = (
+        F.floor(v[0] * 1000 + 0.5).cast("bigint")
+        + F.floor(v[1] * 1000 + 0.5).cast("bigint")
+        + F.floor(v[2] * 1000 + 0.5).cast("bigint")
+    )
+    return back.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(quantsum).alias("checksum"),
+    )

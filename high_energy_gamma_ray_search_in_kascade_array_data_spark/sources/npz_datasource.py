@@ -20,7 +20,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -129,3 +131,73 @@ class NpzDataSource(DataSource):
 
     def streamReader(self, schema) -> DataSourceStreamReader:
         return NpzStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "NpzWriter":
+        return NpzWriter(self.options, overwrite)
+
+
+class NpzCommitMessage(WriterCommitMessage):
+    """Executor→driver commit token: the temp shard this task wrote
+    (None for an empty partition)."""
+
+    def __init__(self, tmp_shard: str | None):
+        self.tmp_shard = tmp_shard
+
+
+class NpzWriter(DataSourceWriter):
+    """Distributed NPZ sink (the write half of the S4 surface): each
+    task groups its rows by ``key``, stacks them into 2-D float64
+    arrays, and writes ONE temp shard archive; the driver-side
+    ``commit`` publishes every shard with its final ``part-*.npz``
+    name only after all tasks succeed, and ``abort`` removes the
+    temps — the standard two-phase task-commit protocol, so readers
+    (whose glob matches only ``part-*.npz``) never observe a partial
+    write.  On a shared filesystem / object store the same protocol
+    holds with a rename-capable committer."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("npz sink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import numpy as np
+
+        from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml.inference import save_model_artifact
+
+        by_key: dict[str, list] = {}
+        for row in iterator:
+            by_key.setdefault(row.key, []).append(
+                np.asarray(row.values, dtype="float64")
+            )
+        if not by_key:
+            return NpzCommitMessage(None)
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.npz")
+        save_model_artifact(  # atomic temp+replace npz write, reused
+            tmp, {k: np.stack(v) for k, v in sorted(by_key.items())}
+        )
+        return NpzCommitMessage(tmp)
+
+    def commit(self, messages):
+        import glob
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path, "part-*.npz")):
+                os.remove(old)
+        shards = sorted(m.tmp_shard for m in messages if m and m.tmp_shard)
+        for i, tmp in enumerate(shards):
+            os.replace(tmp, os.path.join(self.path, f"part-{i:05d}.npz"))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m and m.tmp_shard and os.path.exists(m.tmp_shard):
+                os.remove(m.tmp_shard)
