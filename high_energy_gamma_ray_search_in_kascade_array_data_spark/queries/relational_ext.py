@@ -1554,3 +1554,147 @@ def q_variant_semistructured(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias("n_with_k"),
         F.sum(F.when(F.col("m").isNotNull(), 1).otherwise(0)).alias("n_with_missing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 SQL-surface parity: recursive CTE, SQL scripting, transpose.
+
+
+@register(
+    "recursive_cte_bom_depth",
+    survey_ref="§2.4,§2.7",
+    oracle="""
+WITH RECURSIVE walk(p_partkey, depth, path_cents) AS (
+  SELECT p_partkey, 0 AS depth,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS path_cents
+  FROM part WHERE p_partkey = 0
+  UNION ALL
+  SELECT c.p_partkey, w.depth + 1,
+         w.path_cents + CAST(FLOOR(c.p_retailprice * 100 + 0.5) AS BIGINT)
+  FROM part c JOIN walk w ON c.p_partkey // 10 = w.p_partkey
+  WHERE c.p_partkey > 0
+)
+SELECT p_partkey, CAST(depth AS INTEGER) AS depth, path_cents
+FROM walk
+""",
+)
+def q_recursive_cte_bom_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI recursive CTE executed by BOTH engines over the decimal
+    part trie (parent = key DIV 10): each part's depth and cumulative
+    root-path cost by recursive descent from the root.  Spark 4 runs
+    WITH RECURSIVE natively (UnionLoop — each iteration is one
+    distributed join against the previous frontier, exactly the
+    level-synchronous shape ``bfs_shortest_hops`` hand-builds), so
+    this is a direct engine-parity gate: the SAME query text modulo
+    DIV spelling, byte-identical results.  The closed-form twin
+    ``bom_subtree_rollup`` remains the scale path when the hierarchy
+    function is known; recursion is for when it is not."""
+    t = load_table(spark, sf_dir, "part")
+    t.createOrReplaceTempView("part_rec_src")
+    return spark.sql("""
+WITH RECURSIVE walk(p_partkey, depth, path_cents) AS (
+  SELECT p_partkey, 0 AS depth,
+         CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS path_cents
+  FROM part_rec_src WHERE p_partkey = 0
+  UNION ALL
+  SELECT c.p_partkey, w.depth + 1,
+         w.path_cents + CAST(FLOOR(c.p_retailprice * 100 + 0.5) AS BIGINT)
+  FROM part_rec_src c JOIN walk w ON c.p_partkey DIV 10 = w.p_partkey
+  WHERE c.p_partkey > 0
+)
+SELECT p_partkey, CAST(depth AS INT) AS depth, path_cents
+FROM walk
+""")
+
+
+@register(
+    "sql_scripting_threshold_search",
+    survey_ref="§2.4",
+    oracle="""
+WITH counts AS (
+  SELECT t.t AS thr,
+         (SELECT COUNT(*) FROM events WHERE value >= t.t) AS n_above,
+         (SELECT COUNT(*) FROM events) AS n_total
+  FROM (SELECT unnest(range(0, 60)) * 10 AS t) t
+)
+SELECT CAST(MIN(thr) AS BIGINT) AS threshold,
+       CAST(MIN_BY(n_above, thr) AS BIGINT) AS n_above
+FROM counts
+WHERE n_above * 100 < n_total
+""",
+)
+def q_sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL SCRIPTING (Spark 4 BEGIN…END procedural blocks): a WHILE
+    loop walks the threshold ladder (step 10) until fewer than 1% of
+    events exceed it — the iterative parameter search an analyst would
+    otherwise drive from Python, expressed entirely in the SQL
+    surface with DECLAREd session variables and scalar-subquery
+    assignment.  The oracle finds the same fixpoint declaratively
+    (min over the materialized ladder), so the procedural and
+    declarative forms are gated against each other.  The loop body is
+    one aggregate scan per step; everything distributed stays in the
+    engine — the script only carries two scalars."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_script_src")
+    return spark.sql("""
+BEGIN
+  DECLARE thr BIGINT DEFAULT 0;
+  DECLARE n_above BIGINT DEFAULT -1;
+  DECLARE n_total BIGINT DEFAULT 0;
+  SET n_total = (SELECT COUNT(*) FROM events_script_src);
+  SET n_above = (SELECT COUNT(*) FROM events_script_src WHERE value >= thr);
+  WHILE n_above * 100 >= n_total DO
+    SET thr = thr + 10;
+    SET n_above = (SELECT COUNT(*) FROM events_script_src WHERE value >= thr);
+  END WHILE;
+  SELECT thr AS threshold, n_above;
+END
+""")
+
+
+@register(
+    "dataframe_transpose",
+    survey_ref="T5,§2.6",
+    oracle="""
+WITH s AS (
+  SELECT CAST(event_id % 2 AS VARCHAR) AS label,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM events GROUP BY 1
+)
+SELECT 'n_events' AS key,
+       (SELECT n_events FROM s WHERE label = '0') AS "0",
+       (SELECT n_events FROM s WHERE label = '1') AS "1"
+UNION ALL
+SELECT 'n_users',
+       (SELECT n_users FROM s WHERE label = '0'),
+       (SELECT n_users FROM s WHERE label = '1')
+UNION ALL
+SELECT 'sum_cents',
+       (SELECT sum_cents FROM s WHERE label = '0'),
+       (SELECT sum_cents FROM s WHERE label = '1')
+""",
+)
+def q_dataframe_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (new in Spark 4) — the engine-native
+    layout transpose that closes T5's wide↔long family: a per-label
+    stats block flips so measures become rows and labels become
+    columns (the presentation layout of the reference's printed
+    summaries).  transpose() hinges on the first column's VALUES
+    becoming column names — deterministic here because the label
+    domain is {0,1}; the oracle hand-builds the same flip with scalar
+    subqueries.  Transpose collects the (tiny, already-aggregated)
+    frame through the driver by design — use only after reduction,
+    never on a fact table."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.groupBy((F.col("event_id") % 2).cast("string").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("sum_cents"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .orderBy("label")
+    )
+    return s.transpose().withColumnRenamed("key", "key")
