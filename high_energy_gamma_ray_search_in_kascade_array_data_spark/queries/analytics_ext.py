@@ -1813,3 +1813,79 @@ def q_kcore_peel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_kcore_peel_profile.__doc__ = q_kcore_peel_profile.__doc__.format(
     k=_KCORE_K, rounds=_KCORE_ROUNDS
 )
+
+
+@register(
+    "seasonal_trend_decomposition",
+    survey_ref="§2.6,§2.8",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST((CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS INTEGER) AS dow,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents_day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, day, dow, cents_day, n,
+       CAST(SUM(cents_day) OVER w7 AS BIGINT) AS trend7_cents,
+       CAST(COUNT(*) OVER w7 AS BIGINT) AS n_window,
+       CAST(COUNT(*) OVER w7 * cents_day - SUM(cents_day) OVER w7 AS BIGINT)
+         AS detrended_scaled,
+       CAST(SUM(cents_day) OVER wd AS BIGINT) AS dow_sum_cents,
+       CAST(COUNT(*) OVER wd AS BIGINT) AS dow_n_days
+FROM daily
+WINDOW
+  w7 AS (PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING),
+  wd AS (PARTITION BY event_type, dow)
+""",
+)
+def q_seasonal_trend_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-trend decomposition of the daily revenue series, kept
+    EXACT: per (event_type, day) the centered 7-day trend window (sum
+    + member count, so edge days stay honest instead of a padded
+    moving average), the scaled detrended residual n_window·x −
+    trend_sum (an integer — multiplying through by the window size
+    avoids the division that would break hash-exactness), and the
+    day-of-week seasonal component as (sum, count) sufficient
+    statistics per weekday.  Day-of-week is computed arithmetically
+    (epoch-days mod 7) because the engines disagree on ``dayofweek``
+    numbering.
+
+    Shape: one daily pre-aggregation (bounded groups), then two
+    windows on the SAME per-type partitioning — the ordered 7-row
+    frame and the dow partition reuse one shuffle's layout; nothing
+    rescans events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) % 7)
+        .cast("int")
+        .alias("dow"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("cents_day"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    wd = Window.partitionBy("event_type", "dow")
+    return daily.select(
+        "event_type",
+        "day",
+        "dow",
+        "cents_day",
+        "n",
+        F.sum("cents_day").over(w7).alias("trend7_cents"),
+        F.count(F.lit(1)).over(w7).alias("n_window"),
+        (
+            F.count(F.lit(1)).over(w7) * F.col("cents_day")
+            - F.sum("cents_day").over(w7)
+        ).alias("detrended_scaled"),
+        F.sum("cents_day").over(wd).alias("dow_sum_cents"),
+        F.count(F.lit(1)).over(wd).alias("dow_n_days"),
+    )

@@ -634,3 +634,111 @@ def q_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
         state_partitions=4,
     )
     return spark.table("stream_stream_loj_sink")
+
+
+@register(
+    "stream_foreach_batch_upsert",
+    survey_ref="§2.11,§2.7,S4",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_id, ts,
+         CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT r.user_id,
+       r.event_id AS last_event_id,
+       r.cents AS last_cents,
+       t.n_events
+FROM ranked r
+JOIN (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id) t USING (user_id)
+WHERE r.rn = 1
+""",
+)
+def q_stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming UPSERT materialization via ``foreachBatch`` — the
+    keyed-sink pattern every CDC pipeline runs: each microbatch of the
+    3-file replay MERGEs into a versioned parquet snapshot (latest row
+    per user by (ts, event_id), plus an accumulated per-user event
+    count), read-merge-write with the new version published by
+    directory swap so a crash mid-batch leaves the previous snapshot
+    intact.  After the drain, the final snapshot must equal the batch
+    latest-per-key + count over ALL events — the monoid property
+    (merge of per-batch upserts ≡ global aggregate) that makes
+    incremental materialization correct, same algebra as
+    ``incremental_agg_maintenance`` but driven by the streaming
+    engine.  On a lakehouse the read-merge-write becomes
+    ``MERGE INTO`` (Delta/Iceberg); the versioned-swap protocol is
+    identical."""
+    import os
+    import shutil
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.sources_multimodal import SCRATCH
+
+    replay = _late_replay_dir(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = os.path.join(SCRATCH, f"upsert_sink_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root)
+    cur = os.path.join(root, "current")
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = batch_df.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+            F.lit(1).cast("bigint").alias("n_events"),
+        )
+        if os.path.exists(cur):
+            prev = s.read.parquet(cur).select(
+                "user_id",
+                F.col("last_event_id").alias("event_id"),
+                F.col("last_ts").alias("ts"),
+                F.col("last_cents").alias("cents"),
+                "n_events",
+            )
+            delta = prev.unionByName(delta)
+        merged = delta.groupBy("user_id").agg(
+            F.max_by("event_id", F.struct(F.col("ts"), F.col("event_id"))).alias(
+                "last_event_id"
+            ),
+            F.max(F.struct(F.col("ts"), F.col("event_id"))).getField("ts").alias(
+                "last_ts"
+            ),
+            F.max_by("cents", F.struct(F.col("ts"), F.col("event_id"))).alias(
+                "last_cents"
+            ),
+            F.sum("n_events").alias("n_events"),
+        )
+        nxt = os.path.join(root, f"v{batch_id}")
+        merged.coalesce(4).write.mode("overwrite").parquet(nxt)
+        tmp_old = cur + ".old"
+        if os.path.exists(cur):
+            os.rename(cur, tmp_old)
+        os.rename(nxt, cur)
+        shutil.rmtree(tmp_old, ignore_errors=True)
+
+    schema = spark.read.parquet(replay).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "b*.parquet")
+        .parquet(replay)
+    )
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option(
+            "checkpointLocation", os.path.join(root, "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return spark.read.parquet(cur).select(
+        "user_id", "last_event_id", "last_cents", "n_events"
+    )
