@@ -1698,3 +1698,84 @@ def q_dataframe_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("label")
     )
     return s.transpose().withColumnRenamed("key", "key")
+
+
+@register(
+    "two_phase_exact_percentile",
+    survey_ref="§2.6,§2.9",
+    oracle="""
+WITH c AS (
+  SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+ranks AS (
+  SELECT p, CAST(CEIL(p * n.n) AS BIGINT) AS k
+  FROM (SELECT unnest([0.5, 0.9, 0.99]) AS p), n
+),
+ordered AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rn FROM c
+)
+SELECT r.p, r.k, o.cents AS pct_cents
+FROM ranks r JOIN ordered o ON o.rn = r.k
+""",
+)
+def q_two_phase_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global percentiles (P50/P90/P99 as lower order statistics
+    of integer cents) computed WITHOUT a global sort — the two-phase
+    refinement that replaces ``ORDER BY`` + row_number at 100 TB:
+
+    phase 1 coarsens to ≤562 cent-ranges (one map-side-combinable
+    aggregate), a cumulative count over that TINY relation locates the
+    range containing each target rank k = ⌈p·n⌉; phase 2 rescans only
+    rows inside the 3 located ranges (a broadcast semi-filter on the
+    scan), aggregates exact cents within them, and a second tiny
+    cumulative pins the k-th value.  Total shuffled data: two
+    bounded-group aggregates + broadcast joins of 3-row relations —
+    the oracle does the naive global row_number, so the gate proves
+    the refinement exactly reproduces the order statistic.  Swap in
+    ``percentile_approx`` only when ε-error is acceptable; this is
+    the exact path."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"))
+    n_row = c.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+        .crossJoin(F.broadcast(n_row))
+        .select("p", F.ceil(F.col("p") * F.col("n")).cast("bigint").alias("k"))
+    )
+    coarse = (
+        c.groupBy(F.expr("cents DIV 100").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("bn"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    coarse_cum = coarse.select(
+        "bucket",
+        "bn",
+        (F.sum("bn").over(wcum) - F.col("bn")).alias("below"),
+    )
+    # target bucket per rank: the first bucket whose cumulative reaches k
+    target = (
+        F.broadcast(ranks)
+        .join(coarse_cum, (F.col("below") < F.col("k")) & (F.col("below") + F.col("bn") >= F.col("k")))
+        .select("p", "k", "bucket", "below")
+    )
+    # phase 2: exact cents inside the (three) located buckets only
+    fine = c.join(
+        F.broadcast(target.select(F.col("bucket").alias("tb")).distinct()),
+        F.expr("cents DIV 100") == F.col("tb"),
+    ).groupBy("tb", "cents").agg(F.count(F.lit(1)).alias("cn"))
+    wfine = Window.partitionBy("tb").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fine_cum = fine.select(
+        "tb", "cents", (F.sum("cn").over(wfine) - F.col("cn")).alias("fbelow"), "cn"
+    )
+    return (
+        F.broadcast(target)
+        .join(fine_cum, F.col("bucket") == F.col("tb"))
+        .filter(
+            (F.col("below") + F.col("fbelow") < F.col("k"))
+            & (F.col("below") + F.col("fbelow") + F.col("cn") >= F.col("k"))
+        )
+        .select("p", "k", F.col("cents").alias("pct_cents"))
+    )
