@@ -1059,3 +1059,184 @@ def q_aes_column_encryption_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         ).alias("decrypted"),
         F.when(ct.cast("string") != F.col("event_type"), 1).otherwise(0).alias("ct_differs"),
     )
+
+
+@register(
+    "heavy_hitters_exact_recount",
+    survey_ref="§2.6,§2.12",
+    oracle="""
+WITH c AS (
+  SELECT CAST(FLOOR(value) AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events)
+SELECT k, cnt FROM c, n WHERE cnt * 64 > n
+ORDER BY cnt DESC, k
+""",
+)
+def q_heavy_hitters_exact_recount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (keys with frequency > N/64) via the
+    candidate-generate-then-recount pattern that avoids a full
+    key-shuffle at 100 TB: phase 1 runs a true Misra-Gries summary
+    (64 counters, Arrow-batched ``mapInPandas``) independently over
+    every partition — if a key's GLOBAL count exceeds N/64 then in at
+    least one partition its local count exceeds n_p/64, so it survives
+    that partition's summary (mergeable-summaries guarantee); the
+    candidate union is ≤ 64·partitions keys.  Phase 2 recounts ONLY
+    candidate rows (broadcast hash semi-join pushed to the scan) and
+    applies the exact threshold, so MG's approximation error never
+    reaches the output — it is pure pruning.  The full groupBy the
+    oracle runs would shuffle every distinct key; this shape shuffles
+    64·partitions candidates.  The fixture key ``floor(value)`` is the
+    skewed low-cardinality stand-in for a URL/domain column."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value")).cast("bigint").alias("k")
+    )
+
+    M = 64
+
+    def mg_candidates(batches):
+        counters = pd.Series(dtype="int64")
+        for pdf in batches:
+            vc = pdf["k"].value_counts()
+            counters = counters.add(vc, fill_value=0)
+            if len(counters) > M:
+                # bulk MG reduction: subtract the (M+1)-th largest
+                # count from every counter, drop the non-positive —
+                # keeps every key whose remaining local count is > 0
+                thresh = counters.nlargest(M + 1).iloc[-1]
+                counters = counters[counters > thresh] - thresh
+        yield pd.DataFrame({"k": counters.index.astype("int64")})
+
+    cand = ev.mapInPandas(mg_candidates, "k bigint").distinct()
+    n_row = ev.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ev.join(F.broadcast(cand), "k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(n_row))
+        .filter(F.col("cnt") * 64 > F.col("n"))
+        .select("k", "cnt")
+        .orderBy(F.col("cnt").desc(), "k")
+    )
+
+
+@register(
+    "compaction_binpack_plan",
+    survey_ref="§2.6,§2.8,S4",
+    oracle="""
+WITH f AS (
+  SELECT lang, doc_id, n_chars,
+         COALESCE(SUM(n_chars) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM documents
+)
+SELECT lang, CAST(cum_before // 16384 AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(n_chars) AS BIGINT) AS bin_bytes,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM f GROUP BY lang, bin
+ORDER BY lang, bin
+""",
+)
+def q_compaction_binpack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the maintenance job every
+    100 TB table needs (Delta OPTIMIZE / Iceberg rewriteDataFiles
+    semantics): within each partition, order the file manifest by a
+    stable key, accumulate sizes, and assign file i to bin
+    ``floor(cum_before / target)`` — the ordered first-fit plan whose
+    bins each hold ~target bytes (16 KiB here; 1 GiB in production).
+    Distributed shape: the manifest is one row per FILE (tiny even for
+    a 100 TB table — 100k files), the window is partitioned by the
+    table partition column so no global sort, and the output is the
+    rewrite task list (bin → contiguous doc_id span) a driver hands to
+    executors.  Documents stand in for the manifest: doc_id=file,
+    n_chars=bytes, lang=partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    f = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.sum("n_chars").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        f.groupBy("lang", F.expr("cum_before DIV 16384").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_chars").alias("bin_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+@register(
+    "cusum_changepoint",
+    survey_ref="§2.6,§2.8",
+    oracle="""
+WITH d AS (
+  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day_epoch,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS ndays,
+             CAST(SUM(n_events) AS BIGINT) AS total FROM d),
+p AS (
+  SELECT day_epoch, n_events,
+         SUM(n_events * ndays - total) OVER (ORDER BY day_epoch) AS pref
+  FROM d, t
+)
+SELECT day_epoch, n_events,
+       CAST(pref - MIN(pref) OVER (ORDER BY day_epoch) AS BIGINT) AS cusum_scaled
+FROM p ORDER BY day_epoch
+""",
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change-point statistic over the daily event
+    volume, EXACT in integers.  The textbook recurrence
+    ``s_i = max(0, s_{i-1} + dev_i)`` is non-linear, but it has the
+    closed form ``s_i = P_i - min_{j<=i} P_j`` (prefix sum minus its
+    running minimum) — two stacked windows, no recursion, no UDAF.
+    Deviations are mean-centered WITHOUT division: ``ndays*x_i -
+    total`` keeps everything integer so both engines agree bitwise.
+    Scale shape: the windows run over the POST-AGGREGATE relation
+    (one row per day — bounded, thousands of rows for years of data),
+    so the unpartitioned sort is a non-issue; the heavy lifting is the
+    map-side-combinable daily count."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+            .cast("bigint")
+            .alias("day_epoch")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    t = d.agg(
+        F.count(F.lit(1)).alias("ndays"), F.sum("n_events").alias("total")
+    )
+    wp = Window.orderBy("day_epoch").rowsBetween(Window.unboundedPreceding, 0)
+    p = (
+        d.join(F.broadcast(t))
+        .select(
+            "day_epoch",
+            "n_events",
+            F.sum(F.col("n_events") * F.col("ndays") - F.col("total"))
+            .over(wp)
+            .alias("pref"),
+        )
+    )
+    return p.select(
+        "day_epoch",
+        "n_events",
+        (F.col("pref") - F.min("pref").over(wp)).cast("bigint").alias("cusum_scaled"),
+    ).orderBy("day_epoch")
