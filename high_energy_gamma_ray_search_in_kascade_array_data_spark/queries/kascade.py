@@ -383,41 +383,44 @@ FROM events
 def q_rotate_grid_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wide-form 90° rotation (T1's ArrayType representation): a dense
     16×16 grid lives as a flat 256-element array column; the rotation
-    is an index-remap `F.transform` — new[iy·16+ix] = old[(15−ix)·16+iy]
-    — no explode, no data shuffle beyond the input spread, pure
-    codegen. The checksum Σ new[m]·m pins every element's position.
-    (Long-form rotation: rotate_grid.) The single-file fixture arrives
-    as ONE input split, and this query evaluates ~130M array lambdas —
-    spread it across cores first (SCALE.md "known local-vs-cluster
-    deltas": a real cluster scan is already split)."""
+    is an index remap — new[iy·16+ix] = old[(15−ix)·16+iy] — with no
+    explode and no data shuffle beyond the input spread. The checksum
+    Σ new[m]·m pins every element's position. (Long-form rotation:
+    rotate_grid.)
+
+    PLAN HAZARD this query documents: higher-order array functions are
+    ``CodegenFallback`` (interpreted), and ``CollapseProject`` inlines
+    a synthesized array column into its consumer — so writing this as
+    "build ``arr`` in one projection, ``element_at(arr, remap(m))``
+    in the next" re-evaluates the WHOLE 256-element constructor inside
+    every one of the 256 element lookups: O(d²)=65k interpreted ops
+    per row, ~650G at sf0.1 (measured: minutes, not seconds). When
+    the tensor is a STORED column — the production case — the
+    element_at remap is O(d) and fine; when the tensor is synthesized
+    in the same plan, compose the remap in the INDEX domain instead
+    (rotated[m] = gen(remap(m))), which keeps one linear pass and is
+    what this implementation does. The single-file fixture arrives as
+    ONE input split — spread it across cores first (SCALE.md)."""
     ev = (
         load_table(spark, sf_dir, "events")
         .select("event_id")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    # build the dense wide tensor: old[q] = (event_id·(q+7)) mod 100
-    old = F.transform(
-        F.sequence(F.lit(0), F.lit(255)),
-        lambda q: (F.col("event_id") * (q + 7)) % 100,
-    )
-    wide = ev.select("event_id", old.alias("arr"))
-    rotated = F.transform(
-        F.sequence(F.lit(0), F.lit(255)),
-        lambda m: F.element_at(
-            F.col("arr"), ((F.lit(15) - m % 16) * 16 + F.expr("0") + (m - m % 16) / 16).cast("int") + 1
-        ),
-    )
-    new_arr = wide.select("event_id", rotated.alias("r"))
+    # rotated[m] = old[rot(m)] with old[q] = (event_id·(q+7)) mod 100,
+    # rot(m) = (15 − m%16)·16 + m div 16 — remap composed index-side,
+    # checksum folded into the same single 256-element pass
     checksum = F.aggregate(
-        F.zip_with(
-            F.col("r"),
-            F.sequence(F.lit(0), F.lit(255)),
-            lambda v, m: v * m,
-        ),
+        F.sequence(F.lit(0), F.lit(255)),
         F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+        lambda acc, m: acc
+        + (
+            F.col("event_id")
+            * (((F.lit(15) - m % 16) * 16 + ((m - m % 16) / 16).cast("int")) + 7)
+        )
+        % 100
+        * m,
     )
-    return new_arr.select("event_id", checksum.alias("checksum"))
+    return ev.select("event_id", checksum.alias("checksum"))
 
 
 # ------------------------------------------------------- stratified split

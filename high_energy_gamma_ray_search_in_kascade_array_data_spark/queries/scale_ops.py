@@ -1240,3 +1240,161 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("pref") - F.min("pref").over(wp)).cast("bigint").alias("cusum_scaled"),
     ).orderBy("day_epoch")
+
+
+@register(
+    "interval_coalesce_islands",
+    survey_ref="§2.8",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS start_s,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           + CAST(FLOOR(value * 60) AS BIGINT) AS end_s
+  FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, start_s, end_s,
+         CASE WHEN start_s > MAX(end_s) OVER (
+                PARTITION BY user_id ORDER BY start_s, end_s, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+islands AS (
+  SELECT user_id, start_s, end_s,
+         SUM(new_island) OVER (
+           PARTITION BY user_id ORDER BY start_s, end_s, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+)
+SELECT user_id, CAST(island AS BIGINT) AS island,
+       MIN(start_s) AS merged_start, MAX(end_s) AS merged_end,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals
+FROM islands GROUP BY user_id, island
+ORDER BY user_id, island
+""",
+)
+def q_interval_coalesce_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge overlapping intervals per key (gaps-and-islands) — the
+    primitive behind maintenance-window consolidation, ad-exposure
+    coalescing, and genomic interval union.  Each event becomes the
+    interval ``[ts, ts + value minutes]``; an interval starts a NEW
+    island iff its start exceeds the running max end of every earlier
+    interval in its key (a rows-window MAX over the ordered preceding
+    frame); the island id is the running sum of those flags; one
+    groupBy then merges each island.  All arithmetic is integer epoch
+    seconds, and the order within a key is pinned (start, end,
+    event_id) so both engines walk identical sequences.  Scale shape:
+    both windows and the final aggregate share ONE shuffle on
+    user_id; per-key state is O(1) (running max / running sum)."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("start_s"),
+        (
+            F.unix_timestamp("ts").cast("bigint")
+            + F.floor(F.col("value") * 60).cast("bigint")
+        ).alias("end_s"),
+    )
+    order = [F.col("start_s"), F.col("end_s"), F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "start_s",
+        "end_s",
+        "event_id",
+        F.when(F.col("start_s") > F.max("end_s").over(w_prev), 1)
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("start_s", "end_s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id",
+        "start_s",
+        "end_s",
+        F.sum("new_island").over(w_cum).alias("island"),
+    )
+    return (
+        islands.groupBy("user_id", F.col("island").cast("bigint").alias("island"))
+        .agg(
+            F.min("start_s").alias("merged_start"),
+            F.max("end_s").alias("merged_end"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .orderBy("user_id", "island")
+    )
+
+
+@register(
+    "topk_per_group_two_phase",
+    survey_ref="§2.8,§2.9,§2.12",
+    oracle="""
+SELECT o_orderpriority, CAST(rn AS BIGINT) AS rn, o_orderkey, o_totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) t
+WHERE rn <= 3
+ORDER BY o_orderpriority, rn
+""",
+)
+def q_topk_per_group_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 per group WITHOUT sorting every row through the group
+    shuffle: phase 1 keeps each Arrow batch's local top-3 per group
+    (``mapInPandas`` — pure pruning: any row in the global top-3 is
+    in its own batch's top-3), so the shuffle moves ≤ 3·batches rows
+    per group instead of the whole table; phase 2 runs the exact
+    row_number window over the surviving candidates.  This is the
+    rank-pruning sibling of the Misra-Gries candidate pattern
+    (`heavy_hitters_exact_recount`) and the shape that replaces a
+    plain window top-k when groups are huge but k is tiny — the
+    window's per-group sort state at 100 TB becomes a per-batch
+    nsmallest heap here.  Tie-break (price DESC, orderkey ASC) is
+    pinned in both phases and both engines."""
+    import pandas as pd
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    )
+
+    def local_topk(batches):
+        for pdf in batches:
+            if len(pdf):
+                pruned = (
+                    pdf.sort_values(
+                        ["o_orderpriority", "o_totalprice", "o_orderkey"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("o_orderpriority", sort=False)
+                    .head(3)
+                )
+                yield pruned
+
+    cand = od.mapInPandas(
+        local_topk, "o_orderpriority string, o_orderkey bigint, o_totalprice double"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        cand.select(
+            "o_orderpriority",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_orderpriority", "rn")
+    )
