@@ -76,6 +76,11 @@ HEADLINE = [
     "bloom_semijoin_reduction",
     "golden_record_survivorship",
     "weighted_median_price",
+    "two_phase_exact_percentile",
+    "heavy_hitters_exact_recount",
+    "topk_per_group_two_phase",
+    "interval_coalesce_islands",
+    "compaction_binpack_plan",
     "stream_tumbling_counts",
     "stream_stream_join",
     "stream_stream_left_outer_join",
