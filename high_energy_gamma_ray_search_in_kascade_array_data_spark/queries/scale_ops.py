@@ -1398,3 +1398,73 @@ def q_topk_per_group_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("o_orderpriority", "rn")
     )
+
+
+@register(
+    "throttle_dedup_ttl",
+    survey_ref="§2.12,§2.11",
+    oracle="""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id) AS rn
+  FROM events
+),
+step AS (
+  SELECT user_id, rn, t, event_id, t AS last_kept, TRUE AS kept
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.t, e.event_id,
+         CASE WHEN e.t >= s.last_kept + 3600 THEN e.t ELSE s.last_kept END,
+         e.t >= s.last_kept + 3600
+  FROM step s JOIN ev e ON e.user_id = s.user_id AND e.rn = s.rn + 1
+)
+SELECT user_id, event_id, t AS kept_t
+FROM step WHERE kept
+ORDER BY user_id, kept_t, event_id
+""",
+)
+def q_throttle_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TTL throttle dedup: per key, keep an event only if it is ≥ 1 h
+    after the LAST KEPT event — the batch twin of
+    ``dropDuplicatesWithinWatermark`` and the alerting/rate-limit
+    primitive. Unlike sessionize (gap vs previous ROW) this recurrence
+    depends on the previous KEPT row, so no window/prefix-sum closed
+    form exists — it is a data-dependent sequential fold. Distributed
+    shape: one shuffle on the key, then an O(n_k) Arrow fold per key
+    (`applyInPandas`) with O(1) state, the same execution shape
+    Structured Streaming gives the infinite version via
+    `transformWithStateInPandas`. The oracle walks the identical fold
+    as a recursive CTE (depth = max events per key), proving the
+    imperative kernel against declarative semantics. Order is pinned
+    (t, event_id) in both engines."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").cast("bigint").alias("t"),
+    )
+
+    def throttle(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["t", "event_id"])
+        keep, last = [], None
+        for t in pdf["t"].to_numpy():
+            ok = last is None or t >= last + 3600
+            keep.append(ok)
+            if ok:
+                last = t
+        out = pdf[pd.Series(keep, index=pdf.index)]
+        return pd.DataFrame(
+            {
+                "user_id": out["user_id"],
+                "event_id": out["event_id"],
+                "kept_t": out["t"],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(throttle, "user_id bigint, event_id bigint, kept_t bigint")
+        .orderBy("user_id", "kept_t", "event_id")
+    )
