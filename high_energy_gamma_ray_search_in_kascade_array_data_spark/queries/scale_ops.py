@@ -1468,3 +1468,98 @@ def q_throttle_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(throttle, "user_id bigint, event_id bigint, kept_t bigint")
         .orderBy("user_id", "kept_t", "event_id")
     )
+
+
+@register(
+    "snapshot_diff_reconcile",
+    survey_ref="§2.7,§2.10,§2.4",
+    oracle="""
+WITH a AS (
+  SELECT o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS price,
+         o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT -o_orderkey AS k, o_totalprice AS price, o_orderstatus AS status
+  FROM orders WHERE o_orderkey % 103 = 0
+),
+d AS (
+  SELECT COALESCE(a.k, b.k) AS k,
+         CASE WHEN a.k IS NULL THEN 'added'
+              WHEN b.k IS NULL THEN 'removed'
+              WHEN a.price <> b.price OR a.status <> b.status THEN 'changed'
+              ELSE 'unchanged' END AS diff_status
+  FROM a FULL OUTER JOIN b ON a.k = b.k
+)
+SELECT diff_status, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(k) AS sample_key, MAX(k) AS max_key
+FROM d GROUP BY diff_status
+ORDER BY diff_status
+""",
+)
+def q_snapshot_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconciliation between two snapshots — the
+    migration-validation primitive (old pipeline vs new pipeline, or
+    pre/post backfill): full outer join on the key, classify each key
+    added / removed / changed / unchanged, report counts with witness
+    keys. Snapshot B is derived deterministically (every 97th key's
+    price bumped, every 101st key deleted, a negated-key row inserted
+    for every 103rd) so both engines build identical inputs and all
+    four classes occur. Scale shape: the join is key-to-key (no skew —
+    primary keys), AQE picks shuffle vs broadcast by size, and the
+    diff report aggregates to 4 rows, so the only large shuffle is the
+    join itself; at 100 TB you'd first compare per-partition row-hash
+    aggregates (see `table_checksum`) and full-outer-join ONLY the
+    partitions whose digests differ — the same two-phase refinement
+    as `two_phase_exact_percentile`."""
+    od = load_table(spark, sf_dir, "orders")
+    a = od.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    b = (
+        od.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .unionByName(
+            od.filter(F.col("o_orderkey") % 103 == 0).select(
+                (-F.col("o_orderkey")).alias("k"),
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderstatus").alias("status"),
+            )
+        )
+    )
+    d = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer").select(
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(
+            (F.col("a.price") != F.col("b.price"))
+            | (F.col("a.status") != F.col("b.status")),
+            "changed",
+        )
+        .otherwise("unchanged")
+        .alias("diff_status"),
+    )
+    return (
+        d.groupBy("diff_status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("sample_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("diff_status")
+    )
