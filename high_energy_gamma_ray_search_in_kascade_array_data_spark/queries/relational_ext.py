@@ -1779,3 +1779,103 @@ def q_two_phase_exact_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p", "k", F.col("cents").alias("pct_cents"))
     )
+
+
+@register(
+    "map_column_functions",
+    survey_ref="§2.4",
+    oracle="""
+SELECT event_id,
+       't,uid,v' AS keys_sorted,
+       upper(event_type) || '|' || CAST(user_id AS VARCHAR) || '|'
+         || CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS VARCHAR)
+         AS vals_by_key,
+       CAST(3 AS INTEGER) AS n_entries,
+       CASE WHEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) % 2 = 0
+            THEN 2 ELSE 3 END AS n_after_filter
+FROM events
+WHERE event_id % 11 = 0
+""",
+)
+def q_map_column_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType scalar surface: ``create_map`` → ``transform_values`` →
+    ``map_filter`` → ``map_keys``/``map_values``/``size`` — the
+    semi-structured column family JSON/VARIANT queries don't touch.
+    DuckDB's MAP semantics differ enough (ordering, NULL handling)
+    that the oracle computes the SAME RESULTS from first principles
+    on the fixed key set, so the gate checks Spark's map algebra
+    against ground truth rather than engine-vs-engine map quirks.
+    Everything is a pure projection — codegen'd, row-local,
+    shuffle-free; map entries of a bounded key set cost the same as
+    the underlying struct at any scale."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("bigint")
+    m = F.create_map(
+        F.lit("t"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+        F.lit("v"), cents.cast("string"),
+    )
+    upped = F.transform_values(m, lambda k, v: F.upper(v))
+    # drop the 'v' entry when its cents value is even
+    filtered = F.map_filter(
+        upped, lambda k, v: (k != F.lit("v")) | (cents % 2 != 0)
+    )
+    return ev.select(
+        "event_id",
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.concat_ws(
+            "|",
+            F.element_at(upped, "t"),
+            F.element_at(upped, "uid"),
+            F.element_at(upped, "v"),
+        ).alias("vals_by_key"),
+        F.size(m).alias("n_entries"),
+        F.size(filtered).alias("n_after_filter"),
+    )
+
+
+@register(
+    "union_schema_evolution",
+    survey_ref="§2.10,§2.2",
+    oracle="""
+WITH unioned AS (
+  SELECT doc_id, lang, NULL::BIGINT AS n_chars, NULL::VARCHAR AS source
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL BY NAME
+  SELECT doc_id, n_chars, source
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT COALESCE(lang, '<missing>') AS lang,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(n_chars) AS BIGINT) AS n_with_chars,
+       CAST(COUNT(source) AS BIGINT) AS n_with_source,
+       CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS total_chars
+FROM unioned GROUP BY 1 ORDER BY 1
+""",
+)
+def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two snapshot generations with different
+    column sets merge by NAME with nulls for the missing columns
+    (``unionByName(allowMissingColumns=True)`` ↔ DuckDB ``UNION ALL BY
+    NAME``) — the read-side half of lakehouse schema evolution, where
+    old files lack newly added columns. Positional UNION would
+    silently misalign; by-name union is the only correct merge under
+    column adds/drops/reorders. Pure union + aggregate: no shuffle
+    until the final groupBy, and COUNT(col) vs COUNT(*) exposes
+    exactly which generation carried which column."""
+    docs = load_table(spark, sf_dir, "documents")
+    gen_old = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    gen_new = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "n_chars", "source"
+    )
+    unioned = gen_old.unionByName(gen_new, allowMissingColumns=True)
+    return (
+        unioned.groupBy(F.coalesce("lang", F.lit("<missing>")).alias("lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("n_chars").alias("n_with_chars"),
+            F.count("source").alias("n_with_source"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
