@@ -1879,3 +1879,40 @@ def q_union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "sql_named_parameters",
+    survey_ref="§2.4,§2.6",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_cents
+FROM orders
+WHERE o_totalprice > 100000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+/4 surface): named parameter
+    markers (``:minp``) bind VALUES without string interpolation — the
+    injection-safe templating path — and the ``IDENTIFIER()`` clause
+    binds the TABLE NAME from a parameter, which plain markers cannot
+    (identifiers aren't values). Catalyst sees fully-bound literals
+    after parse, so constant folding / pushdown behave exactly as in
+    the literal query — parameterization is free at plan time. The
+    float sum is pinned to integer cents before hashing."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_param_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(FLOOR(SUM(o_totalprice) * 100 + 0.5) AS BIGINT) AS total_cents
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :minp
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+        args={"tbl": "orders_param_v", "minp": 100000.0},
+    )
