@@ -1916,3 +1916,35 @@ def q_sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders_param_v", "minp": 100000.0},
     )
+
+
+@register(
+    "stat_crosstab_contingency",
+    survey_ref="§2.6",
+    oracle="""
+SELECT event_type AS event_type_bucket,
+       CAST(COUNT(*) FILTER (WHERE user_id % 5 = 0) AS BIGINT) AS "0",
+       CAST(COUNT(*) FILTER (WHERE user_id % 5 = 1) AS BIGINT) AS "1",
+       CAST(COUNT(*) FILTER (WHERE user_id % 5 = 2) AS BIGINT) AS "2",
+       CAST(COUNT(*) FILTER (WHERE user_id % 5 = 3) AS BIGINT) AS "3",
+       CAST(COUNT(*) FILTER (WHERE user_id % 5 = 4) AS BIGINT) AS "4",
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_stat_crosstab_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.stat.crosstab`` — the stock contingency-table
+    estimator (pairwise frequency of two categorical columns), gated
+    against filtered conditional counts. Under the hood it is a single
+    groupBy on the pair followed by a driver-side pivot over the
+    DISTINCT column-2 values — fine when card(col2) is bounded (here
+    5 buckets), a deliberate misuse when col2 is high-cardinality;
+    `pivot_linestatus` shows the explicit-values pivot that never
+    collects the domain. Column order is pinned by sorting."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", F.col("user_id") % 5
+    )
+    ct = ev.stat.crosstab("event_type", "bucket")
+    value_cols = sorted(c for c in ct.columns if c != "event_type_bucket")
+    return ct.select("event_type_bucket", *value_cols).orderBy(
+        "event_type_bucket"
+    )
