@@ -1354,13 +1354,20 @@ def q_stat_corr_covar_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     x = F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")
     y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint")
+    # accumulators widened to DECIMAL(38,0): the per-row products fit
+    # BIGINT, but Σy² of cent-scaled prices crosses 2^63 between sf0.1
+    # and sf1 (caught by scripts/scale_probe.py's 10x run under ANSI
+    # overflow checking). DECIMAL sums stay exact and summation-order
+    # independent with ~1e38 headroom — matching the oracle, where
+    # DuckDB's SUM(BIGINT) is already HUGEINT.
+    dec = "decimal(38,0)"
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(x).alias("sx"),
-        F.sum(y).alias("sy"),
-        F.sum(x * x).alias("sxx"),
-        F.sum(y * y).alias("syy"),
-        F.sum(x * y).alias("sxy"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((y * y).cast(dec)).alias("syy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     sxd, syd = F.col("sx").cast("double"), F.col("sy").cast("double")
