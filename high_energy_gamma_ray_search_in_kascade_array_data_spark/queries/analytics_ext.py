@@ -511,10 +511,14 @@ def q_seasonal_hour_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = v.groupBy("event_type", "hod").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("vc").alias("s"),
-        F.sum(F.col("vc") * F.col("vc")).alias("sq"),
+        # squared-value accumulator widened to DECIMAL(38,0): BIGINT
+        # holds the sums of 100 TB of cent values but not of their
+        # squares (same headroom class scale_probe caught in
+        # stat_corr_covar_suffstats); DuckDB's SUM is HUGEINT already.
+        F.sum((F.col("vc") * F.col("vc")).cast("decimal(38,0)")).alias("sq"),
     )
     j = v.join(F.broadcast(stats), ["event_type", "hod"])
-    dev = F.col("vc") * F.col("n") - F.col("s")
+    dev = F.col("vc").cast("decimal(38,0)") * F.col("n") - F.col("s")
     fence = dev * dev > 4 * (F.col("n") * F.col("sq") - F.col("s") * F.col("s"))
     return j.groupBy("event_type", "hod").agg(
         F.max("n").cast("bigint").alias("n"),

@@ -256,12 +256,12 @@ def q_ridge_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(x1).alias("sx1"),
         F.sum(x2).alias("sx2"),
-        F.sum(x1 * x1).alias("sx1x1"),
-        F.sum(x1 * x2).alias("sx1x2"),
-        F.sum(x2 * x2).alias("sx2x2"),
+        F.sum((x1 * x1).cast(_DEC)).alias("sx1x1"),
+        F.sum((x1 * x2).cast(_DEC)).alias("sx1x2"),
+        F.sum((x2 * x2).cast(_DEC)).alias("sx2x2"),
         F.sum(yq).alias("sy"),
-        F.sum(x1 * yq).alias("sx1y"),
-        F.sum(x2 * yq).alias("sx2y"),
+        F.sum((x1 * yq).cast(_DEC)).alias("sx1y"),
+        F.sum((x2 * yq).cast(_DEC)).alias("sx2y"),
     )
     lam = F.lit(_RIDGE_LAMBDA).cast(_DEC)
 
