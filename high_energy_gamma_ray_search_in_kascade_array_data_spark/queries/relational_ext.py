@@ -1955,3 +1955,69 @@ def q_stat_crosstab_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ct.select("event_type_bucket", *value_cols).orderBy(
         "event_type_bucket"
     )
+
+
+@register(
+    "approx_quantile_error_audit",
+    survey_ref="§2.6",
+    oracle="""
+SELECT l_returnflag, p.p AS p,
+       ROUND(CASE p.p WHEN 0.25 THEN quantile_cont(l_quantity, 0.25)
+                      WHEN 0.5  THEN quantile_cont(l_quantity, 0.5)
+                      ELSE quantile_cont(l_quantity, 0.75) END, 6) AS exact_q,
+       TRUE AS rank_bound_ok
+FROM lineitem, (SELECT unnest([0.25, 0.5, 0.75]) AS p) p
+GROUP BY l_returnflag, p.p
+ORDER BY l_returnflag, p
+""",
+)
+def q_approx_quantile_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the sketch the 100 TB path actually uses:
+    ``percentile_approx(col, p, accuracy)`` promises a returned element
+    whose RANK lies within ±n/accuracy of p·n (Greenwald-Khanna / KLL
+    family — mergeable, O(accuracy) state per group, vs the exact
+    ordered-set aggregate's O(n)). The audit recounts each approx
+    value's true rank interval [cnt_lt+1, cnt_le] against the
+    guaranteed window and emits the verdict alongside the EXACT
+    interpolated quantiles, so the oracle gate pins both the exact
+    values (cross-engine) and the sketch's error contract
+    (Spark-side, asserted TRUE). Two aggregations + one broadcast of
+    a 12-row relation — the recount pattern of
+    `heavy_hitters_exact_recount` applied to rank space."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    probs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    acc = 100
+    g = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", probs, F.lit(acc)).alias("av"),
+        F.percentile("l_quantity", probs).alias("ev"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    long = g.select(
+        "l_returnflag",
+        "n",
+        F.posexplode(F.arrays_zip("av", "ev")),
+    ).select(
+        "l_returnflag",
+        "n",
+        ((F.col("pos") + 1) * F.lit(0.25)).alias("p"),
+        F.col("col.av").alias("v"),
+        F.col("col.ev").alias("ev"),
+    )
+    counts = (
+        li.join(F.broadcast(long), "l_returnflag")
+        .groupBy("l_returnflag", "p", "n", "v", "ev")
+        .agg(
+            F.sum(F.when(F.col("l_quantity") < F.col("v"), 1).otherwise(0)).alias("cnt_lt"),
+            F.sum(F.when(F.col("l_quantity") <= F.col("v"), 1).otherwise(0)).alias("cnt_le"),
+        )
+    )
+    eps = 1.0 / acc
+    ok = (
+        F.col("cnt_lt") <= F.ceil((F.col("p") + eps) * F.col("n"))
+    ) & (F.col("cnt_le") >= F.floor((F.col("p") - eps) * F.col("n")))
+    return counts.select(
+        "l_returnflag",
+        "p",
+        F.round(F.col("ev"), 6).alias("exact_q"),
+        ok.alias("rank_bound_ok"),
+    ).orderBy("l_returnflag", "p")
