@@ -1619,10 +1619,15 @@ FROM walk
     survey_ref="§2.4",
     oracle="""
 WITH counts AS (
+  -- Ladder bound derived from the data (ADVICE r4: a fixed 60-step
+  -- cap silently under-covered any fixture whose max value > 590):
+  -- one step past CEIL(MAX/10) always crosses the <1%% fixpoint.
   SELECT t.t AS thr,
          (SELECT COUNT(*) FROM events WHERE value >= t.t) AS n_above,
          (SELECT COUNT(*) FROM events) AS n_total
-  FROM (SELECT unnest(range(0, 60)) * 10 AS t) t
+  FROM (SELECT unnest(range(0,
+          (SELECT CAST(CEIL(MAX(value) / 10) AS BIGINT) + 2 FROM events)
+        )) * 10 AS t) t
 )
 SELECT CAST(MIN(thr) AS BIGINT) AS threshold,
        CAST(MIN_BY(n_above, thr) AS BIGINT) AS n_above

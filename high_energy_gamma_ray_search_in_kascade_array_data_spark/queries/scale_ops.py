@@ -1196,16 +1196,21 @@ p AS (
   FROM d, t
 )
 SELECT day_epoch, n_events,
-       CAST(pref - MIN(pref) OVER (ORDER BY day_epoch) AS BIGINT) AS cusum_scaled
+       CAST(pref - LEAST(0, MIN(pref) OVER (ORDER BY day_epoch)) AS BIGINT)
+         AS cusum_scaled
 FROM p ORDER BY day_epoch
 """,
 )
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided CUSUM change-point statistic over the daily event
     volume, EXACT in integers.  The textbook recurrence
-    ``s_i = max(0, s_{i-1} + dev_i)`` is non-linear, but it has the
-    closed form ``s_i = P_i - min_{j<=i} P_j`` (prefix sum minus its
-    running minimum) — two stacked windows, no recursion, no UDAF.
+    ``s_i = max(0, s_{i-1} + dev_i)`` with seed ``s_0 = 0`` is
+    non-linear, but it has the closed form
+    ``s_i = P_i - min(0, min_{j<=i} P_j)`` — prefix sum minus its
+    running minimum *seeded with the empty prefix* ``P_0 = 0``, so a
+    run of positive early deviations accumulates from row 1 instead of
+    being zeroed (ADVICE r4) — two stacked windows, no recursion, no
+    UDAF.
     Deviations are mean-centered WITHOUT division: ``ndays*x_i -
     total`` keeps everything integer so both engines agree bitwise.
     Scale shape: the windows run over the POST-AGGREGATE relation
@@ -1238,7 +1243,9 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "day_epoch",
         "n_events",
-        (F.col("pref") - F.min("pref").over(wp)).cast("bigint").alias("cusum_scaled"),
+        (F.col("pref") - F.least(F.lit(0), F.min("pref").over(wp)))
+        .cast("bigint")
+        .alias("cusum_scaled"),
     ).orderBy("day_epoch")
 
 

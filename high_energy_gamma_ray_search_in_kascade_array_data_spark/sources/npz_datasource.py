@@ -188,11 +188,27 @@ class NpzWriter(DataSourceWriter):
         import os
 
         os.makedirs(self.path, exist_ok=True)
+        existing = glob.glob(os.path.join(self.path, "part-*.npz"))
         if self.overwrite:
-            for old in glob.glob(os.path.join(self.path, "part-*.npz")):
+            for old in existing:
                 os.remove(old)
+            start = 0
+        else:
+            # Append mode: continue numbering after the max existing
+            # shard index so a second save never clobbers the first
+            # (ADVICE r4: part-00000 restart + os.replace silently
+            # overwrote prior data).
+            start = (
+                max(
+                    int(os.path.basename(p)[len("part-") : -len(".npz")])
+                    for p in existing
+                )
+                + 1
+                if existing
+                else 0
+            )
         shards = sorted(m.tmp_shard for m in messages if m and m.tmp_shard)
-        for i, tmp in enumerate(shards):
+        for i, tmp in enumerate(shards, start=start):
             os.replace(tmp, os.path.join(self.path, f"part-{i:05d}.npz"))
 
     def abort(self, messages):

@@ -260,7 +260,11 @@ def view_purchase_left_join(events: DataFrame, horizon: str = "1 hour") -> DataF
             F.col("event_id").alias("view_id"),
             F.col("ts").alias("v_ts"),
         )
-        .withWatermark("v_ts", "1 hour")
+        # Watermark delay must track the join horizon: a shorter delay
+        # would expire view state before a legal match could arrive and
+        # emit premature outer nulls (ADVICE r4: hardcoded '1 hour'
+        # silently broke any wider horizon).
+        .withWatermark("v_ts", horizon)
     )
     purchases = (
         events.filter(F.col("event_type") == "purchase")
@@ -269,7 +273,7 @@ def view_purchase_left_join(events: DataFrame, horizon: str = "1 hour") -> DataF
             F.col("event_id").alias("purchase_id"),
             F.col("ts").alias("p_ts"),
         )
-        .withWatermark("p_ts", "1 hour")
+        .withWatermark("p_ts", horizon)
     )
     return views.join(
         purchases,
