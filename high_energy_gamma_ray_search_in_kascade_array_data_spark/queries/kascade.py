@@ -461,6 +461,114 @@ def q_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("label", "split").agg(F.count(F.lit(1)).alias("n"))
 
 
+@register(
+    "stratified_split_twopass",
+    survey_ref="X1,X3",
+    oracle=f"""
+WITH {SHOWER_CTE},
+ranked AS (
+  SELECT label, event_id,
+         percent_rank() OVER (PARTITION BY label ORDER BY {RND_SQL}, event_id) AS pr
+  FROM shower
+)
+SELECT event_id, label,
+       CASE WHEN pr < 0.6 THEN 'train' WHEN pr < 0.8 THEN 'valid' ELSE 'test' END
+         AS split
+FROM ranked
+""",
+)
+def q_stratified_split_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass stratified split — the 100 TB form of ``stratified_split``
+    (reference `create_train_valid_test_datasets.py:119-127`), producing
+    BYTE-IDENTICAL per-row assignments (the oracle IS the window form,
+    so exact-hash green proves the two forms agree).
+
+    The window form sorts each class in one partition (`percent_rank`
+    over `PARTITION BY label`) — exact, but one reducer per class: a
+    skew wall when classes are few and data is 100 TB.  This form never
+    sorts a class globally:
+
+      pass 1 — per-(label, bucket) histogram of the TOP 12 BITS of the
+        integer Knuth draw (4096 buckets, map-side combined; ≤ 4096
+        rows per class leave the executors), cumulated per class to
+        locate the exact rank cutoffs k60/k80 (integer ceil arithmetic,
+        `10·(rank−1) < 6·(n−1)` — no float thresholds);
+      pass 2 — every bucket fully inside one region is assigned by the
+        broadcast histogram alone (no sort, no shuffle beyond the scan);
+        only the ≤ 2 straddling buckets per class rank their ~n/4096
+        rows with a window partitioned by (label, bucket) — fine-grained
+        partitions, never one-per-class.
+
+    Spark's `percent_rank` of a 1-row partition is 0 (< 0.6), so k60 is
+    clamped to 1 when n = 1."""
+    df = (
+        shower_frame(spark, sf_dir)
+        .select(
+            "event_id",
+            "label",
+            ((F.col("event_id") % 2147483648) * 2654435761 % 4294967296).alias("h"),
+        )
+        .withColumn("bucket", F.expr("h div 1048576").cast("int"))
+    )
+    wb = (
+        Window.partitionBy("label")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    hist = (
+        df.groupBy("label", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "label",
+            "bucket",
+            "cnt",
+            F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("cum_before"),
+            F.sum("cnt").over(Window.partitionBy("label")).alias("n"),
+        )
+        .withColumn(
+            "k60", F.expr("CASE WHEN n = 1 THEN 1 ELSE (6*(n-1)+9) div 10 END")
+        )
+        .withColumn(
+            "k80", F.expr("CASE WHEN n = 1 THEN 1 ELSE (8*(n-1)+9) div 10 END")
+        )
+    )
+    joined = df.join(F.broadcast(hist), ["label", "bucket"])
+    is_clear = F.expr(
+        "cum_before + cnt <= k60 OR cum_before >= k80 "
+        "OR (cum_before >= k60 AND cum_before + cnt <= k80)"
+    )
+    clear = joined.filter(is_clear).select(
+        "event_id",
+        "label",
+        F.expr(
+            "CASE WHEN cum_before + cnt <= k60 THEN 'train' "
+            "WHEN cum_before >= k80 THEN 'test' ELSE 'valid' END"
+        ).alias("split"),
+    )
+    wr = Window.partitionBy("label", "bucket").orderBy(
+        F.col("h").asc(), F.col("event_id").asc()
+    )
+    boundary = (
+        joined.filter(~is_clear)
+        .select(
+            "event_id",
+            "label",
+            "k60",
+            "k80",
+            (F.col("cum_before") + F.row_number().over(wr) - 1).alias("r"),
+        )
+        .select(
+            "event_id",
+            "label",
+            F.when(F.col("r") < F.col("k60"), F.lit("train"))
+            .when(F.col("r") < F.col("k80"), F.lit("valid"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+    return clear.unionByName(boundary)
+
+
 # ------------------------------------------------------- one-hot / argmax
 @register(
     "onehot_argmax",

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Corpus-wide exact-hash oracle sweep at the 10x replicated fixture.
+
+Round-4's 10x probe (``scale_probe.py``) *timed* 11 queries and caught
+an int64 overflow; this script answers the stronger question for ALL
+264: does every corpus query still hash-match its DuckDB twin when the
+data is 10x the driver's largest fixture (~sf1: lineitem 6M rows,
+events 1M)?  It is the executable approximation of "would this survive
+100x" — the bug classes it targets (integer overflow of sufficient
+statistics, float summation-order divergence that only appears at
+higher partition counts, fixture-shape assumptions baked into oracle
+constants) are exactly the ones that correctness at sf0.1 cannot see.
+
+The comparison is byte-identical to the driver's CORRECTNESS gate
+(``tests/oracle_utils.exact_hash_problems``) on the SAME parquet for
+both engines.  Results stream to a JSONL file so an interrupted run
+resumes where it left off.
+
+Usage:
+    python scripts/scale_sweep.py [--rebuild] [--fresh] [query ...]
+
+    --rebuild  rebuild the 10x fixture even if present
+    --fresh    ignore (truncate) previous results, rerun everything
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark import get_spark  # noqa: E402
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus  # noqa: E402
+from scripts.scale_probe import DST, build  # noqa: E402
+from tests.oracle_utils import duckdb_con, exact_hash_problems  # noqa: E402
+
+RESULTS = "/tmp/scale_sweep_results.jsonl"
+
+
+def load_done() -> dict[str, dict]:
+    done: dict[str, dict] = {}
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            for line in f:
+                if line.strip():
+                    rec = json.loads(line)
+                    done[rec["name"]] = rec
+    return done
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only = set(args)
+    spark = get_spark("scale_sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--rebuild" in sys.argv or not os.path.exists(DST):
+        build(spark)
+    if "--fresh" in sys.argv and os.path.exists(RESULTS):
+        os.remove(RESULTS)
+    done = load_done()
+    con = duckdb_con(DST)
+    reg = corpus()
+    names = [n for n in sorted(reg) if (not only or n in only)]
+    out = open(RESULTS, "a", buffering=1)
+    n_fail = 0
+    for i, name in enumerate(names):
+        if name in done and done[name]["status"] == "ok" and not only:
+            continue
+        q = reg[name]
+        rec: dict = {"name": name}
+        t0 = time.monotonic()
+        try:
+            spark_pdf = q.fn(spark, DST).toPandas()
+            rec["spark_s"] = round(time.monotonic() - t0, 2)
+            rec["rows"] = len(spark_pdf)
+        except Exception as e:  # noqa: BLE001
+            rec.update(status="spark-error", err=str(e)[:500])
+            out.write(json.dumps(rec) + "\n")
+            print(f"[{i+1}/{len(names)}] SPARK-ERR {name}: {str(e)[:200]}", flush=True)
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            rec["status"] = "rows-only"
+            out.write(json.dumps(rec) + "\n")
+            print(f"[{i+1}/{len(names)}] ROWS {name}: {rec['rows']}", flush=True)
+            continue
+        t1 = time.monotonic()
+        try:
+            oracle_pdf = con.execute(q.oracle).fetchdf()
+            rec["oracle_s"] = round(time.monotonic() - t1, 2)
+        except Exception as e:  # noqa: BLE001
+            rec.update(status="oracle-error", err=str(e)[:500])
+            out.write(json.dumps(rec) + "\n")
+            print(f"[{i+1}/{len(names)}] ORACLE-ERR {name}: {str(e)[:200]}", flush=True)
+            n_fail += 1
+            continue
+        t2 = time.monotonic()
+        problems = exact_hash_problems(spark_pdf, oracle_pdf)
+        rec["hash_s"] = round(time.monotonic() - t2, 2)
+        if problems:
+            rec.update(status="hash-fail", err=problems[0][:800])
+            n_fail += 1
+            print(f"[{i+1}/{len(names)}] HASH-FAIL {name}: {problems[0][:200]}", flush=True)
+        else:
+            rec["status"] = "ok"
+            print(
+                f"[{i+1}/{len(names)}] ok {name}: {rec['rows']} rows "
+                f"(spark {rec['spark_s']}s, oracle {rec['oracle_s']}s)",
+                flush=True,
+            )
+        out.write(json.dumps(rec) + "\n")
+    out.close()
+    done = load_done()
+    bad = {n: r for n, r in done.items() if r["status"] not in ("ok", "rows-only")}
+    print(f"\nsweep: {len(done)} recorded, {len(bad)} not-ok: {sorted(bad)}", flush=True)
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -32,6 +32,11 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
+        # The driver fixtures are single files; Spark-written fixtures
+        # (e.g. the 10x replicated scale sweep) are DIRECTORIES of
+        # part files — glob them so the oracle reads the same rows.
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     return con
 
