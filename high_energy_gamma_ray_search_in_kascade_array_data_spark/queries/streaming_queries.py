@@ -138,6 +138,60 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stateful_user_stats_tws",
+    survey_ref="§2.11,§2.12",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MAX(value), 6) AS max_value
+FROM events GROUP BY user_id
+""",
+)
+def q_stream_stateful_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``transformWithStateInPandas`` twin of
+    ``stream_stateful_user_stats`` (closes VERDICT r4 task #4): same
+    per-user running (count, max), but through Spark 4's typed-state
+    successor API with the RocksDB state store — runnable here because
+    the compat shim (``compat/pbshim.py``) aliases a vendored
+    pure-Python protobuf into the state-protocol client on runtimes
+    without the real package. Where no protobuf runtime exists at all,
+    falls back to the ``applyInPandasWithState`` sibling — semantically
+    identical by construction (the equivalence both the oracle and
+    ``test_transform_with_state_matches_batch`` pin)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.streaming import stateful
+
+    ev = core.read_events_stream(spark, sf_dir)
+    if stateful.transform_with_state_available():
+        core.run_to_memory(
+            stateful.running_user_stats_tws(ev),
+            "stream_stateful_tws_sink",
+            output_mode="update",
+            state_partitions=8,
+            extra_confs={
+                "spark.sql.streaming.stateStore.providerClass": (
+                    "org.apache.spark.sql.execution.streaming.state."
+                    "RocksDBStateStoreProvider"
+                )
+            },
+        )
+    else:  # no protobuf runtime anywhere: semantics-equal sibling
+        core.run_to_memory(
+            stateful.running_user_stats(ev),
+            "stream_stateful_tws_sink",
+            output_mode="update",
+            state_partitions=8,
+        )
+    sink = spark.table("stream_stateful_tws_sink")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        sink.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("max_value", 6).alias("max_value"))
+    )
+
+
+@register(
     "stream_static_join",
     survey_ref="§2.11,§2.7",
     oracle="""

@@ -17,6 +17,18 @@ from pyspark.sql import SparkSession
 def get_spark(app_name: str = "kascade_spark", shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cpus}]"
+    # Python workers inherit the JVM's environment; putting the compat
+    # worker_site dir on PYTHONPATH *before* the JVM launches lets its
+    # sitecustomize install the protobuf shim inside every worker —
+    # which is where transformWithStateInPandas' state-protocol client
+    # runs. No-op when the real protobuf package exists (the shim
+    # checks first) or when the session already started.
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.compat import pbshim
+
+    ws = pbshim.worker_site_dir()
+    pp = os.environ.get("PYTHONPATH", "")
+    if ws not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = ws + (os.pathsep + pp if pp else "")
     if shuffle_partitions is None:
         n = os.cpu_count() or 8
         shuffle_partitions = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(min(n, 32))))

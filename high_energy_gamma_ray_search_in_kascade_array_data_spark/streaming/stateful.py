@@ -70,10 +70,16 @@ def transform_with_state_available() -> bool:
     """``transformWithStateInPandas`` ships a protobuf-based state
     protocol between the JVM state server and the Python worker; the
     ``protobuf`` package is not part of pyspark's hard deps and is
-    absent from some runtimes (including this container). Gate, don't
-    crash."""
+    absent from some runtimes (including this container). The compat
+    shim (``compat/pbshim.py``) can alias a vendored pure-Python copy
+    into place — try that before gating."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.compat import pbshim
+
+    if not pbshim.install():
+        return False
     try:
         from google.protobuf import descriptor  # noqa: F401
+        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
 
         return True
     except ImportError:

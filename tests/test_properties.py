@@ -264,10 +264,12 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
 
     if not stateful.transform_with_state_available():
         pytest.skip(
-            "google.protobuf not importable (pyspark[connect] pins protobuf>=4.25.1; "
-            "no wheel or vendored copy exists in this container and installs are "
-            "unavailable): transformWithStateInPandas' JVM<->Python state protocol "
-            "cannot start, so the operator stays gated, not stubbed"
+            "no google.protobuf runtime: neither the real package nor a vendored "
+            "pure-Python copy the compat shim (compat/pbshim.py) can alias is "
+            "present, so transformWithStateInPandas' JVM<->Python state protocol "
+            "cannot start and the operator stays gated, not stubbed. (On this "
+            "container the shim normally finds the Cloud SDK's vendored protobuf "
+            "and this test RUNS.)"
         )
 
     ev = core.read_events_stream(spark, sf_dir)
