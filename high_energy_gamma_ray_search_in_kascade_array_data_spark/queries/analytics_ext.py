@@ -790,19 +790,41 @@ def q_bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         frontier = dist
-        for h in range(1, _BFS_MAX_HOPS + 1):
+        # TWO hops per sweep (VERDICT r4 #6): at fixture scale each
+        # driver-side action costs ~0.25 s of job launch, so halving
+        # the sweep count halves the wall clock; the min-combine keeps
+        # labels exact (a node reachable at h appears in `one` with h,
+        # beating the h+1 candidate from `two`). Expanding not-yet-
+        # settled hop-h candidates inside the same sweep is safe
+        # because the anti-join against the settled set runs AFTER
+        # the batch.
+        h = 1
+        while h <= _BFS_MAX_HOPS:
+            one = frontier.join(edges, frontier["node"] == edges["u"]).select(
+                F.col("v").alias("node"), F.lit(h).cast("int").alias("hops")
+            )
+            cand = one
+            if h + 1 <= _BFS_MAX_HOPS:
+                two = one.join(edges, one["node"] == edges["u"]).select(
+                    F.col("v").alias("node"),
+                    F.lit(h + 1).cast("int").alias("hops"),
+                )
+                cand = one.union(two)
             nxt = (
-                frontier.join(edges, frontier["node"] == edges["u"])
-                .select(F.col("v").alias("node"))
-                .distinct()
+                cand.groupBy("node")
+                .agg(F.min("hops").alias("hops"))
                 .join(dist, "node", "left_anti")
-                .select("node", F.lit(h).cast("int").alias("hops"))
                 .localCheckpoint(eager=True)
             )
             if nxt.isEmpty():
                 break
-            dist = dist.union(nxt).localCheckpoint(eager=True)
-            frontier = nxt
+            # dist stays a shallow union tree of checkpointed pieces
+            # (≤ 8 levels) — no per-sweep re-checkpoint needed
+            dist = dist.union(nxt)
+            # hop-h discoveries were already expanded by `two`; only
+            # the outermost ring seeds the next sweep
+            frontier = nxt.filter(F.col("hops") == h + 1)
+            h += 2
     return dist
 
 
@@ -852,13 +874,21 @@ def q_bellman_ford_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sum strictly drops on any relaxation — one tiny aggregate per
         # sweep instead of an anti-join action
         prev_sig = (1, 0)
-        for _sweep in range(2 * _BFS_MAX_HOPS):
-            relaxed = (
-                dist.join(edges, dist["node"] == edges["u"])
-                .select(F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        # TWO relaxations per sweep (VERDICT r4 #6): r2 chains off the
+        # un-minimized r1 rows — sound because the final min-combine
+        # sees every 1- and 2-edge extension of the current labels, so
+        # the fixpoint after k sweeps equals 2k textbook relaxations;
+        # halves both the sweep count and the per-sweep action count.
+        for _sweep in range(_BFS_MAX_HOPS + 1):
+            r1 = dist.join(edges, dist["node"] == edges["u"]).select(
+                F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
+            )
+            r2 = r1.join(edges, r1["node"] == edges["u"]).select(
+                F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
             )
             dist = (
-                dist.union(relaxed)
+                dist.union(r1)
+                .union(r2)
                 .groupBy("node")
                 .agg(F.min("cost").alias("cost"))
                 .localCheckpoint(eager=True)

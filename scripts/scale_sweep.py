@@ -40,15 +40,24 @@ from tests.oracle_utils import duckdb_con, exact_hash_problems  # noqa: E402
 RESULTS = "/tmp/scale_sweep_results.jsonl"
 
 
-def load_done() -> dict[str, dict]:
+def load_done() -> tuple[dict[str, dict], dict[str, int]]:
+    """Latest completed record per query, plus a count of crash
+    markers ("started" lines never followed by a completion — the
+    process was killed mid-query, e.g. by the OOM reaper)."""
     done: dict[str, dict] = {}
+    crashes: dict[str, int] = {}
     if os.path.exists(RESULTS):
         with open(RESULTS) as f:
             for line in f:
-                if line.strip():
-                    rec = json.loads(line)
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                if rec["status"] == "started":
+                    crashes[rec["name"]] = crashes.get(rec["name"], 0) + 1
+                else:
                     done[rec["name"]] = rec
-    return done
+                    crashes.pop(rec["name"], None)
+    return done, crashes
 
 
 def main() -> int:
@@ -60,7 +69,7 @@ def main() -> int:
         build(spark)
     if "--fresh" in sys.argv and os.path.exists(RESULTS):
         os.remove(RESULTS)
-    done = load_done()
+    done, crashes = load_done()
     con = duckdb_con(DST)
     reg = corpus()
     names = [n for n in sorted(reg) if (not only or n in only)]
@@ -69,7 +78,11 @@ def main() -> int:
     for i, name in enumerate(names):
         if name in done and done[name]["status"] == "ok" and not only:
             continue
+        if crashes.get(name, 0) >= 2 and not only:
+            print(f"[{i+1}/{len(names)}] SKIP {name}: killed the process twice", flush=True)
+            continue
         q = reg[name]
+        out.write(json.dumps({"name": name, "status": "started"}) + "\n")
         rec: dict = {"name": name}
         t0 = time.monotonic()
         try:
@@ -113,10 +126,14 @@ def main() -> int:
             )
         out.write(json.dumps(rec) + "\n")
     out.close()
-    done = load_done()
+    done, crashes = load_done()
     bad = {n: r for n, r in done.items() if r["status"] not in ("ok", "rows-only")}
-    print(f"\nsweep: {len(done)} recorded, {len(bad)} not-ok: {sorted(bad)}", flush=True)
-    return 1 if bad else 0
+    print(
+        f"\nsweep: {len(done)} recorded, {len(bad)} not-ok: {sorted(bad)}; "
+        f"crash-skipped: {sorted(n for n, c in crashes.items() if c >= 2)}",
+        flush=True,
+    )
+    return 1 if bad or crashes else 0
 
 
 if __name__ == "__main__":

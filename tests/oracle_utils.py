@@ -30,6 +30,14 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog im
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bounded memory + disk spill: DuckDB's default limit (~80% of
+    # RAM) let a token-join-heavy oracle balloon to 111 GB RSS at the
+    # 10x fixture before the kernel OOM-killed the whole sweep
+    # (SCALE.md round-5 record). An engine gets to be slow under
+    # pressure, not dead — same discipline Spark's spill gives the
+    # other side of the differential.
+    con.execute("SET memory_limit = '32GB'")
+    con.execute("SET temp_directory = '/tmp/duckdb_spill'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         # The driver fixtures are single files; Spark-written fixtures
