@@ -105,7 +105,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ref="§2.7",
     oracle="""
 SELECT n_name,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))
+         / 100.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -118,7 +119,15 @@ GROUP BY n_name
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: star join of the fact against 5 dims; every dim
-    side is broadcast so the fact table never shuffles."""
+    side is broadcast so the fact table never shuffles.
+
+    Revenue is EXACT-CENTS: per row one IEEE multiply (deterministic,
+    identical in both engines) rounded to integer cents, summed as
+    BIGINT, divided by 100.0 once at the end. The 10x sweep caught the
+    float form diverging by 1.32 in the 2nd decimal at a 1.2e12 sum —
+    a 4M-add ULP random walk (~0.24 expected) crossing the ROUND(,2)
+    boundary; summation-order association, invisible at sf0.1
+    (SCALE.md round-5 record)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
@@ -132,7 +141,17 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                        + 0.5
+                    ).cast("bigint")
+                )
+                / 100.0
+            ).alias("revenue")
+        )
     )
 
 

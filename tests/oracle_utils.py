@@ -36,7 +36,11 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # (SCALE.md round-5 record). An engine gets to be slow under
     # pressure, not dead — same discipline Spark's spill gives the
     # other side of the differential.
-    con.execute("SET memory_limit = '32GB'")
+    # 56 GB: high enough that only genuinely join-order-pathological
+    # oracles spill (this box has ~17 GB of free disk — RAM is the
+    # abundant resource, disk is not), low enough that DuckDB + the
+    # Spark JVM + the driver python fit a 125 GB box together.
+    con.execute("SET memory_limit = '56GB'")
     con.execute("SET temp_directory = '/tmp/duckdb_spill'")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
