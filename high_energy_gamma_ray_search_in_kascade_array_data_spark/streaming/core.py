@@ -47,14 +47,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # catalog.load_table does, so a driver-owned session that streams
     # WITHOUT first touching the batch catalog cannot re-base event time.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # The streaming file source wants a directory; the fixture dir holds
-    # every table, so glob-filter down to the events file.
-    file_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    raw = (
-        spark.readStream.schema(file_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # The streaming file source wants a directory. Two fixture shapes
+    # exist: the driver's one-FILE-per-table layout (stream the parent
+    # dir, glob-filtered to the events file — pathGlobFilter matches
+    # leaf file names) and Spark-written DIRECTORY tables like the 10x
+    # scale fixture (stream the table directory itself; the glob filter
+    # would match no part file and silently yield 0 rows — the bug the
+    # 10x sweep caught across all 13 streaming queries, SCALE.md
+    # round-5 record).
+    path = os.path.join(sf_dir, "events.parquet")
+    file_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        raw = spark.readStream.schema(file_schema).parquet(path)
+    else:
+        raw = (
+            spark.readStream.schema(file_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     return normalize_events_ts(raw)
 
 

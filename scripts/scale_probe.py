@@ -74,6 +74,20 @@ def build(spark) -> None:
             rep = df
             for c, off in offsets.items():
                 rep = rep.withColumn(c, F.col(c) + F.lit(i * off))
+            if table == "documents" and i > 0:
+                # Replica texts must be DISTINCT content, not clones:
+                # suffixing every token makes replica i share zero
+                # shingles with replica j — "10 crawl shards" with the
+                # original dup/near-dup structure inside each shard.
+                # Verbatim replication instead makes 90% of the corpus
+                # exact clones, which drives any exact prefix-filter
+                # similarity join quadratic (41M candidate pairs, >56GB
+                # in the oracle engine at 10x — SCALE.md round-5
+                # record): a data-distribution pathology, not a plan
+                # property the sweep is supposed to measure.
+                rep = rep.withColumn(
+                    "text", F.regexp_replace("text", r"(\S+)", f"$1x{i}")
+                )
             parts.append(rep)
         out = parts[0]
         for p in parts[1:]:

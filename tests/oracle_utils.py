@@ -36,12 +36,17 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # (SCALE.md round-5 record). An engine gets to be slow under
     # pressure, not dead — same discipline Spark's spill gives the
     # other side of the differential.
-    # 56 GB: high enough that only genuinely join-order-pathological
-    # oracles spill (this box has ~17 GB of free disk — RAM is the
-    # abundant resource, disk is not), low enough that DuckDB + the
-    # Spark JVM + the driver python fit a 125 GB box together.
-    con.execute("SET memory_limit = '56GB'")
-    con.execute("SET temp_directory = '/tmp/duckdb_spill'")
+    # Hard 68 GB cap, spill DISABLED. Three facts force this shape
+    # (SCALE.md round-5 record): (1) unbounded, a token-join-heavy
+    # oracle ballooned to 111 GB RSS at the 10x fixture and the kernel
+    # OOM-killed the sweep; (2) this box has only ~17 GB of free disk,
+    # and once a temp_directory exists DuckDB's out-of-core operators
+    # partition to disk EAGERLY — well below the memory limit — so
+    # "bounded + spill" filled the disk twice; (3) every corpus oracle
+    # fits ≤60 GB in-memory at 10x. So: cap RAM, fail fast with a
+    # catchable OOM error for anything heavier, never touch disk.
+    con.execute("SET memory_limit = '68GB'")
+    con.execute("SET temp_directory = ''")
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         # The driver fixtures are single files; Spark-written fixtures
