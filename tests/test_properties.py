@@ -103,13 +103,32 @@ def test_split_determinism_same_seed_same_assignment(spark, sf_dir):
     assert diff.count() == 0
 
 
-def test_multimodal_real_codec_raises(spark, sf_dir):
-    """The real-codec seam is explicitly unimplemented (stub contract)."""
+def test_multimodal_real_codec_contract(spark, sf_dir):
+    """The real-codec seam decodes genuine BMP containers (round-5:
+    the stdlib decoder replaced the NotImplementedError stub) and
+    still fails loudly — inside the kernel, as a ValueError at the
+    PIL/ffmpeg slot — when handed bytes that are not a supported
+    container (the fake payloads are raw pixel buffers, not BMP/PNG)."""
+    from py4j.protocol import Py4JJavaError
+
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import multimodal
 
-    media = multimodal.synth_media(spark, sf_dir)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_media(media, codec="real")
+    bmp = multimodal.synth_bmp_media(spark, sf_dir)
+    row = (
+        multimodal.decode_media(bmp, codec="real")
+        .filter(F.col("media_id") == 1)
+        .first()
+    )
+    assert row["width"] == 8 and row["height"] == 8
+    # formula check for event 1: pixels (1*7 + i*13) % 256, i=0..63
+    px = [(7 + i * 13) % 256 for i in range(64)]
+    assert row["max_intensity"] == max(px)
+    assert row["checksum_weighted"] == sum(i * v for i, v in enumerate(px))
+
+    raw = multimodal.synth_media(spark, sf_dir)  # raw buffers, no container
+    with pytest.raises((Py4JJavaError, Exception)) as exc_info:
+        multimodal.decode_media(raw, codec="real").first()
+    assert "unsupported image format" in str(exc_info.value)
 
 
 def test_minhash_fast_agrees_with_dictionary_variant(spark, sf_dir):
