@@ -28,8 +28,11 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import co
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-DST = "/tmp/scale10x"
-REPLICAS = 10
+# Parameterized so the same builder serves the 10x tier (default) and
+# the round-5 100x tier (SPARK_GRAFT_SCALE_REPLICAS=100, ~1.6 GB of
+# parquet: lineitem 60M rows, events 10M, documents 500k).
+DST = os.environ.get("SPARK_GRAFT_SCALE_DST", "/tmp/scale10x")
+REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
 
 # (table, id columns to offset per replica so cardinality scales)
 TABLES = {

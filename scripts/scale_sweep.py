@@ -37,7 +37,7 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import co
 from scripts.scale_probe import DST, build  # noqa: E402
 from tests.oracle_utils import duckdb_con, exact_hash_problems  # noqa: E402
 
-RESULTS = "/tmp/scale_sweep_results.jsonl"
+RESULTS = f"/tmp/scale_sweep_results_{os.path.basename(DST.rstrip('/'))}.jsonl"
 
 # Queries whose ORACLE deliberately pins the driver fixture's physical
 # layout and therefore cannot (and should not) pass against the
