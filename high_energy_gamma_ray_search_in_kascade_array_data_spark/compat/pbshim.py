@@ -50,10 +50,18 @@ VENDOR_CANDIDATES = [
 
 
 class _PbCompatFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
-    def __init__(self, pb_dir: str) -> None:
+    def __init__(self, pb_dir: str, own_google: bool) -> None:
         self._pb_dir = pb_dir
+        # Intercept the bare ``google`` name ONLY when no other
+        # provider exists — a runtime shipping google.* namespace
+        # distributions (google.auth, google.cloud, …) must keep
+        # resolving them through its own namespace portions; we would
+        # shadow them all with an empty __path__ (ADVICE r5).
+        self._own_google = own_google
 
     def find_spec(self, fullname, path=None, target=None):
+        if fullname == "google" and not self._own_google:
+            return None
         if fullname in ("google", "google.protobuf", "google.protobuf.runtime_version"):
             is_pkg = fullname != "google.protobuf.runtime_version"
             return importlib.util.spec_from_loader(fullname, self, is_package=is_pkg)
@@ -111,7 +119,13 @@ def install() -> bool:
         if root not in sys.path:
             sys.path.insert(0, root)
         if not any(isinstance(f, _PbCompatFinder) for f in sys.meta_path):
-            sys.meta_path.insert(0, _PbCompatFinder(pb_dir))
+            # decide google-ownership BEFORE inserting the finder
+            # (afterwards find_spec would recurse into it)
+            try:
+                own_google = importlib.util.find_spec("google") is None
+            except (ImportError, ValueError):
+                own_google = True
+            sys.meta_path.insert(0, _PbCompatFinder(pb_dir, own_google))
         if _usable():
             return True
     return False

@@ -40,8 +40,19 @@ try:
         if _THIRD_PARTY not in sys.path:
             sys.path.insert(0, _THIRD_PARTY)
 
+        # Own the bare ``google`` name ONLY when nothing else provides
+        # it — shadowing an existing namespace package with an empty
+        # __path__ would break every other google.* distribution on
+        # the runtime (google.auth, google.cloud, …).
+        try:
+            _OWN_GOOGLE = importlib.util.find_spec("google") is None
+        except Exception:
+            _OWN_GOOGLE = True
+
         class _PbCompatFinder(importlib.abc.MetaPathFinder, importlib.abc.Loader):
             def find_spec(self, fullname, path=None, target=None):
+                if fullname == "google" and not _OWN_GOOGLE:
+                    return None
                 if fullname in (
                     "google",
                     "google.protobuf",
@@ -76,5 +87,29 @@ try:
                     module.ValidateProtobufRuntimeVersion = lambda *a, **k: None
 
         sys.meta_path.insert(0, _PbCompatFinder())
+except Exception:  # noqa: BLE001 — never break interpreter startup
+    pass
+
+# site.py imports only the FIRST sitecustomize on sys.path — since this
+# directory is prepended to PYTHONPATH, any pre-existing sitecustomize
+# (e.g. coverage's subprocess hook) would be silently shadowed.
+# Chain-load the next one so this shim composes instead of displacing.
+try:
+    import importlib.util as _ilu
+    import os as _os
+    import sys as _sys
+
+    _here = _os.path.dirname(_os.path.abspath(__file__))
+    for _p in _sys.path:
+        _d = _os.path.abspath(_p) if _p else _os.getcwd()
+        if _d == _here:
+            continue
+        _cand = _os.path.join(_d, "sitecustomize.py")
+        if _os.path.isfile(_cand):
+            _spec = _ilu.spec_from_file_location("_chained_sitecustomize", _cand)
+            if _spec and _spec.loader:
+                _mod = _ilu.module_from_spec(_spec)
+                _spec.loader.exec_module(_mod)
+            break
 except Exception:  # noqa: BLE001 — never break interpreter startup
     pass

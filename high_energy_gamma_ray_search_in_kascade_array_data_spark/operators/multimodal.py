@@ -12,7 +12,11 @@ in two:
     genuine BMP and PNG containers with a pure-stdlib decoder
     (struct + zlib inflate + all five scanline filters); formats
     beyond those raise ``ValueError`` at the exact point a PIL/ffmpeg
-    call slots in. Same schema, same batching either way.
+    call slots in. Same Arrow batching either way; the schemas differ
+    by design — the fake path emits ``FEATURES_SCHEMA`` (raw-buffer
+    stats incl. ``n_bytes``), the real path ``REAL_FEATURES_SCHEMA``
+    (parsed ``width``/``height`` + a pixel checksum, since a real
+    container's byte count is not its pixel count).
 
 Payloads here are synthesized from ``events`` by exact integer
 arithmetic (byte i of event e = (e·7 + i·13) mod 256), which is what
@@ -99,10 +103,13 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
     """Decode + feature-extract: mean/max intensity per payload.
 
-    ``codec="real"`` routes through :func:`decode_media_real` — a pure
-    stdlib (struct/zlib) BMP + PNG decoder inside the same Arrow seam;
-    exotic codecs (JPEG, video, audio) still need PIL/ffmpeg plugged
-    into that kernel, with schema and batching unchanged.
+    ``codec="fake"`` (default) treats the payload as the raw pixel
+    buffer and returns ``FEATURES_SCHEMA``. ``codec="real"`` routes
+    through :func:`decode_media_real` — a pure stdlib (struct/zlib)
+    BMP + PNG decoder inside the same Arrow seam — and returns the
+    richer ``REAL_FEATURES_SCHEMA`` (parsed width/height + pixel
+    checksum); exotic codecs (JPEG, video, audio) still need
+    PIL/ffmpeg plugged into that kernel, batching unchanged.
     """
     if codec == "real":
         return decode_media_real(media)

@@ -8,7 +8,9 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.plans.audit import
     assert_no_cartesian_product,
     assert_partial_aggregation,
     assert_pushed_filters,
+    fact_scale_exchange_violations,
     physical_plan,
+    simple_plan,
 )
 
 __all__ = [
@@ -16,5 +18,7 @@ __all__ = [
     "assert_no_cartesian_product",
     "assert_partial_aggregation",
     "assert_pushed_filters",
+    "fact_scale_exchange_violations",
     "physical_plan",
+    "simple_plan",
 ]

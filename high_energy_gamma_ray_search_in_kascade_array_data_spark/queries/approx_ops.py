@@ -652,42 +652,79 @@ FROM hit WHERE rn = 1
 def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantity-weighted median price per return flag — the
     survey-statistics generalization of the exact median: the first
-    price (in (price, orderkey, linenumber) order) whose cumulative
-    quantity reaches half the stratum total.  All integer arithmetic
-    (cents × integer quantities), totally ordered by the unique line
-    key, so the answer is exact and partitioning-independent.
+    price (in cumulative price order) whose cumulative quantity
+    reaches half the stratum total.  Ties share a price, so the
+    crossing PRICE is deterministic by value alone; all integer
+    arithmetic (cents × integer quantities) makes the answer exact
+    and partitioning-independent.
 
-    Shape: one window cumsum per stratum (the only shuffle, keyed by
-    the stratum) + a per-stratum total as a window aggregate on the
-    same partitioning — no second scan, no join; the 'first crossing'
-    is a TakeOrdered-per-group over rows already filtered to the
-    crossing region."""
+    Scale shape (two-phase order-statistic locate, NOT a per-stratum
+    cumsum over raw rows — 3 return flags would funnel ⅓ of lineitem
+    through each reducer):  phase 1 coarsens to (flag, $100-range)
+    quantity sums — one map-side-combinable aggregate whose output is
+    ~3×1000 rows — and a cumulative window over that TINY relation
+    locates the range containing each stratum's half-total crossing;
+    phase 2 rescans only rows inside the ≤3 located ranges (broadcast
+    semi-filter on the scan), groups exact cents within them, and a
+    second tiny cumulative pins the crossing price.  Total shuffled
+    data: two bounded-group aggregates + broadcast joins of 3-row
+    relations.  The oracle keeps the naive global-window form, so the
+    gate proves the refinement reproduces it exactly."""
     li = load_table(spark, sf_dir, "lineitem")
     w = li.select(
         "l_returnflag",
         F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint").alias("price_c"),
         F.col("l_quantity").cast("bigint").alias("qty"),
-        "l_orderkey",
-        "l_linenumber",
     )
-    byflag = Window.partitionBy("l_returnflag")
-    cum = w.select(
+    # phase 1: coarse (flag, $100-range) quantity mass + crossing range
+    coarse = (
+        w.groupBy("l_returnflag", F.expr("price_c DIV 10000").alias("bucket"))
+        .agg(F.sum("qty").alias("bq"))
+    )
+    wflag = Window.partitionBy("l_returnflag").orderBy("bucket")
+    coarse_cum = coarse.select(
+        "l_returnflag",
+        "bucket",
+        "bq",
+        (F.sum("bq").over(wflag.rowsBetween(Window.unboundedPreceding, 0)) - F.col("bq")).alias("below"),
+        F.sum("bq").over(Window.partitionBy("l_returnflag")).alias("total"),
+    )
+    target = coarse_cum.filter(
+        (2 * F.col("below") < F.col("total"))
+        & (2 * (F.col("below") + F.col("bq")) >= F.col("total"))
+    ).select("l_returnflag", "bucket", "below", "total")
+    # phase 2: exact cents inside the (one-per-stratum) located ranges only
+    fine = (
+        w.join(
+            F.broadcast(
+                target.select(
+                    F.col("l_returnflag").alias("tf"), F.col("bucket").alias("tb")
+                )
+            ),
+            (F.col("l_returnflag") == F.col("tf"))
+            & (F.expr("price_c DIV 10000") == F.col("tb")),
+        )
+        .groupBy("l_returnflag", "price_c")
+        .agg(F.sum("qty").alias("g"))
+    )
+    wfine = Window.partitionBy("l_returnflag").orderBy("price_c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fine_cum = fine.select(
         "l_returnflag",
         "price_c",
-        F.sum("qty")
-        .over(
-            byflag.orderBy("price_c", "l_orderkey", "l_linenumber").rowsBetween(
-                Window.unboundedPreceding, 0
-            )
+        (F.sum("g").over(wfine) - F.col("g")).alias("fbelow"),
+        "g",
+    )
+    return (
+        fine_cum.join(
+            F.broadcast(target.select("l_returnflag", "below", "total")), "l_returnflag"
         )
-        .alias("c"),
-        F.sum("qty").over(byflag).alias("total"),
-    )
-    hit = cum.filter(2 * F.col("c") >= F.col("total")).withColumn(
-        "rn", F.row_number().over(byflag.orderBy("c", "price_c"))
-    )
-    return hit.filter(F.col("rn") == 1).select(
-        "l_returnflag", F.col("price_c").alias("weighted_median_cents")
+        .filter(
+            (2 * (F.col("below") + F.col("fbelow")) < F.col("total"))
+            & (2 * (F.col("below") + F.col("fbelow") + F.col("g")) >= F.col("total"))
+        )
+        .select("l_returnflag", F.col("price_c").alias("weighted_median_cents"))
     )
 
 

@@ -378,10 +378,42 @@ FROM (
 """,
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    """NTILE(4) without the global sort: a bare ``ntile() OVER (ORDER
+    BY …)`` plans Exchange SinglePartition — every customer row sorts
+    through ONE task.  Scale-safe decomposition (same shape as
+    ``global_row_index``): rows bucket by balance range (floor is
+    monotonic, so bucket order = value order), a per-bucket count
+    aggregate (~110 rows) takes a tiny prefix-sum window, offsets
+    broadcast back, and the global rank is offset + a row_number
+    PARTITIONED by bucket.  NTILE is then pure rank arithmetic — with
+    n rows and t=4 tiles, the first n%4 tiles hold ⌈n/4⌉ rows and the
+    rest ⌊n/4⌋ — reproducing SQL NTILE semantics exactly (the oracle
+    keeps the naive window form to prove it)."""
+    c = load_table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    b = c.withColumn("bucket", F.floor(F.col("c_acctbal") / 100).cast("bigint"))
+    counts = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("bn"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("bn").over(wb), F.lit(0)).alias("offset"),
+        F.sum("bn").over(Window.partitionBy()).alias("n_total"),
+    )
+    wi = Window.partitionBy("bucket").orderBy("c_acctbal", "c_custkey")
+    ranked = b.join(F.broadcast(offsets), "bucket").select(
+        "c_acctbal",
+        (F.col("offset") + F.row_number().over(wi)).alias("rn"),
+        "n_total",
+    )
+    q = F.expr("n_total DIV 4")
+    r = F.col("n_total") % 4
+    cut = r * (q + 1)
+    quartile = F.when(
+        F.col("rn") <= cut, F.expr("(rn + n_total DIV 4) DIV (n_total DIV 4 + 1)")
+    ).otherwise(
+        r + F.expr("(rn - (n_total % 4) * (n_total DIV 4 + 1) + n_total DIV 4 - 1) DIV (n_total DIV 4)")
+    )
     return (
-        c.select("c_acctbal", F.ntile(4).over(w).cast("int").alias("quartile"))
+        ranked.select("c_acctbal", quartile.cast("int").alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -95,23 +95,67 @@ def q_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     and engine-independent), APPLY broadcasts the 9-value array and
     buckets every row with a strict-greater count. Exact comparisons on
     raw values mean bucket membership can never flip on float dust.
-    At 100 TB the fit phase swaps to an approx-quantile sketch
-    (``sketch_aggregates``) with the same broadcast-apply shape; the
-    window here touches each row once and the apply is map-side-only."""
+    The FIT phase is the two-phase order-statistic locate (the same
+    decomposition as ``two_phase_exact_percentile``), NOT a global
+    row_number window — ``ROW_NUMBER() OVER (ORDER BY …)`` would sort
+    every order through ONE task.  Phase 1 coarsens to $1000-range
+    counts (map-side-combinable, ~600 output rows), a cumulative over
+    that tiny relation locates the range holding each decile rank
+    k = ⌈n·k/10⌉; phase 2 rescans only rows in the ≤9 located ranges
+    (broadcast semi-filter), groups by exact value within them, and a
+    second tiny cumulative pins each rank's value.  A rank falling on
+    duplicated values still yields that rank's value exactly, so the
+    boundaries match the naive-window oracle bit-for-bit.  The
+    broadcast APPLY phase is map-side-only.  (An ε-approximate fit
+    would swap in ``percentile_approx`` with the same apply shape.)"""
     o = load_table(spark, sf_dir, "orders").select("o_totalprice")
-    wn = Window.orderBy("o_totalprice")
-    ranked = o.select(
-        "o_totalprice",
-        F.row_number().over(wn).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    # phase 1: coarse $1000-range counts + per-rank range locate
+    n_row = o.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        spark.range(1, 10)
+        .select(F.col("id").alias("k"))
+        .crossJoin(F.broadcast(n_row))
+        .select(F.ceil(F.col("n") * F.col("k") / 10.0).cast("bigint").alias("rk"))
     )
-    rn_in_deciles = F.expr(
-        "rn IN ("
-        + ", ".join(f"CAST(CEIL(n * {k} / 10.0) AS BIGINT)" for k in range(1, 10))
-        + ")"
+    coarse = o.groupBy(
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("bn"))
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    coarse_cum = coarse.select(
+        "bucket", "bn", (F.sum("bn").over(wcum) - F.col("bn")).alias("below")
     )
-    bounds = ranked.filter(rn_in_deciles).agg(
-        F.sort_array(F.collect_list("o_totalprice")).alias("bs")
+    target = (
+        F.broadcast(ranks)
+        .join(
+            coarse_cum,
+            (F.col("below") < F.col("rk"))
+            & (F.col("below") + F.col("bn") >= F.col("rk")),
+        )
+        .select("rk", "bucket", "below")
+    )
+    # phase 2: exact values inside the located ranges only
+    fine = (
+        o.join(
+            F.broadcast(target.select(F.col("bucket").alias("tb")).distinct()),
+            F.floor(F.col("o_totalprice") / 1000).cast("bigint") == F.col("tb"),
+        )
+        .groupBy("tb", "o_totalprice")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    wfine = Window.partitionBy("tb").orderBy("o_totalprice").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fine_cum = fine.select(
+        "tb", "o_totalprice", (F.sum("cn").over(wfine) - F.col("cn")).alias("fbelow"), "cn"
+    )
+    bounds = (
+        F.broadcast(target)
+        .join(fine_cum, F.col("bucket") == F.col("tb"))
+        .filter(
+            (F.col("below") + F.col("fbelow") < F.col("rk"))
+            & (F.col("below") + F.col("fbelow") + F.col("cn") >= F.col("rk"))
+        )
+        .agg(F.sort_array(F.collect_list("o_totalprice")).alias("bs"))
     )
     bucketed = o.crossJoin(F.broadcast(bounds)).select(
         F.aggregate(
@@ -931,8 +975,8 @@ def q_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "file_metadata_provenance",
     survey_ref="§2.1,§2.4",
     oracle="""
-SELECT CAST(1 AS BIGINT) AS n_files,
-       'events.parquet' AS first_file,
+SELECT CAST(TRUE AS BOOLEAN) AS has_files,
+       'parquet' AS file_ext,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
        CAST(SUM(event_id) AS BIGINT) AS sum_ids
 FROM events
@@ -946,10 +990,13 @@ def q_file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest. Grouping by file name must reproduce the per-file row
     counts and an exact content checksum — at 100 TB this is the
     query that pinpoints a corrupt upstream partition without
-    rereading the lake. The oracle pins the CURRENT fixture layout
-    (exactly one file per table) explicitly via n_files — if the
-    driver ever regenerates fixtures as multi-part datasets this row
-    fails loudly by count, which is the correct tripwire behavior."""
+    rereading the lake. The oracle checks LAYOUT-INDEPENDENT
+    invariants (r5 verdict task 3 — the previous form hardcoded the
+    driver fixture's one-file-per-table layout and could not travel
+    to multi-part fixtures): re-aggregating the per-file groups must
+    reproduce the exact global count and id checksum — i.e. grouping
+    by ``_metadata.file_path`` neither drops nor duplicates rows —
+    and the file inventory is non-empty with a parquet extension."""
     ev = load_table(spark, sf_dir, "events")
     per_file = (
         ev.select(
@@ -963,8 +1010,8 @@ def q_file_metadata_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return per_file.agg(
-        F.count(F.lit(1)).alias("n_files"),
-        F.min("file_name").alias("first_file"),
+        (F.count(F.lit(1)) >= 1).alias("has_files"),
+        F.element_at(F.split(F.min("file_name"), "\\."), -1).alias("file_ext"),
         F.sum("n_rows").cast("bigint").alias("n_rows"),
         F.sum("sum_ids").cast("bigint").alias("sum_ids"),
     )

@@ -22,11 +22,16 @@ def get_spark(app_name: str = "kascade_spark", shuffle_partitions: int | None = 
     # sitecustomize install the protobuf shim inside every worker —
     # which is where transformWithStateInPandas' state-protocol client
     # runs. No-op when the real protobuf package exists (the shim
-    # checks first) or when the session already started.
+    # checks first) or when the session already started. The mutation
+    # is scoped: the prior PYTHONPATH is restored after getOrCreate so
+    # the worker_site dir (and its sitecustomize) does not leak into
+    # non-Spark subprocesses spawned later from this driver (ADVICE
+    # r5); the JVM captured the env at launch, which is all workers see.
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.compat import pbshim
 
     ws = pbshim.worker_site_dir()
-    pp = os.environ.get("PYTHONPATH", "")
+    prior_pp = os.environ.get("PYTHONPATH")
+    pp = prior_pp or ""
     if ws not in pp.split(os.pathsep):
         os.environ["PYTHONPATH"] = ws + (os.pathsep + pp if pp else "")
     if shuffle_partitions is None:
@@ -51,6 +56,12 @@ def get_spark(app_name: str = "kascade_spark", shuffle_partitions: int | None = 
         # which vanilla Spark refuses — read as long, convert in catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
-    spark = builder.getOrCreate()
+    try:
+        spark = builder.getOrCreate()
+    finally:
+        if prior_pp is None:
+            os.environ.pop("PYTHONPATH", None)
+        else:
+            os.environ["PYTHONPATH"] = prior_pp
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -79,10 +79,21 @@ def transform_with_state_available() -> bool:
         return False
     try:
         from google.protobuf import descriptor  # noqa: F401
-        from pyspark.sql.streaming.proto import StateMessage_pb2  # noqa: F401
+        from pyspark.sql.streaming.proto import StateMessage_pb2
 
-        return True
-    except ImportError:
+        # Descriptor round-trip smoke (ADVICE r5): the shimmed path is
+        # exactly where NON-ImportError failures arise — pyspark's
+        # protobuf-5.x-generated StateMessage_pb2 running on a vendored
+        # 4.x runtime can raise TypeError/AttributeError from the
+        # descriptor pool even though both imports succeed. Serialize
+        # and re-parse a real state-protocol message so any shim
+        # incompatibility gates cleanly here instead of crashing the
+        # stream at start.
+        probe = StateMessage_pb2.StateRequest(version=2)
+        return StateMessage_pb2.StateRequest.FromString(
+            probe.SerializeToString()
+        ).version == 2
+    except Exception:  # noqa: BLE001 — any failure means "not available"
         return False
 
 
