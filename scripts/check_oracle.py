@@ -51,8 +51,18 @@ def _neg_zero_cols(pdf: pd.DataFrame) -> list[str]:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--tolerant"]
     tolerant = "--tolerant" in sys.argv[1:]
+    families: set[str] = set()
+    args: list[str] = []
+    for a in sys.argv[1:]:
+        if a == "--tolerant":
+            continue
+        if a.startswith("--families="):
+            # family = substring of the registering module's basename,
+            # e.g. --families=streaming,sources_multimodal
+            families = set(a.split("=", 1)[1].split(","))
+            continue
+        args.append(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
     spark = get_spark("oracle_check")
@@ -62,6 +72,10 @@ def main() -> int:
     for name, q in sorted(corpus().items()):
         if only and name not in only:
             continue
+        if families:
+            mod = q.fn.__module__.rsplit(".", 1)[-1]
+            if not any(f in mod for f in families):
+                continue
         t0 = time.time()
         try:
             spark_pdf = q.fn(spark, sf_dir).toPandas()

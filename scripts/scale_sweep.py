@@ -42,14 +42,9 @@ RESULTS = f"/tmp/scale_sweep_results_{os.path.basename(DST.rstrip('/'))}.jsonl"
 # Queries whose ORACLE deliberately pins the driver fixture's physical
 # layout and therefore cannot (and should not) pass against the
 # Spark-written multi-part 10x fixture. Each entry documents why.
-LAYOUT_PINNED = {
-    "file_metadata_provenance": (
-        "oracle hardcodes n_files=1/'events.parquet' as a tripwire for the "
-        "driver fixture's one-file-per-table layout (scale_ops.py docstring); "
-        "the 10x fixture is a multi-part directory, so the tripwire fires by "
-        "design — the Spark side's per-file provenance itself works there"
-    ),
-}
+# (Empty since r6: file_metadata_provenance's oracle now checks
+# layout-independent invariants and sweeps green on any layout.)
+LAYOUT_PINNED: dict[str, str] = {}
 
 
 def load_done() -> tuple[dict[str, dict], dict[str, int]]:
