@@ -1,0 +1,361 @@
+"""Baseline JPEG (ITU-T T.81, sequential DCT, grayscale) codec in pure
+stdlib + numpy — the round-6 widening of the real-codec seam
+(``operators/multimodal.py``): after BMP (struct) and PNG
+(struct + zlib), JPEG adds the remaining machinery a real image
+pipeline exercises — marker segments, DHT canonical-Huffman table
+construction, a bit-reader with 0xFF00 byte stuffing, DC prediction
+across blocks, run-length/EOB/ZRL AC coding, dequantization, zigzag
+ordering, and the 8×8 inverse DCT.
+
+Scope (honest subset): baseline sequential, 8-bit, single-component
+(grayscale), no restart markers, no progressive — anything else raises
+``ValueError`` at the exact point a PIL/libjpeg call slots in.  The
+encoder exists so the decode queries can synthesize genuine JPEG
+containers deterministically (same license as ``encode_png_gray``);
+files it writes are standard-conformant (canonical Huffman tables with
+no all-ones code, stuffed entropy stream, Annex-B segment layout) and
+readable by any JPEG decoder.
+
+Cross-engine exactness: JPEG's IDCT is floating-point, so per-pixel
+values are NOT reproducible from closed-form SQL the way the BMP/PNG
+payload formula is.  The decode query therefore keys its oracle on the
+fact that payloads depend only on ``event_id % 64``: the 64 distinct
+images' features are computed ONCE by this same codec at registration
+time and embedded in the oracle SQL as a literal lookup table — the
+differential then gates the distributed path (plan-side synthesis
+mapping, Arrow seam, per-row decode, feature math) against the locally
+verified round-trip.  ``tests/test_properties.py`` pins the codec
+itself from first principles (direct-form IDCT loop, DC-only blocks).
+
+Reference: the reference repo has no codecs (its arrays arrive as NPZ,
+``tools.py``); this is part of the engine's multimodal surface (M5).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ----------------------------------------------------------- tables
+
+def _zigzag() -> list[tuple[int, int]]:
+    order: list[tuple[int, int]] = []
+    for s in range(15):
+        diag = [(u, s - u) for u in range(max(0, s - 7), min(s, 7) + 1)]
+        if s % 2 == 0:
+            diag.reverse()
+        order.extend(diag)
+    return order
+
+
+ZIGZAG = _zigzag()
+
+# Canonical Huffman tables. These are NOT the Annex-K defaults (no need
+# to transcribe 162 magic bytes): every symbol sits at one code length,
+# which yields a valid canonical table (162 codes of length 8 → max
+# code 161, so the reserved all-ones code never occurs; 12 DC codes of
+# length 4 → max code 11). The decoder builds its tables from the DHT
+# segment, so it handles standard tables from other encoders too.
+_DC_VALS = list(range(12))
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_VALS = [0x00] + [(r << 4) | s for r in range(16) for s in range(1, 11)] + [0xF0]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) from a DHT (BITS, HUFFVAL) pair."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+# IDCT basis: A[u, x] = C(u)/2 · cos((2x+1)uπ/16), C(0)=1/√2.
+# spatial[y, x] = Σ_u Σ_v A[u, y]·F[u, v]·A[v, x]  =  (Aᵀ F A)[y, x]
+_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0) / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def idct_block(coeffs: np.ndarray) -> np.ndarray:
+    """Dequantized 8×8 DCT coefficients → uint8 pixels (level-shifted
+    +128, floor(·+0.5) rounding, clamped)."""
+    spatial = _A.T @ coeffs @ _A
+    return np.clip(np.floor(spatial + 128.5), 0, 255).astype(np.uint8)
+
+
+# ----------------------------------------------------------- encoder
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self._bits: list[int] = []
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._bits.append((value >> i) & 1)
+
+    def to_bytes_stuffed(self) -> bytes:
+        bits = self._bits + [1] * (-len(self._bits) % 8)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            byte = 0
+            for b in bits[i : i + 8]:
+                byte = (byte << 1) | b
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)  # byte stuffing
+        return bytes(out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value → (size, appended bits)."""
+    size = abs(v).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg_gray(coeffs: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """Quantized coefficient blocks (bh, bw, 8, 8) → baseline JPEG.
+
+    ``quant`` is the 8×8 quantization table (default all-ones: the
+    encoder's coefficients ARE the dequantized values, which is what
+    keeps the fixture images free of quantization surprises)."""
+    coeffs = np.asarray(coeffs, dtype=np.int64)
+    bh, bw, _, _ = coeffs.shape
+    h, w = bh * 8, bw * 8
+    q = np.ones((8, 8), np.int64) if quant is None else np.asarray(quant, np.int64)
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">HB", 2 + 1 + 64, 0x00)  # DQT Pq=0 Tq=0
+    out += bytes(int(q[u, v]) for (u, v) in ZIGZAG)
+    # SOF0: precision 8, 1 component id=1, sampling 1×1, quant table 0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 2 + 6 + 3, 8, h, w, 1) + bytes([1, 0x11, 0])
+    for cls, bits, vals in ((0, _DC_BITS, _DC_VALS), (1, _AC_BITS, _AC_VALS)):
+        out += b"\xff\xc4" + struct.pack(">HB", 2 + 1 + 16 + len(vals), cls << 4)
+        out += bytes(bits) + bytes(vals)
+    # SOS: 1 component, DC table 0 / AC table 0, spectral 0..63
+    out += b"\xff\xda" + struct.pack(">HB", 2 + 1 + 2 + 3, 1) + bytes([1, 0x00, 0, 63, 0])
+    dc_codes, ac_codes = build_codes(_DC_BITS, _DC_VALS), build_codes(_AC_BITS, _AC_VALS)
+    bw_ = _BitWriter()
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw):
+            seq = [int(coeffs[by, bx, u, v]) for (u, v) in ZIGZAG]
+            diff, pred = seq[0] - pred, seq[0]
+            size, extra = _magnitude(diff)
+            bw_.write(*dc_codes[size])
+            if size:
+                bw_.write(extra, size)
+            last_nz = max((i for i in range(1, 64) if seq[i]), default=0)
+            run = 0
+            for i in range(1, last_nz + 1):
+                if seq[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw_.write(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                size, extra = _magnitude(seq[i])
+                bw_.write(*ac_codes[(run << 4) | size])
+                bw_.write(extra, size)
+                run = 0
+            if last_nz < 63:
+                bw_.write(*ac_codes[0x00])  # EOB
+    out += bw_.to_bytes_stuffed()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ----------------------------------------------------------- decoder
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 de-stuffing."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self._d = data
+        self._pos = pos
+        self._cur = 0
+        self._n = 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            byte = self._d[self._pos]
+            self._pos += 1
+            if byte == 0xFF:
+                nxt = self._d[self._pos]
+                if nxt == 0x00:
+                    self._pos += 1  # stuffed
+                else:
+                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in entropy data")
+            self._cur, self._n = byte, 8
+        self._n -= 1
+        return (self._cur >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    """Inverse of magnitude coding (T.81 EXTEND)."""
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg_gray(buf: bytes) -> np.ndarray:
+    """Baseline grayscale JPEG → (H, W) uint8 pixel array."""
+    b = bytes(buf)
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    dims: tuple[int, int] | None = None
+    comp_q = 0
+    scan_dc = scan_ac = 0
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(f"bad marker alignment at {pos}")
+        marker = b[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", b, pos + 2)
+        seg = b[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly multiple tables)
+            off = 0
+            while off < len(seg):
+                pq, tq = seg[off] >> 4, seg[off] & 0x0F
+                if pq != 0:
+                    raise ValueError("unsupported 16-bit quant table")
+                tbl = np.zeros((8, 8), np.int64)
+                for i, (u, v) in enumerate(ZIGZAG):
+                    tbl[u, v] = seg[off + 1 + i]
+                qtables[tq] = tbl
+                off += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            precision, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
+            if precision != 8 or ncomp != 1:
+                raise ValueError(
+                    f"unsupported JPEG: precision={precision} components={ncomp} "
+                    "(stdlib seam decodes 8-bit grayscale baseline)"
+                )
+            _cid, sampling, comp_q = seg[6], seg[7], seg[8]
+            if sampling != 0x11:
+                raise ValueError("unsupported subsampling")
+            dims = (h, w)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("unsupported JPEG coding process (baseline only)")
+        elif marker == 0xC4:  # DHT (possibly multiple tables)
+            off = 0
+            while off < len(seg):
+                cls, tid = seg[off] >> 4, seg[off] & 0x0F
+                bits = list(seg[off + 1 : off + 17])
+                nvals = sum(bits)
+                vals = list(seg[off + 17 : off + 17 + nvals])
+                htables[(cls, tid)] = {
+                    (code, ln): sym for sym, (code, ln) in build_codes(bits, vals).items()
+                }
+                off += 17 + nvals
+        elif marker == 0xDD:
+            raise ValueError("unsupported restart interval")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            if ns != 1:
+                raise ValueError("unsupported multi-component scan")
+            scan_dc, scan_ac = seg[2] >> 4, seg[2] & 0x0F
+            pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    else:
+        raise ValueError("JPEG missing SOS")
+    if dims is None:
+        raise ValueError("JPEG missing SOF0")
+    h, w = dims
+    if h % 8 or w % 8:
+        raise ValueError("unsupported non-multiple-of-8 dimensions")
+    q = qtables[comp_q]
+    dc_tbl, ac_tbl = htables[(0, scan_dc)], htables[(1, scan_ac)]
+    reader = _BitReader(b, pos)
+    img = np.zeros((h, w), np.uint8)
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            seq = np.zeros(64, np.int64)
+            size = _decode_huffman(reader, dc_tbl)
+            diff = _extend(reader.read_bits(size), size) if size else 0
+            pred += diff
+            seq[0] = pred
+            i = 1
+            while i < 64:
+                sym = _decode_huffman(reader, ac_tbl)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    i += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                i += run
+                if i >= 64:
+                    raise ValueError("AC run past end of block")
+                seq[i] = _extend(reader.read_bits(size), size)
+                i += 1
+            coeffs = np.zeros((8, 8), np.int64)
+            for i, (u, v) in enumerate(ZIGZAG):
+                coeffs[u, v] = seq[i]
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct_block(
+                (coeffs * q).astype(np.float64)
+            )
+    return img
+
+
+# ------------------------------------------- deterministic fixture set
+#
+# The decode query's payloads depend only on event_id % 64: per 16×16
+# image, block b (raster 0..3) carries DC = 8·(((kk·3 + 17·b) % 64) − 32)
+# plus a fixed per-block AC pattern chosen to exercise short runs, long
+# runs (ZRL), and a final-coefficient block with no EOB.
+
+_AC_PATTERNS: list[dict[tuple[int, int], int]] = [
+    {(0, 1): 40, (1, 0): -30, (3, 2): 12},
+    {(0, 2): 25, (2, 2): -18, (5, 1): 9},
+    {(1, 1): 33, (0, 3): -21, (4, 4): 7},
+    {(2, 0): 28, (1, 3): -15, (7, 7): 5},  # (7,7): last zigzag, no EOB
+]
+
+
+def fixture_coeffs(kk: int) -> np.ndarray:
+    """Quantized coefficient blocks (2, 2, 8, 8) for variant kk ∈ [0, 64)."""
+    blocks = np.zeros((2, 2, 8, 8), np.int64)
+    for b in range(4):
+        blk = blocks[b // 2, b % 2]
+        blk[0, 0] = 8 * (((kk * 3 + 17 * b) % 64) - 32)
+        for (u, v), val in _AC_PATTERNS[b].items():
+            blk[u, v] = val
+    return blocks
+
+
+def fixture_jpeg(kk: int) -> bytes:
+    """The variant-kk 16×16 grayscale baseline JPEG."""
+    return encode_jpeg_gray(fixture_coeffs(kk))

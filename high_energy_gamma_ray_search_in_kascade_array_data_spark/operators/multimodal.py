@@ -221,14 +221,60 @@ def synth_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synth_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Genuine 16×16 grayscale baseline JPEG files, one per event.
+
+    JPEG payloads cannot be assembled plan-side (Huffman coding is not
+    expressible as column algebra), so synthesis is an Arrow kernel —
+    the ingest seam itself.  The coefficient recipe depends only on
+    ``event_id % 64`` (``operators/jpeg.py::fixture_coeffs``), so the
+    kernel memoizes the 64 encoded variants per worker: synthesis cost
+    is O(64) encodes per executor, payload attach is a dict lookup —
+    the downstream DECODE still parses every row's container for real,
+    which is the operation under test."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.jpeg import fixture_jpeg
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            payloads = []
+            for eid in pdf["event_id"]:
+                kk = int(eid) % 64
+                if kk not in cache:
+                    cache[kk] = fixture_jpeg(kk)
+                payloads.append(cache[kk])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["event_id"].to_numpy(),
+                    "kind": "image/jpeg",
+                    "payload": payloads,
+                    "width": 16,
+                    "height": 16,
+                }
+            )
+
+    return ev.mapInPandas(attach, MEDIA_SCHEMA)
+
+
 def decode_image_bytes(buf) -> "object":
     """Pure-stdlib image decode → (H, W) uint8 grayscale ndarray.
 
     Supports: BMP (8-bit palettized with integer BT.601 palette
-    luminance, and 24-bit BGR; uncompressed, top-down or bottom-up) and
-    PNG (8-bit grayscale, non-interlaced, all five scanline filters).
-    Anything else raises ``ValueError`` at the exact point a PIL/ffmpeg
-    call would slot in, with schema and batching unchanged."""
+    luminance, and 24-bit BGR; uncompressed, top-down or bottom-up),
+    PNG (8-bit grayscale, non-interlaced, all five scanline filters)
+    and baseline JPEG (8-bit grayscale sequential DCT — Huffman,
+    dequant, IDCT; ``operators/jpeg.py``). Anything else raises
+    ``ValueError`` at the exact point a PIL/ffmpeg call would slot in,
+    with schema and batching unchanged."""
     import struct
     import zlib
 
@@ -328,10 +374,16 @@ def decode_image_bytes(buf) -> "object":
                 raise ValueError(f"bad PNG filter {ft}")
             out[y] = cur.astype(np.uint8)
         return out
+    if b[:2] == b"\xff\xd8":
+        from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.jpeg import (
+            decode_jpeg_gray,
+        )
+
+        return decode_jpeg_gray(b)
     raise ValueError(
-        "unsupported image format (stdlib seam decodes BMP and PNG; "
-        "plug PIL/ffmpeg into this kernel for more — schema and "
-        "batching are unchanged)"
+        "unsupported image format (stdlib seam decodes BMP, PNG and "
+        "baseline JPEG; plug PIL/ffmpeg into this kernel for more — "
+        "schema and batching are unchanged)"
     )
 
 

