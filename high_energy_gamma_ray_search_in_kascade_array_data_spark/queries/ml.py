@@ -403,3 +403,125 @@ def q_mlp_iter_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = F.array(*[F.expr(e).cast("double") for e in _MLP_INPUT_EXPRS])
     score = inference.make_mlp_scorer_iter_udf(artifact)
     return df.select("event_id", F.round(score(feats), 6).alias("score"))
+
+
+# ------------------------------------------------- distributed training
+
+_GD_S = 65536       # fixed-point scale 2^16 for weights/residuals
+_GD_SHIFT = 13      # learning rate 2^-13 (< 2/λmax of the feature moments)
+_GD_EPOCHS = 3
+
+
+def _gd_fdiv(a: str, b: str) -> str:
+    """Portable exact floor division for possibly-negative a (b > 0):
+    both engines' % follows the dividend's sign, so the positive-mod
+    subtraction makes a exactly divisible, and integer division of the
+    adjusted numerator is floor division in both."""
+    return f"(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b})"
+
+
+def _gd_oracle_sql() -> str:
+    """Unrolled {epochs}-epoch exact gradient descent in SQL: the same
+    integer fixed-point arithmetic the Spark loop performs, so the
+    final weights hash-match bit for bit."""
+    lines = [
+        "WITH d AS (SELECT CAST(event_id % 97 AS BIGINT) AS x1,",
+        "       CAST(user_id % 89 AS BIGINT) AS x2,",
+        "       CAST(3 * (event_id % 97) - 2 * (user_id % 89) + (event_id % 7) AS BIGINT) AS y",
+        "  FROM events),",
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c),",
+    ]
+    bexpr = f"n.n * {1 << _GD_SHIFT}"
+    for e in range(1, _GD_EPOCHS + 1):
+        lines.append(
+            f"r{e} AS (SELECT ((w.a + w.b * x1 + w.c * x2) - y * {_GD_S}) AS r, x1, x2"
+            f" FROM d, w{e-1} w),"
+        )
+        lines.append(
+            f"g{e} AS (SELECT CAST(SUM(r) AS BIGINT) AS g0, CAST(SUM(r * x1) AS BIGINT) AS g1,"
+            f" CAST(SUM(r * x2) AS BIGINT) AS g2, CAST(SUM(ABS(r)) AS BIGINT) AS sar FROM r{e}),"
+        )
+        lines.append(
+            f"w{e} AS (SELECT CAST(w.a - ({_gd_fdiv('g.g0', bexpr)}) AS BIGINT) AS a,"
+            f" CAST(w.b - ({_gd_fdiv('g.g1', bexpr)}) AS BIGINT) AS b,"
+            f" CAST(w.c - ({_gd_fdiv('g.g2', bexpr)}) AS BIGINT) AS c"
+            f" FROM w{e-1} w, g{e} g, n),"
+        )
+    lines[-1] = lines[-1].rstrip(",")
+    selects = [
+        f"SELECT CAST({e} AS INTEGER) AS epoch, w{e}.a AS w0, w{e}.b AS w1, w{e}.c AS w2,"
+        f" g{e}.sar AS sum_abs_resid FROM w{e}, g{e}"
+        for e in range(1, _GD_EPOCHS + 1)
+    ]
+    return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "distributed_gd_training",
+    survey_ref="M2,§2.6,§2.12",
+    oracle=_gd_oracle_sql(),
+)
+def q_distributed_gd_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed model TRAINING as DataFrame algebra — the engine-
+    native counterpart of the reference's training loop
+    (``train_classification.py:61-160``: epochs × {forward, loss,
+    gradient, step}), in the exact decomposition every data-parallel
+    trainer (TorchDistributor, Horovod, parameter servers) uses:
+    broadcast the current weights, compute per-row gradient
+    contributions IN the cluster, AllReduce them (here: one map-side-
+    combinable aggregate per epoch — the shuffle moves 4 numbers per
+    partition), apply the optimizer step driver-side, repeat.  The
+    per-epoch ``first()`` is a 1-row bounded collect — loop control,
+    same license as the BPE top-1 rule and the k-means seeds.
+
+    Numerics are EXACT fixed-point (weights in units of 2⁻¹⁶, learning
+    rate 2⁻¹³, floor-division step via a portable positive-mod
+    identity), so three epochs of squared-loss gradient descent on
+    integer features hash-match an unrolled-SQL oracle bit for bit —
+    a *training loop* under the same exact-hash gate as every other
+    operator.  The cached feature frame is scanned once per epoch
+    (epochs × one aggregate), never collected; sum_abs_resid is the
+    epoch-start L1 training loss, monotone decreasing here — the
+    convergence signal the reference tracks via its best-epoch
+    bookkeeping (``train_classification.py:138-152``)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        (F.col("event_id") % 97).cast("bigint").alias("x1"),
+        (F.col("user_id") % 89).cast("bigint").alias("x2"),
+        (
+            3 * (F.col("event_id") % 97)
+            - 2 * (F.col("user_id") % 89)
+            + F.col("event_id") % 7
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).cache()
+    try:
+        n = d.count()
+        b = n << _GD_SHIFT
+        w = [0, 0, 0]
+        out = []
+        for epoch in range(1, _GD_EPOCHS + 1):
+            r = (
+                F.lit(w[0])
+                + F.lit(w[1]) * F.col("x1")
+                + F.lit(w[2]) * F.col("x2")
+                - F.col("y") * _GD_S
+            )
+            g0, g1, g2, sar = d.agg(
+                F.sum(r),
+                F.sum(r * F.col("x1")),
+                F.sum(r * F.col("x2")),
+                F.sum(F.abs(r)),
+            ).first()
+            # Python // IS floor division — the same step as the oracle
+            w = [w[0] - g0 // b, w[1] - g1 // b, w[2] - g2 // b]
+            out.append((epoch, w[0], w[1], w[2], int(sar)))
+    finally:
+        d.unpersist()
+    return spark.createDataFrame(
+        out, "epoch int, w0 long, w1 long, w2 long, sum_abs_resid long"
+    )

@@ -79,8 +79,9 @@ LIMIT 10
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3: selective dim filter → join fact → agg → top-k.
-    customer is broadcast (small side); Spark plans
-    TakeOrderedAndProject for the order-by-limit."""
+    customer/orders are unhinted — auto-broadcast while small,
+    shuffle-joined at scale; Spark plans TakeOrderedAndProject for
+    the order-by-limit."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00"))
@@ -89,8 +90,8 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01 00:00:00"))
     )
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("o_orderkey", "revenue", "orderdate")
@@ -118,8 +119,11 @@ GROUP BY n_name
 """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join of the fact against 5 dims; every dim
-    side is broadcast so the fact table never shuffles.
+    """TPC-H Q5 shape: star join of the fact against 5 dims.  Fixed-
+    size nation/region carry broadcast hints; SF-growing
+    orders/supplier/customer are unhinted — auto-broadcast while
+    small, shuffle-joined at scale (the r6 30× probe caught forced
+    broadcasts of multi-million-row build sides going super-linear).
 
     Revenue is EXACT-CENTS: per row one IEEE multiply (deterministic,
     identical in both engines) rounded to integer cents, summed as
@@ -135,11 +139,11 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     c = load_table(spark, sf_dir, "customer")
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("n_name")
         .agg(
             (

@@ -12,11 +12,19 @@ aggregate of ``lineitem``; Q21's commit/receipt lateness becomes
 ship-lag vs ``o_orderdate``; Q12's ship mode becomes ``l_linestatus``.
 With those six the full 22-query suite is represented.
 
-Scale notes (100 TB): every dimension side (region, nation, supplier,
-part, customer at TPC-H ratios) is broadcast; ``lineitem`` and
-``orders`` join on their natural keys so AQE can pick shuffled-hash vs
-sort-merge; per-part / per-customer aggregates are partial-aggregated
-map-side before their single shuffle.
+Scale notes (100 TB): broadcast HINTS go only on fixed-cardinality
+relations (region/nation, 1-row global aggregates).  SF-growing sides
+(supplier, part, customer, orders — and per-part/per-supplier
+aggregates) carry NO hint: the size estimator auto-broadcasts them
+while they are genuinely small and AQE converts shuffle joins to
+broadcast at runtime from EXACT sizes, so the same plan text is
+broadcast-joined at sf0.1 and shuffle-joined at 100 TB.  (The r6 30×
+probe caught the old hint-everything policy force-broadcasting a
+4.5M-row customer build side — a single-threaded hash-relation build
+that made q7/q5 super-linear; hints on growing tables are exactly the
+"works at sf0.1, dies at scale" class.)  Per-part / per-customer
+aggregates are partial-aggregated map-side before their single
+shuffle.
 """
 
 from __future__ import annotations
@@ -54,10 +62,12 @@ GROUP BY supp_nation, cust_nation, l_year
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (widened to every cross-nation pair — a single named
     pair is empty at fixture scale): bilateral trade volume by year.
-    Five-way join where both nation legs broadcast; the cross-nation
-    inequality lands after the two broadcast joins, so the only
-    shuffles are the lineitem⋈orders equi-join and the final
-    aggregate."""
+    Five-way join where both nation legs carry explicit broadcast
+    hints (fixed 25 rows); orders/customer/supplier are UNHINTED so
+    the optimizer broadcasts them only while genuinely small and
+    shuffles them at scale (see module docstring — the r6 30× probe
+    caught the old forced-broadcast form).  The cross-nation
+    inequality lands after the nation joins."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
@@ -71,8 +81,8 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -133,11 +143,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("n_nationkey").alias("c_nk"))
     n2 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
     joined = (
-        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
-        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -184,9 +194,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     nation = load_table(spark, sf_dir, "nation")
     joined = (
-        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     amount = (
@@ -283,7 +293,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.join(broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue"))
-        .join(broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -312,8 +322,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(broadcast(per_part_avg), F.col("l_partkey") == F.col("avg_pk"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("avg_pk"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(
@@ -351,7 +361,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(qlo, qhi)
     )
     return (
-        li.join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(arm("Brand#1", 15, 1, 21) | arm("Brand#2", 25, 10, 30) | arm("Brand#3", 35, 20, 40))
         .agg(
             F.round(
@@ -465,11 +475,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("l_partkey")
-    ps_eligible = ps.join(broadcast(eligible), F.col("l_suppkey") == F.col("s_suppkey"))
+    ps_eligible = ps.join(eligible, F.col("l_suppkey") == F.col("s_suppkey"))
     return (
         ps_eligible.withColumn("min_cost", F.min("supplycost_raw").over(w))
         .filter(F.col("supplycost_raw") == F.col("min_cost"))
-        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal",
             "s_name",
@@ -518,7 +528,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     val = (
-        li.join(broadcast(asia_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
             F.sum(
@@ -609,8 +619,8 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(excluded, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -665,11 +675,11 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying = (
         y95.join(y96, ["l_partkey", "l_suppkey"])
         .filter(F.col("q95") > 0.5 * F.col("q96"))
-        .join(broadcast(widget), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .join(widget, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .select("l_suppkey")
     )
     return supp.join(
-        broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
     ).select("s_name", "s_acctbal")
 
 
@@ -724,7 +734,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     )
     return (
-        blamed.join(broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        blamed.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").alias("numwait"))

@@ -48,7 +48,13 @@ def get_spark(app_name: str = "kascade_spark", shuffle_partitions: int | None = 
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 16 MB: every genuine dim at test scales still auto-broadcasts,
+        # but multi-million-row fact slices no longer do — the r6 30×
+        # probe caught 64 MB letting a 4.5M-row orders build side
+        # broadcast (single-threaded hash-relation build, super-linear
+        # wall). AQE still upgrades shuffle joins to broadcast at
+        # runtime from exact sizes when the small side proves small.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")

@@ -28,11 +28,14 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import co
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-# Parameterized so the same builder serves the 10x tier (default) and
-# the round-5 100x tier (SPARK_GRAFT_SCALE_REPLICAS=100, ~1.6 GB of
-# parquet: lineitem 60M rows, events 10M, documents 500k).
+# Parameterized so the same builder serves the 10x tier (default), the
+# round-5 100x tier (SPARK_GRAFT_SCALE_REPLICAS=100, ~1.6 GB of
+# parquet: lineitem 60M rows, events 10M, documents 500k) and the
+# round-6 30x tail probe. SPARK_GRAFT_SCALE_BASE picks the comparison
+# tier (e.g. the 10x fixture, so a 30x run reports the 3x-data ratio).
 DST = os.environ.get("SPARK_GRAFT_SCALE_DST", "/tmp/scale10x")
 REPLICAS = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICAS", "10"))
+BASE = os.environ.get("SPARK_GRAFT_SCALE_BASE", SRC)
 
 # (table, id columns to offset per replica so cardinality scales)
 TABLES = {
@@ -116,18 +119,20 @@ def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
 
 
 def main() -> int:
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] or PROBE_QUERIES
     spark = get_spark("scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     if "--rebuild" in sys.argv or not os.path.exists(DST):
         build(spark)
     # warm both paths once (codegen/JIT), then measure
-    run(spark, SRC, PROBE_QUERIES[:1])
-    base = run(spark, SRC, PROBE_QUERIES)
-    big = run(spark, DST, PROBE_QUERIES)
-    print(f"{'query':34s} {'sf0.1':>8s} {'10x':>8s} {'ratio':>7s}")
-    for name in PROBE_QUERIES:
+    run(spark, BASE, names[:1])
+    base = run(spark, BASE, names)
+    big = run(spark, DST, names)
+    b_tag, d_tag = os.path.basename(BASE.rstrip("/")), os.path.basename(DST.rstrip("/"))
+    print(f"{'query':34s} {b_tag:>10s} {d_tag:>10s} {'ratio':>7s}")
+    for name in names:
         r = big[name] / base[name] if base[name] else float("nan")
-        print(f"{name:34s} {base[name]:8.2f} {big[name]:8.2f} {r:7.2f}")
+        print(f"{name:34s} {base[name]:10.2f} {big[name]:10.2f} {r:7.2f}")
     return 0
 
 

@@ -290,9 +290,17 @@ def test_stdlib_image_codecs_roundtrip():
     assert (decode_image_bytes(fh + dib + px) == img2).all()
 
     # unsupported format still raises at the PIL/ffmpeg slot
+    # (JPEG is a supported format since r6, so the unsupported probe
+    # uses GIF magic; malformed JPEG raises its own parse error)
     try:
-        decode_image_bytes(b"\xff\xd8\xff\xe0 not a real jpeg")
+        decode_image_bytes(b"GIF87a not a supported container")
     except ValueError as e:
         assert "PIL" in str(e)
     else:
         raise AssertionError("expected ValueError for unsupported format")
+    try:
+        decode_image_bytes(b"\xff\xd8\xff\xe0 not a real jpeg")
+    except ValueError as e:
+        assert "JPEG" in str(e)
+    else:
+        raise AssertionError("expected ValueError for malformed JPEG")
