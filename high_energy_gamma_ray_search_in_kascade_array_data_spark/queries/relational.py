@@ -89,9 +89,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.to_timestamp(F.lit("1998-01-01 00:00:00"))
     )
+    # hand-ordered: customer⋈orders pre-joins at ORDER grain (custkey
+    # shuffles move the 1/4-scale relations), then the fact joins once
+    # on l_orderkey — not li⋈o followed by a second fact re-shuffle
+    bo = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey", "o_orderdate")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        li.join(bo, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("orderdate"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .select("o_orderkey", "revenue", "orderdate")
@@ -138,12 +141,18 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     c = load_table(spark, sf_dir, "customer")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(s, li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+    # hand-ordered joins (no CBO locally): orders⋈customer pre-joins at
+    # ORDER grain so the fact shuffles once on l_orderkey instead of
+    # re-shuffling on o_custkey after the orders join
+    ordc = o.join(c, o.o_custkey == c.c_custkey).select("o_orderkey")
+    sn = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        .select("s_suppkey", "n_name")
+    )
+    return (
+        li.join(ordc, li.l_orderkey == F.col("o_orderkey"))
+        .join(sn, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("n_name")
         .agg(
             (

@@ -75,16 +75,27 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation")
     n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    # Join ORDER is chosen by hand (no CBO stats locally): pre-join
+    # orders⋈customer⋈nation at ORDER grain first — shuffles move the
+    # two 1/4-scale relations — then lineitem joins that once on
+    # l_orderkey. The naive li⋈orders→⋈customer order re-shuffles the
+    # full fact a second time on o_custkey (2× the fact-scale exchange
+    # bytes; measured 30% slower at the 30× probe tier).
+    order_nation = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .select("o_orderkey", "cust_nation")
+    )
+    supp_nation = supp.join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk")).select(
+        "s_suppkey", "supp_nation"
+    )
     joined = (
         li.filter(
             (F.col("l_shipdate") >= F.to_timestamp(F.lit("1996-01-01 00:00:00")))
             & (F.col("l_shipdate") < F.to_timestamp(F.lit("1998-01-01 00:00:00")))
         )
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
-        .join(broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(order_nation, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
     )
     return (
@@ -142,13 +153,21 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
     ).select(F.col("n_nationkey").alias("c_nk"))
     n2 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("nation"))
+    # hand-ordered: the PROMO part join prunes lineitem first; the
+    # ASIA-customer orders pre-join happens at ORDER grain so the
+    # pruned fact shuffles once on l_orderkey (not again on o_custkey)
+    asia_orders = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    supp_n = supp.join(broadcast(n2), F.col("s_nationkey") == F.col("s_nk")).select(
+        "s_suppkey", "nation"
+    )
     joined = (
         li.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .join(asia_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
