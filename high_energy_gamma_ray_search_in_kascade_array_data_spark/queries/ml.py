@@ -525,3 +525,389 @@ def q_distributed_gd_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "epoch int, w0 long, w1 long, w2 long, sum_abs_resid long"
     )
+
+
+# --------------------------------------------- training-loop semantics
+#
+# The reference's training loop (train_classification.py:61-160) is
+# epochs × {forward, loss, gradient, optimizer step} with three pieces
+# of bookkeeping this engine must also express: an lr SCHEDULE
+# (StepLR(step_size, gamma=0.5), train_classification.py:74), an
+# OPTIMIZER with moment state (optim.Adam, train_classification.py:73)
+# and BEST-EPOCH tracking (train_classification.py:138-152).  Each is
+# a distributed query below, in the same decomposition as
+# distributed_gd_training (broadcast weights → per-row gradient
+# contributions → one map-side-combinable aggregate per epoch → driver
+# applies the step), with EXACT fixed-point arithmetic so a *training
+# loop with optimizer state* is gated by exact hash.
+
+_SLR_EPOCHS = 4
+
+
+def _steplr_shift(e: int) -> int:
+    """StepLR(step_size=2, gamma=1/2) as a shift: lr = 2^-(13 + (e-1)//2)."""
+    return _GD_SHIFT + (e - 1) // 2
+
+
+def _steplr_oracle_sql() -> str:
+    """Unrolled GD with the per-epoch lr schedule baked into each
+    step's divisor — bit-exact vs the Spark loop."""
+    lines = [
+        "WITH d AS (SELECT CAST(event_id % 97 AS BIGINT) AS x1,",
+        "       CAST(user_id % 89 AS BIGINT) AS x2,",
+        "       CAST(3 * (event_id % 97) - 2 * (user_id % 89) + (event_id % 7) AS BIGINT) AS y",
+        "  FROM events),",
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c),",
+    ]
+    for e in range(1, _SLR_EPOCHS + 1):
+        bexpr = f"n.n * {1 << _steplr_shift(e)}"
+        lines.append(
+            f"r{e} AS (SELECT ((w.a + w.b * x1 + w.c * x2) - y * {_GD_S}) AS r, x1, x2"
+            f" FROM d, w{e-1} w),"
+        )
+        lines.append(
+            f"g{e} AS (SELECT CAST(SUM(r) AS BIGINT) AS g0, CAST(SUM(r * x1) AS BIGINT) AS g1,"
+            f" CAST(SUM(r * x2) AS BIGINT) AS g2, CAST(SUM(ABS(r)) AS BIGINT) AS sar FROM r{e}),"
+        )
+        lines.append(
+            f"w{e} AS (SELECT CAST(w.a - ({_gd_fdiv('g.g0', bexpr)}) AS BIGINT) AS a,"
+            f" CAST(w.b - ({_gd_fdiv('g.g1', bexpr)}) AS BIGINT) AS b,"
+            f" CAST(w.c - ({_gd_fdiv('g.g2', bexpr)}) AS BIGINT) AS c"
+            f" FROM w{e-1} w, g{e} g, n),"
+        )
+    lines[-1] = lines[-1].rstrip(",")
+    selects = [
+        f"SELECT CAST({e} AS INTEGER) AS epoch, CAST({_steplr_shift(e)} AS INTEGER) AS lr_shift,"
+        f" w{e}.a AS w0, w{e}.b AS w1, w{e}.c AS w2,"
+        f" g{e}.sar AS sum_abs_resid FROM w{e}, g{e}"
+        for e in range(1, _SLR_EPOCHS + 1)
+    ]
+    return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "distributed_steplr_training",
+    survey_ref="M2,§2.6",
+    oracle=_steplr_oracle_sql(),
+)
+def q_distributed_steplr_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient descent under the reference's lr SCHEDULE
+    (``train_classification.py:74``: ``StepLR(step_size, gamma=0.5)``)
+    — the learning rate halves every 2 epochs, expressed exactly as a
+    widening shift in the fixed-point step divisor (gamma=1/2 is a
+    shift, so the schedule costs zero precision).  Same AllReduce
+    decomposition as ``distributed_gd_training``; the schedule is
+    driver-side state, exactly as a torch scheduler is."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        (F.col("event_id") % 97).cast("bigint").alias("x1"),
+        (F.col("user_id") % 89).cast("bigint").alias("x2"),
+        (
+            3 * (F.col("event_id") % 97)
+            - 2 * (F.col("user_id") % 89)
+            + F.col("event_id") % 7
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).cache()
+    try:
+        n = d.count()
+        w = [0, 0, 0]
+        out = []
+        for epoch in range(1, _SLR_EPOCHS + 1):
+            b = n << _steplr_shift(epoch)
+            r = (
+                F.lit(w[0])
+                + F.lit(w[1]) * F.col("x1")
+                + F.lit(w[2]) * F.col("x2")
+                - F.col("y") * _GD_S
+            )
+            g0, g1, g2, sar = d.agg(
+                F.sum(r),
+                F.sum(r * F.col("x1")),
+                F.sum(r * F.col("x2")),
+                F.sum(F.abs(r)),
+            ).first()
+            w = [w[0] - g0 // b, w[1] - g1 // b, w[2] - g2 // b]
+            out.append((epoch, _steplr_shift(epoch), w[0], w[1], w[2], int(sar)))
+    finally:
+        d.unpersist()
+    return spark.createDataFrame(
+        out, "epoch int, lr_shift int, w0 long, w1 long, w2 long, sum_abs_resid long"
+    )
+
+
+_PKT_EPOCHS = 4
+
+
+def _pocket_feats_sql() -> tuple[str, str, str]:
+    return (
+        "CAST(event_id % 97 - 48 AS BIGINT)",
+        "CAST(user_id % 89 - 44 AS BIGINT)",
+        "CAST(CASE WHEN 5 * (event_id % 97 - 48) - 3 * (user_id % 89 - 44)"
+        " + (event_id % 11) - 5 > 0 THEN 1 ELSE -1 END AS BIGINT)",
+    )
+
+
+def _pocket_oracle_sql() -> str:
+    """Unrolled batch perceptron with pocket bookkeeping: per-epoch
+    misclassification count + conditional gradient sums, best-so-far
+    epoch via LEAST/CASE over the scalar epoch CTEs."""
+    fx1, fx2, fy = _pocket_feats_sql()
+    lines = [
+        f"WITH d AS (SELECT {fx1} AS x1, {fx2} AS x2, {fy} AS y FROM events),",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c),",
+    ]
+    for e in range(1, _PKT_EPOCHS + 1):
+        lines.append(
+            f"m{e} AS (SELECT (y * (w.a + w.b * x1 + w.c * x2) <= 0) AS mis, x1, x2, y"
+            f" FROM d, w{e-1} w),"
+        )
+        lines.append(
+            f"g{e} AS (SELECT CAST(SUM(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT) AS errors,"
+            f" CAST(SUM(CASE WHEN mis THEN y ELSE 0 END) AS BIGINT) AS g0,"
+            f" CAST(SUM(CASE WHEN mis THEN y * x1 ELSE 0 END) AS BIGINT) AS g1,"
+            f" CAST(SUM(CASE WHEN mis THEN y * x2 ELSE 0 END) AS BIGINT) AS g2 FROM m{e}),"
+        )
+        lines.append(
+            f"w{e} AS (SELECT CAST(w.a + g.g0 AS BIGINT) AS a, CAST(w.b + g.g1 AS BIGINT) AS b,"
+            f" CAST(w.c + g.g2 AS BIGINT) AS c FROM w{e-1} w, g{e} g),"
+        )
+    lines[-1] = lines[-1].rstrip(",")
+    selects = []
+    for e in range(1, _PKT_EPOCHS + 1):
+        errs = [f"g{k}.errors" for k in range(1, e + 1)]
+        best = f"LEAST({', '.join(errs)})" if len(errs) > 1 else errs[0]
+        argmin = "CASE " + " ".join(
+            f"WHEN g{k}.errors = {best} THEN {k}" for k in range(1, e + 1)
+        ) + " END"
+        froms = ", ".join([f"w{e}"] + [f"g{k}" for k in range(1, e + 1)])
+        selects.append(
+            f"SELECT CAST({e} AS INTEGER) AS epoch, g{e}.errors AS errors,"
+            f" w{e}.a AS w0, w{e}.b AS w1, w{e}.c AS w2,"
+            f" CAST({argmin} AS INTEGER) AS best_epoch,"
+            f" CAST({best} AS BIGINT) AS best_errors FROM {froms}"
+        )
+    return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "distributed_pocket_training",
+    survey_ref="M2,A7,§2.6",
+    oracle=_pocket_oracle_sql(),
+)
+def q_distributed_pocket_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed CLASSIFICATION training with best-epoch tracking —
+    the pocket perceptron: per epoch, the misclassified rows' label-
+    weighted feature sums are the exact (sub)gradient of the
+    perceptron loss, collected in one conditional aggregate; the
+    driver applies the batch update and keeps the best-so-far epoch by
+    validation-style error count, the reference's best-epoch
+    bookkeeping (``train_classification.py:138-152``: track min-loss
+    epoch, keep those weights).  The labels carry a deliberate noise
+    term (``event_id % 11``) so the problem is not separable and the
+    pocket choice is non-trivial.  All-integer arithmetic: a full
+    classification training loop under the exact-hash gate."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    x1 = (F.col("event_id") % 97 - 48).cast("bigint")
+    x2 = (F.col("user_id") % 89 - 44).cast("bigint")
+    y = (
+        F.when(5 * x1 - 3 * x2 + (F.col("event_id") % 11) - 5 > 0, 1)
+        .otherwise(-1)
+        .cast("bigint")
+    )
+    d = ev.select(x1.alias("x1"), x2.alias("x2"), y.alias("y")).cache()
+    try:
+        w = [0, 0, 0]
+        best_epoch, best_errors = 0, None
+        out = []
+        for epoch in range(1, _PKT_EPOCHS + 1):
+            mis = (
+                F.col("y")
+                * (F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2"))
+                <= 0
+            )
+            errors, g0, g1, g2 = d.agg(
+                F.sum(F.when(mis, 1).otherwise(0)),
+                F.sum(F.when(mis, F.col("y")).otherwise(0)),
+                F.sum(F.when(mis, F.col("y") * F.col("x1")).otherwise(0)),
+                F.sum(F.when(mis, F.col("y") * F.col("x2")).otherwise(0)),
+            ).first()
+            if best_errors is None or errors < best_errors:
+                best_epoch, best_errors = epoch, errors
+            w = [w[0] + g0, w[1] + g1, w[2] + g2]
+            out.append((epoch, int(errors), w[0], w[1], w[2], best_epoch, int(best_errors)))
+    finally:
+        d.unpersist()
+    return spark.createDataFrame(
+        out,
+        "epoch int, errors long, w0 long, w1 long, w2 long, best_epoch int, best_errors long",
+    )
+
+
+_ADAM_EPOCHS = 4
+_ADAM_QSHIFT = 13  # second-moment inputs pre-scaled by 2^-13 so q^2 fits int64
+
+
+def _adam_isqrt_sql(fs: str, v: str) -> str:
+    """Exact integer sqrt in SQL: double FLOOR(SQRT(v)) is within ±1
+    of isqrt(v) for v < 2^53 (v here is ≤ ~2^43), so one CASE
+    correction makes it exact — matching Python math.isqrt."""
+    return (
+        f"(CASE WHEN ({fs} + 1) * ({fs} + 1) <= ({v}) THEN {fs} + 1"
+        f" WHEN ({fs}) * ({fs}) > ({v}) THEN {fs} - 1 ELSE {fs} END)"
+    )
+
+
+def _adam_oracle_sql() -> str:
+    """Unrolled exact fixed-point Adam: per epoch, the mean-gradient /
+    first-moment / second-moment updates are scalar CTE arithmetic;
+    bias correction multiplies by 8^t/(8^t-7^t) and 16^t/(16^t-15^t)
+    exactly; the step divides the corrected first moment by
+    isqrt(corrected second moment)+1 with floor semantics."""
+    lines = [
+        "WITH d AS (SELECT CAST(event_id % 97 AS BIGINT) AS x1,",
+        "       CAST(user_id % 89 AS BIGINT) AS x2,",
+        "       CAST(3 * (event_id % 97) - 2 * (user_id % 89) + (event_id % 7) AS BIGINT) AS y",
+        "  FROM events),",
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c),",
+        "a0 AS (SELECT CAST(0 AS BIGINT) AS m0, CAST(0 AS BIGINT) AS m1, CAST(0 AS BIGINT) AS m2,"
+        " CAST(0 AS BIGINT) AS v0, CAST(0 AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2),",
+    ]
+    q = 1 << _ADAM_QSHIFT
+    for e in range(1, _ADAM_EPOCHS + 1):
+        lines.append(
+            f"r{e} AS (SELECT ((w.a + w.b * x1 + w.c * x2) - y * {_GD_S}) AS r, x1, x2"
+            f" FROM d, w{e-1} w),"
+        )
+        lines.append(
+            f"s{e} AS (SELECT CAST(SUM(r) AS BIGINT) AS s0, CAST(SUM(r * x1) AS BIGINT) AS s1,"
+            f" CAST(SUM(r * x2) AS BIGINT) AS s2, CAST(SUM(ABS(r)) AS BIGINT) AS sar FROM r{e}),"
+        )
+        # mean gradient per coordinate, then moment updates
+        gn = {j: _gd_fdiv(f"s.s{j}", "n.n") for j in range(3)}
+        lines.append(
+            f"u{e} AS (SELECT "
+            + ", ".join(
+                f"CAST({gn[j]} AS BIGINT) AS gn{j}" for j in range(3)
+            )
+            + ", s.sar AS sar FROM s{e} s, n),".replace("{e}", str(e))
+        )
+        mdef = ", ".join(
+            f"CAST({_gd_fdiv(f'7 * a.m{j} + u.gn{j}', '8')} AS BIGINT) AS m{j}"
+            for j in range(3)
+        )
+        vparts = []
+        for j in range(3):
+            qj = _gd_fdiv(f"u.gn{j}", str(q))
+            vparts.append(
+                f"CAST({_gd_fdiv(f'15 * a.v{j} + ({qj}) * ({qj})', '16')} AS BIGINT) AS v{j}"
+            )
+        vdef = ", ".join(vparts)
+        lines.append(f"a{e} AS (SELECT {mdef}, {vdef} FROM a{e-1} a, u{e} u),")
+        b1n, b1d = 8**e, 8**e - 7**e
+        b2n, b2d = 16**e, 16**e - 15**e
+        hdef = []
+        for j in range(3):
+            hdef.append(
+                f"CAST({_gd_fdiv(f'a.m{j} * {b1n}', str(b1d))} AS BIGINT) AS mh{j}"
+            )
+            hdef.append(
+                f"CAST({_gd_fdiv(f'a.v{j} * {b2n}', str(b2d))} AS BIGINT) AS vh{j}"
+            )
+        lines.append(f"h{e} AS (SELECT {', '.join(hdef)} FROM a{e} a),")
+        fdef = ", ".join(
+            f"CAST(FLOOR(SQRT(CAST(vh{j} AS DOUBLE))) AS BIGINT) AS fs{j}, mh{j}, vh{j}"
+            for j in range(3)
+        )
+        lines.append(f"f{e} AS (SELECT {fdef} FROM h{e}),")
+        wcols = ["a", "b", "c"]
+        wdef = ", ".join(
+            f"CAST(w.{wcols[j]} - ({_gd_fdiv(f'f.mh{j}', _adam_isqrt_sql(f'f.fs{j}', f'f.vh{j}') + ' + 1')}) AS BIGINT) AS {wcols[j]}"
+            for j in range(3)
+        )
+        lines.append(f"w{e} AS (SELECT {wdef} FROM w{e-1} w, f{e} f),")
+    lines[-1] = lines[-1].rstrip(",")
+    selects = [
+        f"SELECT CAST({e} AS INTEGER) AS epoch, w{e}.a AS w0, w{e}.b AS w1, w{e}.c AS w2,"
+        f" u{e}.sar AS sum_abs_resid FROM w{e}, u{e}"
+        for e in range(1, _ADAM_EPOCHS + 1)
+    ]
+    return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "distributed_adam_training",
+    survey_ref="M2,§2.6",
+    oracle=_adam_oracle_sql(),
+)
+def q_distributed_adam_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OPTIMIZER (``train_classification.py:73``:
+    ``optim.Adam``) as a distributed training loop with exact
+    fixed-point state: per epoch one map-side-combinable aggregate
+    ships 4 numbers per partition (the AllReduce); the driver keeps
+    Adam's per-coordinate first/second moment EMAs (β₁=7/8, β₂=15/16 —
+    dyadic, so the decay is a floor-shift), applies the exact bias
+    correction 8ᵗ/(8ᵗ−7ᵗ), 16ᵗ/(16ᵗ−15ᵗ), and steps by
+    m̂ // (isqrt(v̂)+1) using ``math.isqrt`` — mirrored bit-for-bit in
+    the oracle by a ±1-corrected FLOOR(SQRT(·)).  Adam's
+    per-coordinate normalization is visible in the result: the w₂
+    coordinate moves against a much smaller raw gradient than w₁ yet
+    steps at comparable magnitude."""
+    import math
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        (F.col("event_id") % 97).cast("bigint").alias("x1"),
+        (F.col("user_id") % 89).cast("bigint").alias("x2"),
+        (
+            3 * (F.col("event_id") % 97)
+            - 2 * (F.col("user_id") % 89)
+            + F.col("event_id") % 7
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).cache()
+    try:
+        n = d.count()
+        w = [0, 0, 0]
+        m = [0, 0, 0]
+        v = [0, 0, 0]
+        out = []
+        for epoch in range(1, _ADAM_EPOCHS + 1):
+            r = (
+                F.lit(w[0])
+                + F.lit(w[1]) * F.col("x1")
+                + F.lit(w[2]) * F.col("x2")
+                - F.col("y") * _GD_S
+            )
+            s0, s1, s2, sar = d.agg(
+                F.sum(r),
+                F.sum(r * F.col("x1")),
+                F.sum(r * F.col("x2")),
+                F.sum(F.abs(r)),
+            ).first()
+            gn = [s0 // n, s1 // n, s2 // n]
+            b1n, b1d = 8**epoch, 8**epoch - 7**epoch
+            b2n, b2d = 16**epoch, 16**epoch - 15**epoch
+            for j in range(3):
+                m[j] = (7 * m[j] + gn[j]) // 8
+                qj = gn[j] // (1 << _ADAM_QSHIFT)
+                v[j] = (15 * v[j] + qj * qj) // 16
+                mh = (m[j] * b1n) // b1d
+                vh = (v[j] * b2n) // b2d
+                w[j] = w[j] - mh // (math.isqrt(vh) + 1)
+            out.append((epoch, w[0], w[1], w[2], int(sar)))
+    finally:
+        d.unpersist()
+    return spark.createDataFrame(
+        out, "epoch int, w0 long, w1 long, w2 long, sum_abs_resid long"
+    )
