@@ -690,3 +690,35 @@ def q_npz_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(quantsum).alias("checksum"),
     )
+
+
+@register(
+    "multimodal_decode_wav",
+    survey_ref="M5:multimodal,S2,§2.12",
+    oracle="""
+SELECT event_id AS media_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(64 AS INTEGER) AS n_samples,
+       CAST(list_sum(list_transform(range(0, 64),
+                i -> ABS((event_id * 13 + i * 29) % 2048 - 1024))) AS BIGINT) AS sum_abs,
+       CAST(list_max(list_transform(range(0, 64),
+                i -> ABS((event_id * 13 + i * 29) % 2048 - 1024))) AS INTEGER) AS max_amp,
+       CAST(list_sum(list_transform(range(1, 64),
+                i -> CASE WHEN (((event_id * 13 + i * 29) % 2048 - 1024) < 0)
+                          <> (((event_id * 13 + (i - 1) * 29) % 2048 - 1024) < 0)
+                     THEN 1 ELSE 0 END)) AS INTEGER) AS n_zero_crossings
+FROM events
+""",
+)
+def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container ingest (widens the codec seam beyond
+    images): genuine mono 16-bit PCM RIFF/WAVE files — header, fmt
+    chunk, little-endian two's-complement data chunk — assembled
+    plan-side, then PARSED by the stdlib chunk-walking decoder
+    (``operators/multimodal.py::decode_wav_bytes``) inside the same
+    mapInPandas Arrow seam the image codecs use, before exact-integer
+    triage features (total/peak amplitude, zero crossings).  The
+    oracle is pure event_id arithmetic; Spark ships and decodes real
+    WAV containers — an *audio decode* under the exact-hash gate."""
+    media = multimodal.synth_wav_media(spark, sf_dir)
+    return multimodal.wav_features(media)

@@ -304,3 +304,55 @@ def test_stdlib_image_codecs_roundtrip():
         assert "JPEG" in str(e)
     else:
         raise AssertionError("expected ValueError for malformed JPEG")
+
+
+def test_stdlib_wav_codec_roundtrip():
+    """WAV synth header + stdlib RIFF parser round-trip, including
+    word-aligned odd-length chunk skipping and the unsupported-encoding
+    slot where ffmpeg/soundfile would plug in."""
+    import struct
+
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.multimodal import (
+        decode_wav_bytes,
+        wav_header_hex,
+    )
+
+    v = ((np.arange(64, dtype=np.int64) * 29 + 91) % 2048) - 1024
+    pcm = b"".join(int(x % 65536).to_bytes(2, "little") for x in v)
+    rate, s = decode_wav_bytes(bytes.fromhex(wav_header_hex(64)) + pcm)
+    assert rate == 8000
+    assert np.array_equal(s.astype(np.int64), v)
+
+    # an odd-length LIST chunk before data must be skipped word-aligned
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    hdr = bytes.fromhex(wav_header_hex(64))
+    riff_patched = (
+        hdr[:4]
+        + struct.pack("<I", struct.unpack_from("<I", hdr, 4)[0] + len(extra))
+        + hdr[8:36]
+        + extra
+        + hdr[36:]
+    )
+    rate2, s2 = decode_wav_bytes(riff_patched + pcm)
+    assert rate2 == 8000 and np.array_equal(s2, s)
+
+    # stereo / non-PCM raise at the real-codec slot
+    bad_fmt = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", 0)
+    )
+    try:
+        decode_wav_bytes(bad_fmt)
+    except ValueError as e:
+        assert "unsupported" in str(e)
+    else:
+        raise AssertionError("expected ValueError for stereo WAV")
+    try:
+        decode_wav_bytes(b"OggS not a wav")
+    except ValueError as e:
+        assert "RIFF" in str(e)
+    else:
+        raise AssertionError("expected ValueError for non-RIFF payload")
