@@ -270,9 +270,11 @@ def decode_image_bytes(buf) -> "object":
 
     Supports: BMP (8-bit palettized with integer BT.601 palette
     luminance, and 24-bit BGR; uncompressed, top-down or bottom-up),
-    PNG (8-bit grayscale, non-interlaced, all five scanline filters)
-    and baseline JPEG (8-bit grayscale sequential DCT — Huffman,
-    dequant, IDCT; ``operators/jpeg.py``). Anything else raises
+    PNG (8-bit grayscale, non-interlaced, all five scanline filters),
+    baseline JPEG (8-bit grayscale sequential DCT — Huffman, dequant,
+    IDCT; ``operators/jpeg.py``) and GIF (variable-width LZW with
+    clear/EOI and BT.601 palette luminance; ``operators/gif.py``).
+    Anything else raises
     ``ValueError`` at the exact point a PIL/ffmpeg call would slot in,
     with schema and batching unchanged."""
     import struct
@@ -380,10 +382,14 @@ def decode_image_bytes(buf) -> "object":
         )
 
         return decode_jpeg_gray(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.gif import decode_gif_gray
+
+        return decode_gif_gray(b)
     raise ValueError(
-        "unsupported image format (stdlib seam decodes BMP, PNG and "
-        "baseline JPEG; plug PIL/ffmpeg into this kernel for more — "
-        "schema and batching are unchanged)"
+        "unsupported image format (stdlib seam decodes BMP, PNG, "
+        "baseline JPEG and GIF; plug PIL/ffmpeg into this kernel for "
+        "more — schema and batching are unchanged)"
     )
 
 

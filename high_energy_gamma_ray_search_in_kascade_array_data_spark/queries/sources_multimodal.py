@@ -722,3 +722,71 @@ def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     WAV containers — an *audio decode* under the exact-hash gate."""
     media = multimodal.synth_wav_media(spark, sf_dir)
     return multimodal.wav_features(media)
+
+
+@register(
+    "multimodal_decode_gif",
+    survey_ref="M5:multimodal,S2,§2.12",
+    oracle="""
+SELECT event_id AS media_id,
+       CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       list_avg(list_transform(range(0, 64),
+                i -> CAST((event_id * 11 + i * 17) % 256 AS DOUBLE))) AS mean_intensity,
+       CAST(list_max(list_transform(range(0, 64),
+                i -> (event_id * 11 + i * 17) % 256)) AS INTEGER) AS max_intensity,
+       CAST(list_sum(list_transform(range(0, 64),
+                i -> i * ((event_id * 11 + i * 17) % 256))) AS BIGINT) AS checksum_weighted
+FROM events
+WHERE event_id % 250 = 100
+""",
+)
+def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF ingest end-to-end: real ``.gif`` FILES on disk (written by
+    the stdlib LZW encoder — genuinely compressed streams with
+    variable code widths and dictionary growth, ``operators/gif.py``)
+    → ``binaryFile`` scan → media_id parsed from the path → LZW decode
+    + palette luminance in the Arrow kernel → the same exact-hash
+    feature math as the BMP/PNG/JPEG queries.  Completes the stdlib
+    image-codec family; fixture construction is the same license as
+    the PNG fixture, the query path is fully distributed."""
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.gif import encode_gif_gray
+
+    ev = load_table(spark, sf_dir, "events")
+    ids = [
+        r[0]
+        for r in ev.filter(F.col("event_id") % 250 == 100)
+        .select("event_id")
+        .distinct()
+        .collect()
+    ]
+    tag = os.path.basename(sf_dir.rstrip(chr(47)))
+    fix_dir = os.path.join(SCRATCH, f"gif_real_{tag}")
+    marker = os.path.join(fix_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(fix_dir, exist_ok=True)
+        for e in ids:
+            img = ((e * 11 + np.arange(64, dtype=np.int64) * 17) % 256).astype(
+                np.uint8
+            ).reshape(8, 8)
+            with open(os.path.join(fix_dir, f"{e}.gif"), "wb") as f:
+                f.write(encode_gif_gray(img))
+        with open(marker, "w") as f:
+            f.write(str(len(ids)))
+    media = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gif")
+        .load(fix_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.gif$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image/gif").alias("kind"),
+            F.col("content").alias("payload"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return multimodal.decode_media(media, codec="real")

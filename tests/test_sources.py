@@ -290,10 +290,10 @@ def test_stdlib_image_codecs_roundtrip():
     assert (decode_image_bytes(fh + dib + px) == img2).all()
 
     # unsupported format still raises at the PIL/ffmpeg slot
-    # (JPEG is a supported format since r6, so the unsupported probe
-    # uses GIF magic; malformed JPEG raises its own parse error)
+    # (JPEG and GIF are supported since r6, so the unsupported probe
+    # uses TIFF magic; malformed JPEG raises its own parse error)
     try:
-        decode_image_bytes(b"GIF87a not a supported container")
+        decode_image_bytes(b"II*\x00 not a supported container")
     except ValueError as e:
         assert "PIL" in str(e)
     else:
@@ -356,3 +356,43 @@ def test_stdlib_wav_codec_roundtrip():
         assert "RIFF" in str(e)
     else:
         raise AssertionError("expected ValueError for non-RIFF payload")
+
+
+def test_stdlib_gif_codec_roundtrip():
+    """GIF LZW encoder/decoder round-trip across shapes that exercise
+    dictionary growth, the clear-code reset (dict overflow) and the
+    KwKwK case; interlaced and non-GIF payloads raise at the PIL slot."""
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.gif import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = [
+        rng.randint(0, 256, (8, 8)).astype(np.uint8),
+        np.zeros((5, 3), np.uint8),  # KwKwK-heavy constant run
+        (np.arange(256 * 16) % 256).reshape(64, 64).astype(np.uint8),
+        rng.randint(0, 256, (128, 128)).astype(np.uint8),  # dict overflow + clear
+    ]
+    for img in cases:
+        out = decode_gif_gray(encode_gif_gray(img))
+        assert out.shape == img.shape and (out == img).all()
+
+    # interlace flag raises at the real-codec slot
+    buf = bytearray(encode_gif_gray(cases[0]))
+    desc = buf.index(0x2C, 13 + 768)
+    buf[desc + 9] |= 0x40
+    try:
+        decode_gif_gray(bytes(buf))
+    except ValueError as e:
+        assert "interlaced" in str(e)
+    else:
+        raise AssertionError("expected ValueError for interlaced GIF")
+    try:
+        decode_gif_gray(b"NOTAGIF")
+    except ValueError as e:
+        assert "GIF" in str(e)
+    else:
+        raise AssertionError("expected ValueError for non-GIF payload")
