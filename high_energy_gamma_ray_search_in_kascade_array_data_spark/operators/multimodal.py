@@ -9,10 +9,13 @@ in two:
     partitioning, UDF signatures, Arrow batch shapes, downstream
     feature math) is real and differential-testable;
   * the REAL codec path — ``decode_media(..., codec="real")`` parses
-    genuine BMP and PNG containers with a pure-stdlib decoder
-    (struct + zlib inflate + all five scanline filters); formats
-    beyond those raise ``ValueError`` at the exact point a PIL/ffmpeg
-    call slots in. Same Arrow batching either way; the schemas differ
+    genuine BMP, PNG, baseline JPEG and GIF containers with pure-stdlib
+    decoders (struct + zlib inflate + Huffman/IDCT + variable-width
+    LZW); real WAV audio goes through :func:`wav_features` and real
+    multi-frame video (animated GIF) through
+    :func:`video_frame_features`. Formats beyond those raise
+    ``ValueError`` at the exact point a PIL/ffmpeg call slots in.
+    Same Arrow batching either way; the schemas differ
     by design — the fake path emits ``FEATURES_SCHEMA`` (raw-buffer
     stats incl. ``n_bytes``), the real path ``REAL_FEATURES_SCHEMA``
     (parsed ``width``/``height`` + a pixel checksum, since a real
@@ -105,11 +108,13 @@ def decode_media(media: DataFrame, codec: str = "fake") -> DataFrame:
 
     ``codec="fake"`` (default) treats the payload as the raw pixel
     buffer and returns ``FEATURES_SCHEMA``. ``codec="real"`` routes
-    through :func:`decode_media_real` — a pure stdlib (struct/zlib)
-    BMP + PNG decoder inside the same Arrow seam — and returns the
+    through :func:`decode_media_real` — pure stdlib BMP/PNG/baseline-
+    JPEG/GIF decoders inside the same Arrow seam — and returns the
     richer ``REAL_FEATURES_SCHEMA`` (parsed width/height + pixel
-    checksum); exotic codecs (JPEG, video, audio) still need
-    PIL/ffmpeg plugged into that kernel, batching unchanged.
+    checksum); audio and multi-frame video containers have their own
+    kernels (:func:`wav_features`, :func:`video_frame_features`);
+    formats beyond those need PIL/ffmpeg plugged into the kernel,
+    batching unchanged.
     """
     if codec == "real":
         return decode_media_real(media)
@@ -797,3 +802,56 @@ def wav_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, WAV_FEATURES_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("mean_intensity", DoubleType()),
+        StructField("max_intensity", IntegerType()),
+        StructField("checksum_weighted", LongType()),
+    ]
+)
+
+
+def video_frame_features(media: DataFrame, every: int = 2) -> DataFrame:
+    """REAL video-container frame sampling: each payload is a
+    multi-frame container (animated GIF — ``operators/gif.py``),
+    decoded frame-by-frame in the Arrow kernel; every ``every``-th
+    frame survives (the frame-sample stride a video ingest pipeline
+    applies before any model) and yields the same exact-hash feature
+    row as the image codecs.  One input row fans out to
+    ceil(n_frames/every) output rows — mapInPandas is the natural
+    1→N seam, no explode of pre-decoded arrays needed."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.gif import decode_gif_frames
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mids, fidx, mean_i, max_i, ck = [], [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                for k, frame in enumerate(decode_gif_frames(p)):
+                    if k % every:
+                        continue
+                    flat = frame.reshape(-1).astype(np.int64)
+                    mids.append(int(mid))
+                    fidx.append(k)
+                    mean_i.append(flat.sum() / flat.size)
+                    max_i.append(int(flat.max()))
+                    ck.append(int((flat * np.arange(flat.size, dtype=np.int64)).sum()))
+            yield pd.DataFrame(
+                {
+                    "media_id": np.array(mids, dtype="int64"),
+                    "frame_idx": np.array(fidx, dtype="int32"),
+                    "mean_intensity": np.array(mean_i, dtype="float64"),
+                    "max_intensity": np.array(max_i, dtype="int32"),
+                    "checksum_weighted": np.array(ck, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(kernel, VIDEO_FRAME_SCHEMA)

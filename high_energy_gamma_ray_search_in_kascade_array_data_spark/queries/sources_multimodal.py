@@ -790,3 +790,76 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     return multimodal.decode_media(media, codec="real")
+
+
+@register(
+    "multimodal_video_frame_sample",
+    survey_ref="M5:multimodal,S2,§2.12",
+    oracle="""
+SELECT e.event_id AS media_id,
+       CAST(t.f AS INTEGER) AS frame_idx,
+       list_avg(list_transform(range(0, 64),
+                i -> CAST((e.event_id * 7 + t.f * 31 + i * 13) % 256 AS DOUBLE))) AS mean_intensity,
+       CAST(list_max(list_transform(range(0, 64),
+                i -> (e.event_id * 7 + t.f * 31 + i * 13) % 256)) AS INTEGER) AS max_intensity,
+       CAST(list_sum(list_transform(range(0, 64),
+                i -> i * ((e.event_id * 7 + t.f * 31 + i * 13) % 256))) AS BIGINT) AS checksum_weighted
+FROM events e CROSS JOIN (SELECT UNNEST([0, 2, 4, 6]) AS f) t
+WHERE e.event_id % 500 = 7
+""",
+)
+def q_multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real VIDEO-container ingest: each fixture file is an animated
+    GIF — 8 full frames, NETSCAPE loop block, per-frame graphic
+    control extensions, independently LZW-compressed image descriptors
+    (``operators/gif.py::encode_gif_animation``) — scanned via
+    ``binaryFile``, decoded frame-by-frame in the Arrow kernel, and
+    frame-sampled at stride 2 (``video_frame_features``), the decode →
+    frame-sample → featurize pipeline a multimodal training-data build
+    runs before any model.  Upgrades the video face of the codec seam
+    from fake payload slicing to a genuine multi-frame container
+    parse, still under the exact-hash gate."""
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.gif import encode_gif_animation
+
+    ev = load_table(spark, sf_dir, "events")
+    ids = [
+        r[0]
+        for r in ev.filter(F.col("event_id") % 500 == 7)
+        .select("event_id")
+        .distinct()
+        .collect()
+    ]
+    tag = os.path.basename(sf_dir.rstrip(chr(47)))
+    fix_dir = os.path.join(SCRATCH, f"gifanim_real_{tag}")
+    marker = os.path.join(fix_dir, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(fix_dir, exist_ok=True)
+        for e in ids:
+            frames = [
+                ((e * 7 + f * 31 + np.arange(64, dtype=np.int64) * 13) % 256)
+                .astype(np.uint8)
+                .reshape(8, 8)
+                for f in range(8)
+            ]
+            with open(os.path.join(fix_dir, f"{e}.gif"), "wb") as fh:
+                fh.write(encode_gif_animation(frames))
+        with open(marker, "w") as fh:
+            fh.write(str(len(ids)))
+    media = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gif")
+        .load(fix_dir)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.gif$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("video/gif").alias("kind"),
+            F.col("content").alias("payload"),
+            F.lit(8).alias("width"),
+            F.lit(8).alias("height"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return multimodal.video_frame_features(media, every=2)

@@ -396,3 +396,38 @@ def test_stdlib_gif_codec_roundtrip():
         assert "GIF" in str(e)
     else:
         raise AssertionError("expected ValueError for non-GIF payload")
+
+
+def test_stdlib_gif_animation_roundtrip():
+    """Animated GIF (the video container face): encoder emits NETSCAPE
+    loop + per-frame GCE + independently LZW-coded frames; the frame
+    decoder recovers every frame bit-exact, and partial-frame
+    composition raises at the ffmpeg slot."""
+    import struct
+
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.gif import (
+        decode_gif_frames,
+        decode_gif_gray,
+        encode_gif_animation,
+    )
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (8, 8)).astype(np.uint8) for _ in range(8)]
+    buf = encode_gif_animation(frames)
+    out = decode_gif_frames(buf)
+    assert len(out) == 8 and all((a == b).all() for a, b in zip(frames, out))
+    # the single-frame decoder sees the first frame of an animation
+    assert (decode_gif_gray(buf) == frames[0]).all()
+
+    # a partial-frame image descriptor raises at the ffmpeg slot
+    ba = bytearray(buf)
+    desc = ba.index(0x2C, 13 + 768)
+    struct.pack_into("<HH", ba, desc + 1, 1, 0)  # left=1
+    try:
+        decode_gif_frames(bytes(ba))
+    except ValueError as e:
+        assert "partial-frame" in str(e)
+    else:
+        raise AssertionError("expected ValueError for partial-frame GIF")
