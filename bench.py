@@ -86,6 +86,13 @@ HEADLINE = [
     "stream_stream_left_outer_join",
     "stream_late_data_accounting",
     "stream_survival_curve",
+    # round-6 additions: training loops, real audio/video codecs, z-order
+    "distributed_adam_training",
+    "distributed_pocket_training",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_wav",
+    "multimodal_video_frame_sample",
+    "zorder_clustering_stats",
 ]
 
 

@@ -1617,3 +1617,68 @@ def q_snapshot_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("diff_status")
     )
+
+
+# -------------------------------------------------- z-order clustering
+
+_ZX = "(user_id % 256)"
+_ZY = "(CAST(FLOOR(ABS(value) * 10) AS BIGINT) % 256)"
+
+
+def _morton_sql(x: str, y: str, bits: int = 8) -> str:
+    """Interleave the low ``bits`` of x and y into a Morton (Z-order)
+    code — plain integer shift/mask arithmetic, identical in Spark SQL
+    and DuckDB."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({x}) >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"((({y}) >> {b}) & 1) * {1 << (2 * b + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "zorder_clustering_stats",
+    survey_ref="S4,§2.6",
+    oracle=f"""
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(x) AS BIGINT) AS min_x, CAST(MAX(x) AS BIGINT) AS max_x,
+       CAST(MIN(y) AS BIGINT) AS min_y, CAST(MAX(y) AS BIGINT) AS max_y
+FROM (
+  SELECT {_morton_sql(_ZX, _ZY)} // 256 AS cell, {_ZX} AS x, {_ZY} AS y
+  FROM events
+) GROUP BY cell ORDER BY cell
+""",
+)
+def q_zorder_clustering_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) clustering — the multi-dimensional layout
+    primitive behind Delta/Iceberg ``OPTIMIZE ZORDER BY``: interleave
+    the bit patterns of two quantized columns so that sorting by ONE
+    key co-locates rows that are close in BOTH dimensions, making
+    min/max zone maps selective for either predicate.  The code is
+    pure shift/mask column algebra (whole-stage codegen, no UDF); the
+    per-cell stats prove the locality property the layout buys — every
+    256-code cell spans a ≤16×16 block of the (x, y) domain, the
+    bounded per-file ranges a 100 TB scan planner skips with.  Pair
+    with ``sortWithinPartitions(zcode)`` at write time (the mechanism
+    test_clustered_write_narrows_rowgroup_stats pins for 1-D)."""
+    ev = load_table(spark, sf_dir, "events")
+    x = F.col("user_id") % 256
+    y = F.pmod(F.floor(F.abs(F.col("value")) * 10).cast("long"), F.lit(256))
+    z = None
+    for b in range(8):
+        tx = F.shiftright(x, b).bitwiseAND(F.lit(1)) * (1 << (2 * b))
+        ty = F.shiftright(y, b).bitwiseAND(F.lit(1)) * (1 << (2 * b + 1))
+        z = tx + ty if z is None else z + tx + ty
+    return (
+        ev.select((z / 256).cast("long").alias("cell"), x.alias("x"), y.alias("y"))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+        .orderBy("cell")
+    )
