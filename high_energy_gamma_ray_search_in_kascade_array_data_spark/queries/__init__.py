@@ -9,6 +9,7 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import (  
     kascade,
     linalg,
     ml,
+    ml_data,
     pipelines,
     relational,
     relational_ext,

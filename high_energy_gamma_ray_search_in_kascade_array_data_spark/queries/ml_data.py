@@ -1,0 +1,275 @@
+"""ML data-preparation operators round 6: leakage-aware splits, CV
+fold bookkeeping, the hashing trick, and leave-one-out target encoding
+— the dataset-construction steps between the corpus modules' dedup/
+filter stage and the training loop, each with the leakage discipline a
+production pipeline must enforce (split by GROUP, embargo around the
+temporal boundary, exclude own row from the encode).
+
+Scale shapes: every query is one keyed partial aggregate and/or a
+broadcast of a tiny (splits/folds/categories) relation back onto the
+fact — no global sorts, no per-row Python.  Determinism follows
+``registry.py``: integer draws (Knuth multiplicative hash), exact
+integer cents, dyadic ratios only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+# Deterministic per-USER draw (vs common.RND_SQL's per-event draw):
+# split assignment must be a function of the group key alone so every
+# row of a user lands in one split.
+_USER_DRAW = "((user_id % 2147483648) * 2654435761 % 4294967296)"
+_SPLIT_CASE = (
+    f"CASE WHEN {_USER_DRAW} < 3435973837 THEN 'train' "
+    f"WHEN {_USER_DRAW} < 3865470566 THEN 'valid' ELSE 'test' END"
+)  # 0.8 / 0.1 / 0.1 of 2^32
+
+
+@register(
+    "grouped_leakage_free_split",
+    survey_ref="X1,X3,§2.6",
+    oracle=f"""
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM (SELECT user_id, value, {_SPLIT_CASE} AS split FROM events)
+GROUP BY split ORDER BY split
+""",
+)
+def q_grouped_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware train/valid/test split — the leakage-safe variant
+    of the reference's row-level stratified split (X1,
+    ``create_train_valid_test_datasets.py``): the split is a
+    deterministic function of the GROUP key (user), so all of a user's
+    events land in exactly one split and no user straddles the
+    train/test boundary (the classic leakage bug row-level splitting
+    causes when rows of one entity correlate).  Pure column algebra —
+    the Knuth multiplicative draw on user_id — then one partial
+    aggregate; seeded determinism (X3) for free."""
+    ev = load_table(spark, sf_dir, "events")
+    draw = (F.col("user_id") % 2147483648) * 2654435761 % 4294967296
+    split = (
+        F.when(draw < 3435973837, "train")
+        .when(draw < 3865470566, "valid")
+        .otherwise("test")
+    )
+    return (
+        ev.select("user_id", "value", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("sum_cents"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "temporal_embargo_split",
+    survey_ref="X1,§2.6",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+), cutoff AS (
+  SELECT lo + CAST(FLOOR(0.8 * (hi - lo)) AS BIGINT) AS cut,
+         lo + CAST(FLOOR(0.8 * (hi - lo)) AS BIGINT) + 86400000000 AS emb
+  FROM bounds
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM (
+  SELECT value,
+         CASE WHEN epoch_us(e.ts) < c.cut THEN 'train'
+              WHEN epoch_us(e.ts) < c.emb THEN 'embargo'
+              ELSE 'test' END AS split
+  FROM events e, cutoff c
+)
+GROUP BY split ORDER BY split
+""",
+)
+def q_temporal_embargo_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL split with an embargo gap — the time-series analogue
+    of the grouped split: train strictly before the 80%-of-range
+    cutoff, test strictly after cutoff + 1 day, and the day in between
+    EMBARGOED (dropped from both sides) so look-ahead leakage through
+    boundary-straddling effects is structurally impossible.  The
+    cutoff is a 1-row global aggregate broadcast back as a literal-
+    free cross join (Catalyst plans a BroadcastNestedLoopJoin of one
+    row — the scale-safe way to parameterize a scan by a computed
+    scalar); all timestamp math is exact integer microseconds."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi")
+    ).select(
+        (F.col("lo") + F.floor(0.8 * (F.col("hi") - F.col("lo"))).cast("long")).alias("cut")
+    ).select("cut", (F.col("cut") + F.lit(86400000000)).alias("emb"))
+    us = F.unix_micros("ts")
+    split = (
+        F.when(us < F.col("cut"), "train")
+        .when(us < F.col("emb"), "embargo")
+        .otherwise("test")
+    )
+    return (
+        ev.crossJoin(F.broadcast(b))
+        .select("value", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("sum_cents"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
+    "kfold_assignment",
+    survey_ref="X1,X3,§2.6",
+    oracle=f"""
+SELECT fold,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       CAST(SUM(COUNT(*)) OVER () - COUNT(*) AS BIGINT) AS n_train,
+       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM (SELECT value, CAST({_USER_DRAW} % 5 AS INTEGER) AS fold FROM events)
+GROUP BY fold ORDER BY fold
+""",
+)
+def q_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-fold cross-validation bookkeeping: deterministic group-keyed
+    fold assignment (the same leakage discipline as the grouped split
+    — a user's rows share a fold), plus each fold's test/train sizes
+    in one pass: the train size is total − fold via a window over the
+    5-row aggregate (not a second scan of the fact)."""
+    ev = load_table(spark, sf_dir, "events")
+    draw = (F.col("user_id") % 2147483648) * 2654435761 % 4294967296
+    agg = (
+        ev.select("value", (draw % 5).cast("int").alias("fold"))
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("sum_cents"),
+        )
+    )
+    from pyspark.sql import Window
+
+    total = F.sum("n_test").over(Window.partitionBy())
+    return agg.select(
+        "fold",
+        "n_test",
+        (total - F.col("n_test")).alias("n_train"),
+        "sum_cents",
+    ).orderBy("fold")
+
+
+# Polynomial character hash over the first 8 code points: identical
+# integer arithmetic in Spark (aggregate over sequence) and DuckDB
+# (list_sum over range); 31^7·1114111 < 2^63 so no overflow.
+_FH_BUCKETS = 64
+
+
+@register(
+    "feature_hashing_counts",
+    survey_ref="T7,§2.12",
+    oracle=f"""
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS total_count,
+       CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+FROM (
+  SELECT tok,
+         CAST(list_sum(list_transform(range(0, LEAST(LENGTH(tok), 8)),
+              k -> ascii(tok[k+1]) * (31 ** k))) % {_FH_BUCKETS} AS INTEGER) AS bucket
+  FROM (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents)
+  WHERE LENGTH(tok) > 0
+)
+GROUP BY bucket ORDER BY bucket
+""",
+)
+def q_feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HASHING TRICK (feature hashing): tokens map to a fixed
+    64-dim index space via a deterministic polynomial character hash —
+    the fixed-width featurization that needs NO vocabulary build,
+    broadcast, or dictionary shuffle, which is exactly why it is the
+    100 TB default (vs ``token_vocab``'s dictionary path in
+    ``operators/dedup.py``).  The hash is plain integer column algebra
+    over the first 8 code points (no JVM-hash dependence, so Spark and
+    DuckDB agree bit-for-bit), one explode + one partial aggregate."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    toks = toks.withColumn("bucket", (_fh_hash() % _FH_BUCKETS).cast("int"))
+    return (
+        toks.groupBy("bucket")
+        .agg(
+            F.count("*").alias("total_count"),
+            F.countDistinct("tok").alias("n_distinct_tokens"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _fh_hash() -> F.Column:
+    """Σ ascii(tok[k]) · 31^k over k < min(len, 8) as EXACT integer
+    column algebra (31^k is a Python-int literal per term, the per-term
+    guard keeps out-of-range substrings contributing 0)."""
+    h = F.lit(0).cast("long")
+    for k in range(8):
+        code = F.when(
+            F.length("tok") > k, F.ascii(F.substring("tok", k + 1, 1)).cast("long")
+        ).otherwise(F.lit(0))
+        h = h + code * F.lit(31**k)
+    return h
+
+
+@register(
+    "target_encoding_loo",
+    survey_ref="F7,A4,§2.7",
+    oracle="""
+WITH cat AS (
+  SELECT o_orderpriority AS category,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cat_sum,
+         CAST(COUNT(*) AS BIGINT) AS cat_n
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, c.category,
+       CAST(c.cat_sum - CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS BIGINT) AS loo_sum_cents,
+       CAST(c.cat_n - 1 AS BIGINT) AS loo_n
+FROM orders o JOIN cat c ON o.o_orderpriority = c.category
+WHERE o.o_orderkey % 1000 = 0
+ORDER BY o.o_orderkey
+""",
+)
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding — the leakage-safe categorical
+    encoder: each row's category statistic excludes its OWN target
+    (sum − own, n − 1), so the encode never memorizes the row it will
+    be used to predict.  One partial aggregate over the categories (a
+    handful of rows) broadcast back onto the fact; the numerator/
+    denominator ship as exact integers instead of a pre-divided double
+    so the oracle gate is bit-exact and the consumer chooses its own
+    smoothing."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    cat = o.groupBy(F.col("o_orderpriority").alias("category")).agg(
+        F.sum(cents).alias("cat_sum"), F.count("*").alias("cat_n")
+    )
+    return (
+        o.filter(F.col("o_orderkey") % 1000 == 0)
+        .join(F.broadcast(cat), o.o_orderpriority == F.col("category"))
+        .select(
+            "o_orderkey",
+            "category",
+            (F.col("cat_sum") - cents).alias("loo_sum_cents"),
+            (F.col("cat_n") - 1).alias("loo_n"),
+        )
+        .orderBy("o_orderkey")
+    )
