@@ -1923,3 +1923,192 @@ def q_seasonal_trend_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum("cents_day").over(wd).alias("dow_sum_cents"),
         F.count(F.lit(1)).over(wd).alias("dow_n_days"),
     )
+
+
+# ------------------------------------------ round-6: sketch/funnel/cohort
+
+_HLL_HASH = "((user_id % 2147483648) * 2654435761 + 999331) % 4294967296"
+
+
+@register(
+    "hll_distinct_estimate",
+    survey_ref="A3,§2.6",
+    oracle=f"""
+WITH h AS (
+  SELECT CASE WHEN {_HLL_HASH} = 0 THEN 1 ELSE {_HLL_HASH} END AS h FROM events
+), reg AS (
+  SELECT h % 64 AS bucket,
+         MAX(CASE WHEN h // 64 = 0 THEN 27
+                  ELSE 27 - LENGTH(bin(CAST(h // 64 AS INTEGER))) END) AS reg
+  FROM h GROUP BY h % 64
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(1 AS BIGINT) << (40 - reg)) AS BIGINT) AS present_sum
+  FROM reg
+), t AS (
+  SELECT CAST(64 AS INTEGER) AS m,
+         CAST(64 - k AS BIGINT) AS v_zero_registers,
+         present_sum + (64 - k) * (CAST(1 AS BIGINT) << 40) AS harmonic_sum_scaled
+  FROM s
+)
+SELECT t.m, t.v_zero_registers, t.harmonic_sum_scaled,
+       ROUND(CAST(0.709364 AS DOUBLE) * 4096.0 * 1099511627776.0
+             / CAST(t.harmonic_sum_scaled AS DOUBLE), 4) AS hll_estimate,
+       (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) AS n_true_distinct
+FROM t
+""",
+)
+def q_hll_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built FROM SCRATCH as DataFrame algebra — the
+    mergeable distinct-count sketch every 100 TB engine keeps instead
+    of COUNT(DISTINCT): a deterministic 32-bit multiplicative hash,
+    64 buckets, per-bucket max leading-zero rank via ``bin()`` string
+    length (exact integer, no log), and the harmonic-mean estimate
+    with the 2⁻ʳᵉᵍ terms scaled to EXACT integers (1 << (40−reg)), so
+    the only float op is one literal-α multiply/divide — bit-identical
+    across engines, hence hash-gated.  The register table is the
+    mergeable state: max() over buckets is associative, so shards
+    union + re-max — the sketch survives any partitioning.  True
+    distinct shipped alongside to expose the estimator's bias."""
+    ev = load_table(spark, sf_dir, "events")
+    hraw = ((F.col("user_id") % 2147483648) * 2654435761 + 999331) % 4294967296
+    h = F.when(hraw == 0, 1).otherwise(hraw)
+    w = (h / 64).cast("long")
+    rho = F.when(w == 0, 27).otherwise(27 - F.length(F.bin(w)))
+    reg = (
+        ev.select((h % 64).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    s = reg.agg(
+        F.count("*").alias("k"),
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 40 - reg)")).alias("present_sum"),
+    )
+    nd = ev.agg(F.countDistinct("user_id").alias("n_true_distinct"))
+    return (
+        s.crossJoin(F.broadcast(nd))
+        .select(
+            F.lit(64).alias("m"),
+            (64 - F.col("k")).cast("long").alias("v_zero_registers"),
+            (
+                F.col("present_sum")
+                + (64 - F.col("k")) * F.expr("shiftleft(CAST(1 AS BIGINT), 40)")
+            ).alias("harmonic_sum_scaled"),
+            F.round(
+                0.709364 * 4096 * 1099511627776.0 / (
+                    F.col("present_sum")
+                    + (64 - F.col("k")) * F.expr("shiftleft(CAST(1 AS BIGINT), 40)")
+                ),
+                4,
+            ).alias("hll_estimate"),
+            "n_true_distinct",
+        )
+    )
+
+
+@register(
+    "funnel_conversion_3step",
+    survey_ref="A3,A4,§2.7,§2.8",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id
+)
+SELECT step, n_users FROM (
+  SELECT 1 AS step, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+  UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT) FROM c
+  UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT) FROM p
+) ORDER BY step
+""",
+)
+def q_funnel_conversion_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDERED-SEQUENCE funnel (view → click → purchase): step N
+    counts users whose first step-N event strictly FOLLOWS their first
+    step-(N−1) event — the temporal ordering is the whole point of a
+    funnel (a plain per-type distinct count would credit out-of-order
+    journeys).  Shape: three user-keyed partial aggregates chained by
+    user-keyed joins — every exchange is on user_id, so at 100 TB the
+    three stages co-partition and AQE coalesces; nothing global, no
+    window over the full fact."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        v.agg(F.count("*").alias("n_users")).select(F.lit(1).alias("step"), "n_users"),
+        c.agg(F.count("*").alias("n_users")).select(F.lit(2).alias("step"), "n_users"),
+        p.agg(F.count("*").alias("n_users")).select(F.lit(3).alias("step"), "n_users"),
+    ]
+    out = counts[0].unionAll(counts[1]).unionAll(counts[2])
+    return out.orderBy("step")
+
+
+@register(
+    "retention_cohort_matrix",
+    survey_ref="A3,A4,§2.7",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_date FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_date,
+         datediff('day', f.cohort_date, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN first_day f ON e.user_id = f.user_id
+)
+SELECT cohort_date, CAST(day_offset AS INTEGER) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity
+WHERE day_offset IN (0, 1, 7)
+GROUP BY cohort_date, day_offset
+ORDER BY cohort_date, day_offset
+""",
+)
+def q_retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETENTION COHORTS (D0/D1/D7): users grouped by their first
+    active date; each later active day contributes at most once per
+    (user, offset) — the product-analytics matrix behind every
+    retention dashboard.  Shape: one user-keyed aggregate for cohort
+    assignment, one user-keyed join back, a distinct at (user, offset)
+    grain, then a small-key aggregate — all exchanges keyed, the
+    result is cohorts × 3 rows regardless of fact size."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_date")
+    )
+    activity = (
+        ev.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_date",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_date")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset").isin(0, 1, 7))
+        .groupBy("cohort_date", F.col("day_offset").cast("int").alias("day_offset"))
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("cohort_date", "day_offset")
+    )
