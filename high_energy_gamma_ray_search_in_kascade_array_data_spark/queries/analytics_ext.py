@@ -2112,3 +2112,106 @@ def q_retention_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_users"))
         .orderBy("cohort_date", "day_offset")
     )
+
+
+@register(
+    "scd2_dimension_build",
+    survey_ref="T4,§2.8,§2.9",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CAST(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+            AS BOOLEAN) AS is_current
+FROM events
+WHERE user_id % 50 = 3
+ORDER BY user_id, valid_from, event_id
+""",
+)
+def q_scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLOWLY-CHANGING-DIMENSION type 2 build: a change log becomes
+    validity intervals — each record's ``valid_to`` is the next change
+    for the same key (LEAD over a key-partitioned window, deterministic
+    (ts, event_id) tie-break), open interval = current row.  The
+    standard dimension-table build every warehouse runs on CDC input;
+    the window is keyed by user so partitions stay bounded at any
+    fact size (contrast the banned unpartitioned-window shape)."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 50 == 3)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
+@register(
+    "ab_test_welch",
+    survey_ref="A4,§2.6",
+    oracle="""
+WITH g AS (
+  SELECT user_id % 2 AS variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  * CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS ssq
+  FROM events GROUP BY user_id % 2
+), a AS (SELECT * FROM g WHERE variant = 0), b AS (SELECT * FROM g WHERE variant = 1)
+SELECT a.n AS n_a, b.n AS n_b,
+       ROUND(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n, 6) AS mean_diff_cents,
+       ROUND((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+             / SQRT(((CAST(a.ssq AS DOUBLE) - CAST(a.s AS DOUBLE) * a.s / a.n) / (a.n - 1)) / a.n
+                  + ((CAST(b.ssq AS DOUBLE) - CAST(b.s AS DOUBLE) * b.s / b.n) / (b.n - 1)) / b.n),
+             6) AS t_stat
+FROM a, b
+""",
+)
+def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test readout via Welch's t statistic from SUFFICIENT
+    STATISTICS: one partial-aggregated pass collects per-variant
+    (n, Σx, Σx²) as exact integers (cents), the statistic is pure
+    IEEE-correctly-rounded arithmetic (±, ×, ÷, √) on those exact
+    sums — so even a significance test is exact-hash gated.  This is
+    the map-side-combinable decomposition that analyzes an experiment
+    over 100 TB of events in one shuffle of 2×3 numbers."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    g = (
+        ev.select((F.col("user_id") % 2).alias("variant"), cents.alias("c"))
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("ssq"),
+        )
+    )
+    a = g.filter(F.col("variant") == 0).select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("ssq").alias("ssq_a")
+    )
+    b = g.filter(F.col("variant") == 1).select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("ssq").alias("ssq_b")
+    )
+    j = a.crossJoin(b)
+    mean_diff = F.col("s_a").cast("double") / F.col("n_a") - F.col("s_b").cast(
+        "double"
+    ) / F.col("n_b")
+    var_a = (
+        F.col("ssq_a").cast("double")
+        - F.col("s_a").cast("double") * F.col("s_a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    var_b = (
+        F.col("ssq_b").cast("double")
+        - F.col("s_b").cast("double") * F.col("s_b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    t = mean_diff / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(mean_diff, 6).alias("mean_diff_cents"),
+        F.round(t, 6).alias("t_stat"),
+    )
