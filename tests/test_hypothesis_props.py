@@ -73,3 +73,57 @@ def test_star_contraction_equals_propagation_random_graphs(spark, edges):
     prop = sorted(tuple(r) for r in dd.connected_components(pairs, max_iter=40).collect())
     star = sorted(tuple(r) for r in dd.connected_components_star(pairs, max_iter=40).collect())
     assert prop == star
+
+
+# --------------------------- round-6 codec invariants (pure Python,
+# no Spark plan needed: the kernels call these exact functions)
+
+_bytes_payload = st.binary(min_size=0, max_size=2048)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_bytes_payload)
+def test_gif_lzw_roundtrip_on_generated_bytes(data):
+    """decode∘encode == id for the GIF LZW coder on ANY byte string —
+    covers dictionary growth, width bumps, clear-code resets and the
+    KwKwK path without hand-picking cases."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(data, 8), 8, len(data)) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=512))
+def test_wav_roundtrip_on_generated_samples(samples):
+    """decode∘encode == id for the WAV container on any int16 sample
+    vector (two's-complement edge values included)."""
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.multimodal import (
+        decode_wav_bytes,
+        wav_header_hex,
+    )
+
+    pcm = b"".join(int(s % 65536).to_bytes(2, "little") for s in samples)
+    rate, out = decode_wav_bytes(bytes.fromhex(wav_header_hex(len(samples))) + pcm)
+    assert rate == 8000
+    assert np.array_equal(out.astype(np.int64), np.array(samples, dtype=np.int64))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_gif_image_roundtrip_on_generated_shapes(h, w, seed):
+    """Full-container GIF round-trip across arbitrary (H, W) shapes."""
+    import numpy as np
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.gif import (
+        decode_gif_gray,
+        encode_gif_gray,
+    )
+
+    img = np.random.RandomState(seed % 2**31).randint(0, 256, (h, w)).astype(np.uint8)
+    assert (decode_gif_gray(encode_gif_gray(img)) == img).all()
