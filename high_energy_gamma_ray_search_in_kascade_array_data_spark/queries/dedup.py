@@ -317,3 +317,74 @@ def q_neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
     )
+
+
+@register(
+    "neardup_keep_best",
+    survey_ref="M5:dedup,A8,§2.7",
+    oracle=f"""
+WITH {TID_CTE},
+{SIG_CTE},
+bands AS (
+  {_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM tid GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN tid ta ON ta.doc_id = c.doc_a
+  JOIN tid tb ON tb.doc_id = c.doc_b AND tb.tok_id = ta.tok_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.doc_a
+  JOIN counts cb ON cb.doc_id = i.doc_b
+  WHERE ROUND(i.n_inter * 1.0 / (ca.n + cb.n - i.n_inter), 6) >= 0.5
+),
+lens AS (SELECT doc_id, LENGTH(text) AS len FROM documents),
+losers AS (
+  SELECT CASE WHEN la.len > lb.len THEN p.doc_b
+              WHEN lb.len > la.len THEN p.doc_a
+              ELSE p.doc_b END AS doc_id
+  FROM pairs p
+  JOIN lens la ON la.doc_id = p.doc_a
+  JOIN lens lb ON lb.doc_id = p.doc_b
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lost_pairs
+FROM losers GROUP BY doc_id ORDER BY doc_id
+""",
+)
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVIVOR SELECTION on top of the near-dup pipeline — the step a
+    dedup actually ships: for every verified duplicate pair, keep the
+    BETTER document (longer text; ties break to the smaller doc_id so
+    re-runs keep the same survivor) and mark the other for removal.
+    The output is the drop list with per-doc pair counts; the keyed
+    joins move the bounded pair set and one (doc_id, len) relation —
+    the fact-scale shuffles remain the signature aggregate and band
+    exchange already audited in operators/dedup.py."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(d, threshold=0.5).select("doc_a", "doc_b")
+    lens = d.select("doc_id", F.length("text").alias("len"))
+    la = lens.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("len_a"))
+    lb = lens.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("len_b"))
+    loser = (
+        F.when(F.col("len_a") > F.col("len_b"), F.col("doc_b"))
+        .when(F.col("len_b") > F.col("len_a"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+    )
+    return (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .select(loser.alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_lost_pairs"))
+        .orderBy("doc_id")
+    )

@@ -1036,3 +1036,131 @@ def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rules, "round int, sym_a string, sym_b string, merged string, freq bigint"
     )
+
+
+# ------------------------------------------ round-6: pipeline observability
+
+@register(
+    "filter_funnel_report",
+    survey_ref="P5,A3,§2.6",
+    oracle="""
+WITH d AS (
+  SELECT LEN(string_split(text, ' ')) AS ntok,
+         LENGTH(REPLACE(text, ' ', '')) AS nchr,
+         LEN(list_distinct(string_split(text, ' '))) AS ndis
+  FROM documents
+), flags AS (
+  SELECT CASE WHEN ntok >= 5 THEN 1 ELSE 0 END AS f1,
+         CASE WHEN ntok >= 5 AND nchr <= 12 * ntok THEN 1 ELSE 0 END AS f2,
+         CASE WHEN ntok >= 5 AND nchr <= 12 * ntok AND 10 * ndis >= 3 * ntok
+              THEN 1 ELSE 0 END AS f3
+  FROM d
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s0, CAST(SUM(f1) AS BIGINT) AS s1,
+         CAST(SUM(f2) AS BIGINT) AS s2, CAST(SUM(f3) AS BIGINT) AS s3
+  FROM flags
+)
+SELECT stage, n_surviving, n_removed_this_stage FROM (
+  SELECT 0 AS stage, s0 AS n_surviving, CAST(0 AS BIGINT) AS n_removed_this_stage FROM agg
+  UNION ALL SELECT 1, s1, s0 - s1 FROM agg
+  UNION ALL SELECT 2, s2, s1 - s2 FROM agg
+  UNION ALL SELECT 3, s3, s2 - s3 FROM agg
+) ORDER BY stage
+""",
+)
+def q_filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-FILTER FUNNEL — the observability report every corpus
+    build publishes: how many documents each filter removes, applied
+    in pipeline order (min length → mean-token-length gibberish gate →
+    repetition/diversity gate).  All three predicates are exact
+    integer cross-multiplications (no float ratios), and the whole
+    funnel is ONE pass: per-doc flags then a single aggregate — at
+    100 TB you never re-scan the corpus once per filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ntok = F.size(toks)
+    nchr = F.length(F.regexp_replace("text", " ", ""))
+    ndis = F.size(F.array_distinct(toks))
+    f1 = (ntok >= 5).cast("long")
+    f2 = ((ntok >= 5) & (nchr <= 12 * ntok)).cast("long")
+    f3 = ((ntok >= 5) & (nchr <= 12 * ntok) & (10 * ndis >= 3 * ntok)).cast("long")
+    agg = docs.select(f1.alias("f1"), f2.alias("f2"), f3.alias("f3")).agg(
+        F.count("*").alias("s0"),
+        F.sum("f1").alias("s1"),
+        F.sum("f2").alias("s2"),
+        F.sum("f3").alias("s3"),
+    )
+    rows = []
+    for stage, cur, prev in ((0, "s0", None), (1, "s1", "s0"), (2, "s2", "s1"), (3, "s3", "s2")):
+        rows.append(
+            agg.select(
+                F.lit(stage).alias("stage"),
+                F.col(cur).alias("n_surviving"),
+                (F.col(prev) - F.col(cur) if prev else F.lit(0).cast("long")).alias(
+                    "n_removed_this_stage"
+                ),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("stage")
+
+
+_MIX_BUDGET = 10000
+
+
+@register(
+    "mixture_temperature_allocation",
+    survey_ref="A9,§2.6",
+    oracle=f"""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+), w AS (
+  SELECT source, n,
+         CAST(CASE WHEN (CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) + 1)
+                        * (CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) + 1) <= n
+                   THEN CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) + 1
+                   WHEN CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT)
+                        * CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) > n
+                   THEN CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) - 1
+                   ELSE CAST(FLOOR(SQRT(CAST(n AS DOUBLE))) AS BIGINT) END AS BIGINT) AS wgt
+  FROM c
+), t AS (SELECT CAST(SUM(wgt) AS BIGINT) AS total FROM w)
+SELECT w.source, w.n, w.wgt,
+       CAST({_MIX_BUDGET} * w.wgt // t.total AS BIGINT) AS allocation
+FROM w, t ORDER BY w.source
+""",
+)
+def q_mixture_temperature_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-WEIGHTED mixture allocation (α = 1/2): per-source
+    sampling budgets ∝ √count — the standard up-weighting of small
+    sources when mixing corpora for training (α=1 is proportional,
+    α=0 uniform; √ is the common middle).  √count is the EXACT integer
+    square root (±1-corrected FLOOR(SQRT), same device as the Adam
+    optimizer's oracle), so the allocation is integer floor arithmetic
+    end to end — deterministic across engines and re-runs.  One
+    partial aggregate over sources; the tiny weight relation never
+    re-touches the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").alias("n"))
+    fs = F.floor(F.sqrt(F.col("n").cast("double"))).cast("long")
+    wgt = (
+        F.when((fs + 1) * (fs + 1) <= F.col("n"), fs + 1)
+        .when(fs * fs > F.col("n"), fs - 1)
+        .otherwise(fs)
+    )
+    w = c.select("source", "n", wgt.alias("wgt"))
+    t = w.agg(F.sum("wgt").alias("total"))
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n",
+            "wgt",
+            F.floor(F.lit(_MIX_BUDGET) * F.col("wgt") / F.col("total"))
+            .cast("long")
+            .alias("allocation"),
+        )
+        .orderBy("source")
+    )
