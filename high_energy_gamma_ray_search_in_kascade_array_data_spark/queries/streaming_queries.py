@@ -796,3 +796,43 @@ def q_stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.read.parquet(cur).select(
         "user_id", "last_event_id", "last_cents", "n_events"
     )
+
+
+@register(
+    "stream_hll_registers",
+    survey_ref="§2.11,A3",
+    oracle="""
+WITH h AS (
+  SELECT CASE WHEN ((user_id % 2147483648) * 2654435761 + 999331) % 4294967296 = 0
+              THEN 1
+              ELSE ((user_id % 2147483648) * 2654435761 + 999331) % 4294967296 END AS h
+  FROM events
+)
+SELECT h % 64 AS bucket,
+       CAST(MAX(CASE WHEN h // 64 = 0 THEN 27
+                     ELSE 27 - LENGTH(bin(CAST(h // 64 AS INTEGER))) END) AS INTEGER) AS reg
+FROM h GROUP BY h % 64 ORDER BY bucket
+""",
+)
+def q_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch maintained INCREMENTALLY: the same 64-register
+    distinct-count state as ``hll_distinct_estimate``, built by a
+    streaming ``groupBy(bucket).max(rho)`` — max is the canonical
+    mergeable streaming aggregate (monotone, idempotent, commutative),
+    so the register table after draining the stream is byte-identical
+    to the batch build, which is exactly the merge property that lets
+    a 100 TB pipeline keep one tiny sketch per shard/micro-batch and
+    OR them together at read time.  Complete-mode memory sink, 64 rows
+    of state total."""
+    ev = core.read_events_stream(spark, sf_dir)
+    hraw = ((F.col("user_id") % 2147483648) * 2654435761 + 999331) % 4294967296
+    h = F.when(hraw == 0, 1).otherwise(hraw)
+    w = (h / 64).cast("long")
+    rho = F.when(w == 0, 27).otherwise(27 - F.length(F.bin(w))).cast("int")
+    regs = (
+        ev.select((h % 64).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    core.run_to_memory(regs, "stream_hll_registers_sink", state_partitions=8)
+    return spark.table("stream_hll_registers_sink").orderBy("bucket")
