@@ -98,7 +98,13 @@ def token_vocab(toks: DataFrame) -> DataFrame:
 def doc_token_ids(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle: int = 3
 ) -> DataFrame:
-    toks = doc_tokens(docs, text_col, id_col, shingle)
+    # persisted because two plan branches consume it (the vocab build
+    # and the id join) and Spark re-executes unshared subtrees per
+    # branch — without the persist the shingle explode runs twice
+    # (measured 10% of the sf0.1 near-dup wall). MEMORY_AND_DISK
+    # spills rather than OOMs; at 100 TB this cache is the standard
+    # dictionary-path tradeoff the module docstring already notes.
+    toks = doc_tokens(docs, text_col, id_col, shingle).persist()
     vocab = token_vocab(toks)
     return toks.join(F.broadcast(vocab), "tok").select(id_col, "tok_id")
 
