@@ -2026,3 +2026,94 @@ def q_approx_quantile_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("ev"), 6).alias("exact_q"),
         ok.alias("rank_bound_ok"),
     ).orderBy("l_returnflag", "p")
+
+
+@register(
+    "grouped_percentile_report",
+    survey_ref="§2.6,§2.8,§2.9",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+),
+n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY event_type),
+ranks AS (
+  SELECT n.event_type, p, n.n, CAST(CEIL(p * n.n) AS BIGINT) AS k
+  FROM (SELECT unnest([0.5, 0.9, 0.99]) AS p), n
+),
+ordered AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn
+  FROM c
+)
+SELECT r.event_type, r.p, r.n, o.cents AS pct_cents
+FROM ranks r JOIN ordered o ON o.event_type = r.event_type AND o.rn = r.k
+ORDER BY r.event_type, r.p
+""",
+)
+def q_grouped_percentile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP exact percentiles (the P50/P90/P99-by-category
+    latency report) via the same two-phase order-statistic locate as
+    ``two_phase_exact_percentile``, generalized to grouped form —
+    because the naive ``row_number() OVER (PARTITION BY type)`` puts
+    1/|groups| of the fact through each reducer, exactly the
+    few-key-window shape the corpus-wide plan audit bans:
+
+    phase 1 aggregates (type, cent-range) counts — bounded keys; a
+    per-type cumulative over that tiny relation locates each rank's
+    range; phase 2 rescans only rows in located (type, range) pairs
+    (keyed semi-join), and a bounded per-(type, range) window pins the
+    exact value.  The oracle runs the naive partitioned row_number, so
+    the gate proves the decomposition reproduces every group's order
+    statistics."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents")
+    )
+    n_row = c.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ranks = (
+        spark.createDataFrame([(0.5,), (0.9,), (0.99,)], "p double")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "event_type", "p", "n", F.ceil(F.col("p") * F.col("n")).cast("bigint").alias("k")
+        )
+    )
+    coarse = c.groupBy("event_type", F.expr("cents DIV 100").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    coarse_cum = coarse.select(
+        "event_type",
+        "bucket",
+        "bn",
+        (F.sum("bn").over(wcum) - F.col("bn")).alias("below"),
+    )
+    target = (
+        F.broadcast(ranks)
+        .join(
+            coarse_cum,
+            ["event_type"],
+        )
+        .filter((F.col("below") < F.col("k")) & (F.col("below") + F.col("bn") >= F.col("k")))
+        .select("event_type", "p", "n", "k", "bucket", "below")
+    )
+    tsel = target.select(
+        F.col("event_type").alias("et"), F.col("bucket").alias("tb")
+    ).distinct()
+    fine = c.join(
+        F.broadcast(tsel),
+        (F.col("event_type") == F.col("et")) & (F.expr("cents DIV 100") == F.col("tb")),
+    ).select("event_type", F.col("tb").alias("bucket"), "cents")
+    wb = Window.partitionBy("event_type", "bucket").orderBy("cents")
+    fine_rn = fine.select(
+        "event_type", "bucket", "cents", F.row_number().over(wb).alias("rn_in_bucket")
+    )
+    return (
+        target.join(fine_rn, ["event_type", "bucket"])
+        .filter(F.col("below") + F.col("rn_in_bucket") == F.col("k"))
+        .select("event_type", "p", "n", F.col("cents").alias("pct_cents"))
+        .orderBy("event_type", "p")
+    )
