@@ -2215,3 +2215,69 @@ def q_ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_diff, 6).alias("mean_diff_cents"),
         F.round(t, 6).alias("t_stat"),
     )
+
+
+@register(
+    "chi_square_independence",
+    survey_ref="A4,A7,§2.6",
+    oracle="""
+WITH o AS (
+  SELECT event_type, user_id % 4 AS ub, CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY event_type, user_id % 4
+), rt AS (SELECT event_type, CAST(SUM(o) AS BIGINT) AS r FROM o GROUP BY event_type),
+ct AS (SELECT ub, CAST(SUM(o) AS BIGINT) AS c FROM o GROUP BY ub),
+n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
+cells AS (
+  SELECT o.event_type, o.ub, o.o,
+         CAST(rt.r AS DOUBLE) * ct.c / n.n AS e
+  FROM o JOIN rt USING (event_type) JOIN ct USING (ub), n
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+       CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+         * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof
+FROM cells
+""",
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² INDEPENDENCE TEST (event_type ⟂ user cohort?) from the exact
+    contingency table: observed counts and both margins are integers
+    from ONE fact-scale aggregate; expected counts and the statistic
+    are IEEE ±×÷ on those exact integers (no transcendentals), summed
+    over a bounded cell relation (|types| × 4), so even the
+    independence test is exact-hash gated.  The companion to
+    ``ab_test_welch`` for categorical outcomes — at 100 TB the fact
+    shuffles once on the (type, cohort) key and everything after is
+    margin algebra on a handful of rows."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.groupBy("event_type", (F.col("user_id") % 4).alias("ub")).agg(
+        F.count("*").alias("o")
+    )
+    rt = o.groupBy("event_type").agg(F.sum("o").alias("r"))
+    ct = o.groupBy("ub").agg(F.sum("o").alias("c"))
+    n = o.agg(F.sum("o").alias("n"))
+    cells = (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "ub")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "o", (F.col("r").cast("double") * F.col("c") / F.col("n")).alias("e")
+        )
+    )
+    n_rt = rt.agg(F.count("*").alias("nr"))
+    n_ct = ct.agg(F.count("*").alias("nc"))
+    stat = cells.agg(
+        F.count("*").alias("n_cells"),
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 6
+        ).alias("chi2"),
+    )
+    return (
+        stat.crossJoin(F.broadcast(n_rt))
+        .crossJoin(F.broadcast(n_ct))
+        .select(
+            "n_cells",
+            "chi2",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        )
+    )
