@@ -1164,3 +1164,60 @@ def q_mixture_temperature_allocation(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("source")
     )
+
+
+@register(
+    "blocked_fuzzy_match",
+    survey_ref="M5:dedup,§2.7",
+    oracle="""
+WITH b AS (
+  SELECT doc_id, lang, SUBSTRING(text, 1, 8) AS blk, SUBSTRING(text, 1, 40) AS probe
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(levenshtein(a.probe, c.probe) AS BIGINT) AS lev
+FROM b a JOIN b c
+  ON a.lang = c.lang AND a.blk = c.blk AND a.doc_id < c.doc_id
+WHERE levenshtein(a.probe, c.probe) <= 10
+ORDER BY doc_a, doc_b
+""",
+)
+def q_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOCKED FUZZY MATCHING — the entity-resolution workhorse next
+    to MinHash: candidate pairs form only inside a cheap blocking key
+    (language × 8-char prefix), then an edit-distance verify on a
+    bounded probe window keeps near-identical pairs.  Levenshtein is
+    exact integer dynamic programming in BOTH engines' built-ins
+    (JVM-side codegen in Spark — no Python), so the fuzzy join is
+    exact-hash gated.  The self-join is keyed on the block — the
+    cross product never materializes, the same scale guarantee as the
+    LSH band join; at 100 TB you size the blocking key so the largest
+    block stays executor-bounded (add a second key column the day it
+    does not)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 8).alias("blk"),
+        F.substring("text", 1, 40).alias("probe"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", "blk", F.col("probe").alias("pa")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("probe").alias("pb"),
+    )
+    lev = F.levenshtein(F.col("pa"), F.col("pb"))
+    return (
+        a.join(
+            b,
+            (F.col("lang") == F.col("lang_b"))
+            & (F.col("blk") == F.col("blk_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .filter(lev <= 10)
+        .select("doc_a", "doc_b", lev.cast("long").alias("lev"))
+        .orderBy("doc_a", "doc_b")
+    )
