@@ -380,3 +380,32 @@ def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
     assert "SelectedBucketsCount" in plan
     tree = plan.split("\n\n", 1)[0]
     assert tree.count("Exchange") == 1, tree
+
+
+def test_grouped_percentile_no_global_fact_sort(spark, sf_dir):
+    """grouped_percentile_report must keep the two-phase shape: no
+    Exchange SinglePartition feeding a fact-scale Sort (that is the
+    banned partitioned-row_number alternative), and the rank locate
+    must broadcast back onto the scan."""
+    df = _q("grouped_percentile_report", spark, sf_dir)
+    plan = physical_plan(df)
+    tree = plan.split("\n\n", 1)[0]
+    # windows exist only over the coarse relation and the located
+    # bucket subset — never a single-partition exchange over events
+    for line in tree.splitlines():
+        if "Exchange SinglePartition" in line:
+            raise AssertionError(f"single-partition exchange in plan: {line}")
+    assert "BroadcastExchange" in tree, tree
+
+
+def test_funnel_joins_stay_user_keyed(spark, sf_dir):
+    """funnel_conversion_3step: every join in the plan is an equi-join
+    (hash or sort-merge keyed on user_id) — no nested-loop/cartesian
+    anywhere in the chained-stage funnel."""
+    df = _q("funnel_conversion_3step", spark, sf_dir)
+    plan = physical_plan(df)
+    tree = plan.split("\n\n", 1)[0]
+    assert "CartesianProduct" not in tree, tree
+    joins = [l for l in tree.splitlines() if "Join" in l and "Broadcast" not in l]
+    for l in joins:
+        assert "user_id" in l, l
