@@ -93,6 +93,8 @@ HEADLINE = [
     "multimodal_decode_wav",
     "multimodal_video_frame_sample",
     "zorder_clustering_stats",
+    "grouped_percentile_report",
+    "hll_distinct_estimate",
 ]
 
 
