@@ -19,6 +19,23 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog im
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
+def _ids_fixture_stale(fix_dir: str, ids: list) -> str:
+    """Fixture dirs are keyed by SF tag, but the driver regenerates
+    /root/testdata between rounds — if the sampled id set ever changes
+    under the same tag, a stale fixture would silently mismatch the
+    oracle.  The _DONE marker therefore records an id-set fingerprint;
+    a mismatch wipes the dir for a rebuild.  Returns the fingerprint."""
+    import shutil
+
+    fp = f"{len(ids)}:{sum(ids)}"
+    marker = os.path.join(fix_dir, "_DONE")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() != fp:
+                shutil.rmtree(fix_dir)
+    return fp
+
+
 
 @register(
     "multimodal_decode_features",
@@ -229,6 +246,7 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip(chr(47)))
     fix_dir = os.path.join(SCRATCH, f"png_real_{tag}")
     marker = os.path.join(fix_dir, "_DONE")
+    fp = _ids_fixture_stale(fix_dir, ids)
     if not os.path.exists(marker):
         os.makedirs(fix_dir, exist_ok=True)
         for e in ids:
@@ -238,7 +256,7 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(os.path.join(fix_dir, f"{e}.png"), "wb") as f:
                 f.write(multimodal.encode_png_gray(img))
         with open(marker, "w") as f:
-            f.write(str(len(ids)))
+            f.write(fp)
     media = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.png")
@@ -764,6 +782,7 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = os.path.basename(sf_dir.rstrip(chr(47)))
     fix_dir = os.path.join(SCRATCH, f"gif_real_{tag}")
     marker = os.path.join(fix_dir, "_DONE")
+    fp = _ids_fixture_stale(fix_dir, ids)
     if not os.path.exists(marker):
         os.makedirs(fix_dir, exist_ok=True)
         for e in ids:
@@ -773,7 +792,7 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             with open(os.path.join(fix_dir, f"{e}.gif"), "wb") as f:
                 f.write(encode_gif_gray(img))
         with open(marker, "w") as f:
-            f.write(str(len(ids)))
+            f.write(fp)
     media = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.gif")
@@ -834,6 +853,7 @@ def q_multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFra
     tag = os.path.basename(sf_dir.rstrip(chr(47)))
     fix_dir = os.path.join(SCRATCH, f"gifanim_real_{tag}")
     marker = os.path.join(fix_dir, "_DONE")
+    fp = _ids_fixture_stale(fix_dir, ids)
     if not os.path.exists(marker):
         os.makedirs(fix_dir, exist_ok=True)
         for e in ids:
@@ -846,7 +866,7 @@ def q_multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFra
             with open(os.path.join(fix_dir, f"{e}.gif"), "wb") as fh:
                 fh.write(encode_gif_animation(frames))
         with open(marker, "w") as fh:
-            fh.write(str(len(ids)))
+            fh.write(fp)
     media = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.gif")
