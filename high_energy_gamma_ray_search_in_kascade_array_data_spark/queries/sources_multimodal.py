@@ -581,8 +581,22 @@ def q_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(SCRATCH, exist_ok=True)
     path = os.path.join(SCRATCH, f"events_by_type_{os.path.basename(sf_dir.rstrip(chr(47)))}")
     marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):  # idempotent per SF: layout, then reuse
+    # idempotent per SF — but the driver regenerates /root/testdata
+    # between rounds, so the reuse is guarded by a cheap fingerprint of
+    # the live table (count + id sum); a mismatch forces a rebuild
+    # instead of silently serving a stale layout (same device as
+    # _ids_fixture_stale for the codec fixtures)
+    n, s = d.agg(F.count(F.lit(1)), F.sum("event_id")).first()
+    fp = f"{n}:{s}"
+    fp_file = os.path.join(SCRATCH, f"events_by_type_{os.path.basename(sf_dir.rstrip(chr(47)))}._FPRINT")
+    stale = True
+    if os.path.exists(marker) and os.path.exists(fp_file):
+        with open(fp_file) as f:
+            stale = f.read().strip() != fp
+    if stale:
         d.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        with open(fp_file, "w") as f:
+            f.write(fp)
     back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
     return back.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n"),
