@@ -388,3 +388,83 @@ def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_lost_pairs"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dup_graph_clustering_coefficient",
+    survey_ref="M5:dedup,§2.7,§2.8",
+    oracle=f"""
+WITH {_VERIFIED_EDGES_CTES},
+sym AS (
+  SELECT doc_a AS v, doc_b AS nbr FROM verified
+  UNION ALL SELECT doc_b AS v, doc_a AS nbr FROM verified
+),
+deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY v),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM verified e1
+  JOIN verified e2 ON e2.doc_a = e1.doc_b
+  JOIN verified e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+),
+tv AS (
+  SELECT v, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+  ) GROUP BY v
+)
+SELECT d.v AS doc_id, d.degree,
+       CAST(d.degree * (d.degree - 1) / 2 AS BIGINT) AS n_wedges,
+       CAST(COALESCE(tv.n_triangles, 0) AS BIGINT) AS n_triangles,
+       ROUND(CASE WHEN d.degree >= 2
+                  THEN 2.0 * COALESCE(tv.n_triangles, 0) / (d.degree * (d.degree - 1))
+                  ELSE 0.0 END, 6) AS coeff
+FROM deg d LEFT JOIN tv ON tv.v = d.v
+ORDER BY doc_id
+""",
+)
+def q_dup_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node CLUSTERING COEFFICIENT over the verified near-dup
+    graph: 2·triangles(v) / (deg·(deg−1)) — the local density measure
+    that tells a dedup reviewer whether a node sits in a clique-like
+    duplicate cluster (coeff → 1, collapse confidently) or bridges
+    otherwise-unrelated chains (coeff → 0, review before deleting).
+    Triangles and wedges ship as exact integers; the coefficient is
+    one rounded division.  Same bounded join plan as
+    ``dup_graph_triangles`` plus a degree aggregate — nothing beyond
+    the candidate-pair graph is ever shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    e = (
+        dedup.minhash_near_duplicates(d, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    sym = e.select(F.col("doc_a").alias("v")).unionAll(
+        e.select(F.col("doc_b").alias("v"))
+    )
+    deg = sym.groupBy("v").agg(F.count(F.lit(1)).alias("degree"))
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    tv = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    j = deg.join(tv, "v", "left").select(
+        F.col("v").alias("doc_id"),
+        "degree",
+        (F.col("degree") * (F.col("degree") - 1) / 2).cast("long").alias("n_wedges"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(0.0),
+            6,
+        ).alias("coeff"),
+    )
+    return j.orderBy("doc_id")
