@@ -394,7 +394,7 @@ def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dup_graph_clustering_coefficient",
     survey_ref="M5:dedup,§2.7,§2.8",
     oracle=f"""
-WITH {_VERIFIED_EDGES_CTES},
+WITH {_VERIFIED_EDGES_CTES.replace("verified AS (", "verified AS MATERIALIZED (", 1)},
 sym AS (
   SELECT doc_a AS v, doc_b AS nbr FROM verified
   UNION ALL SELECT doc_b AS v, doc_a AS nbr FROM verified
