@@ -198,7 +198,7 @@ verified AS (
     "dup_graph_triangles",
     survey_ref="M5:dedup,§2.7",
     oracle=f"""
-WITH {_VERIFIED_EDGES_CTES}
+WITH {_VERIFIED_EDGES_CTES.replace("verified AS (", "verified AS MATERIALIZED (", 1)}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM verified e1
 JOIN verified e2 ON e2.doc_a = e1.doc_b
