@@ -2281,3 +2281,49 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
         )
     )
+
+
+@register(
+    "inter_event_gap_stats",
+    survey_ref="A4,§2.8",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+""",
+)
+def q_inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTER-EVENT GAP telemetry: per user, the time since that user's
+    previous event (LAG over a user-keyed window, deterministic
+    (ts, event_id) tie-break), aggregated by the type of the LATER
+    event — the dwell-time distribution behind engagement and
+    anomaly-rate dashboards.  Gaps are exact integer microseconds, the
+    window is keyed (bounded per user at any fact size), and the
+    result is one small-key aggregate — the plan a 100 TB event store
+    wants."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
