@@ -2327,3 +2327,43 @@ def q_inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_size_from_degrees",
+    survey_ref="A3,A4,§2.6,§2.7",
+    oracle="""
+WITH do_ AS (SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM orders GROUP BY o_orderkey),
+dl AS (SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY l_orderkey)
+SELECT CAST(SUM(do_.c * dl.c) AS BIGINT) AS join_rows_from_degrees,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey) AS join_rows_actual,
+       CAST(COUNT(*) AS BIGINT) AS n_matching_keys
+FROM do_ JOIN dl ON do_.k = dl.k
+""",
+)
+def q_join_size_from_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-SIZE computation from per-key DEGREE HISTOGRAMS —
+    |A ⋈ₖ B| = Σₖ degA(k)·degB(k), the statistic a cost-based planner
+    wants before committing to a join order, computed WITHOUT running
+    the join on the wide rows: two key-grain count aggregates and a
+    key-grain join of the (much smaller) degree relations.  The query
+    also runs the actual join and ships both numbers, so the identity
+    is exact-hash checked — and the degree pass is exactly how you
+    detect the skewed key (max degree product) that would hot-spot the
+    real join at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    do = o.groupBy(F.col("o_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("co"))
+    dl = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count(F.lit(1)).alias("cl"))
+    est = do.join(dl, "k").agg(
+        F.sum(F.col("co") * F.col("cl")).alias("join_rows_from_degrees"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+    )
+    actual = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("join_rows_actual"))
+    )
+    return est.crossJoin(F.broadcast(actual)).select(
+        "join_rows_from_degrees", "join_rows_actual", "n_matching_keys"
+    )
