@@ -2367,3 +2367,105 @@ def q_join_size_from_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(actual)).select(
         "join_rows_from_degrees", "join_rows_actual", "n_matching_keys"
     )
+
+
+@register(
+    "cohort_overlap_matrix",
+    survey_ref="A3,§2.7,§2.10",
+    oracle="""
+WITH tu AS (SELECT DISTINCT event_type, user_id FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_users
+FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type <= b.event_type
+GROUP BY a.event_type, b.event_type
+ORDER BY type_a, type_b
+""",
+)
+def q_cohort_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIENCE OVERLAP matrix: for every pair of event types, how
+    many distinct users did both — the co-occurrence table behind
+    segment Venn diagrams and bitmap-index intersection estimates.
+    One distinct pass to (type, user) grain, then a user-keyed
+    self-join whose per-user fan-out is bounded by |types|² — the
+    bitmap-free way to intersect cohorts when the bitmaps would not
+    fit one machine."""
+    ev = load_table(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    a = tu.select(F.col("event_type").alias("type_a"), "user_id")
+    b = tu.select(F.col("event_type").alias("type_b"), "user_id")
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") <= F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_users"))
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _rdv_hash_sql(shard: int) -> str:
+    """Rendezvous weight of (user, shard): a distinct Knuth-style
+    integer mix per shard — pure modular arithmetic, identical in both
+    engines."""
+    return f"((user_id % 2147483648) * 2654435761 + {shard} * 40503 + 997) % 4294967296"
+
+
+def _rdv_argmax_sql(n: int) -> str:
+    """Shard with the maximal weight among 0..n-1 (first-wins on the
+    impossible tie): a GREATEST over the per-shard weights, then a
+    CASE matching the winner in ascending shard order."""
+    weights = [_rdv_hash_sql(s) for s in range(n)]
+    greatest = "GREATEST(" + ", ".join(weights) + ")"
+    cases = " ".join(
+        f"WHEN ({weights[s]}) = {greatest} THEN {s}" for s in range(n)
+    )
+    return f"CASE {cases} END"
+
+
+@register(
+    "rendezvous_shard_rebalance",
+    survey_ref="P5,A3,§2.6",
+    oracle=f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+assign AS (
+  SELECT user_id,
+         CAST({_rdv_argmax_sql(8)} AS INTEGER) AS shard8,
+         CAST({_rdv_argmax_sql(9)} AS INTEGER) AS shard9
+  FROM u
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+       CAST(MAX(shard9) AS INTEGER) AS max_shard9
+FROM assign
+""",
+)
+def q_rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) sharding and its rebalance
+    guarantee, measured: each key goes to the shard with the maximal
+    deterministic (key, shard) weight; growing 8 → 9 shards moves ONLY
+    the keys whose new shard-8 weight wins — ~1/9 of them — versus
+    mod-N hashing which moves ~8/9.  The argmax is a GREATEST/CASE
+    over per-shard modular mixes (whole-stage codegen, no UDF); the
+    query reports the measured migration fraction a partition-
+    rebalance planner needs before resizing a 100 TB keyed store."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+
+    def weight(s: int):
+        return ((F.col("user_id") % 2147483648) * 2654435761 + s * 40503 + 997) % 4294967296
+
+    def argmax(n: int):
+        # ascending-order first-wins, mirroring the oracle's CASE order
+        best = F.greatest(*[weight(s) for s in range(n)])
+        out = None
+        for s in range(n):
+            out = F.when(weight(s) == best, s) if out is None else out.when(weight(s) == best, s)
+        return out.cast("int")
+
+    a = u.select(
+        "user_id", argmax(8).alias("shard8"), argmax(9).alias("shard9")
+    )
+    return a.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("shard8") != F.col("shard9")).cast("long")).alias("n_moved"),
+        F.max("shard9").alias("max_shard9"),
+    )
