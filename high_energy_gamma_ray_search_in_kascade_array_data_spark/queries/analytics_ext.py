@@ -2469,3 +2469,71 @@ def q_rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("shard8") != F.col("shard9")).cast("long")).alias("n_moved"),
         F.max("shard9").alias("max_shard9"),
     )
+
+
+_LRM_BUDGET = 10000
+
+
+@register(
+    "largest_remainder_allocation",
+    survey_ref="A9,§2.6,§2.8",
+    oracle=f"""
+WITH c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+q AS (
+  SELECT event_type, n,
+         CAST({_LRM_BUDGET} * n // t.total AS BIGINT) AS floor_alloc,
+         CAST(({_LRM_BUDGET} * n) % t.total AS BIGINT) AS remainder
+  FROM c, t
+),
+s AS (SELECT CAST({_LRM_BUDGET} - SUM(floor_alloc) AS BIGINT) AS leftover FROM q),
+r AS (
+  SELECT q.*, ROW_NUMBER() OVER (ORDER BY remainder DESC, event_type) AS rk FROM q
+)
+SELECT r.event_type, r.n, r.floor_alloc,
+       CAST(r.floor_alloc + CASE WHEN r.rk <= s.leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS allocation
+FROM r, s ORDER BY r.event_type
+""",
+)
+def q_largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT APPORTIONMENT by the largest-remainder (Hamilton) method:
+    allocate a fixed budget across categories proportionally so the
+    parts sum EXACTLY to the whole — floors first, then the leftover
+    units go to the largest fractional remainders (deterministic
+    category tie-break).  All integer arithmetic (the remainder IS the
+    fractional part times the total, kept unscaled), one category
+    aggregate plus windows over the category relation — the budget/
+    quota arithmetic every sampling planner and cost allocator needs
+    to avoid off-by-rounding drift."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    q = c.crossJoin(F.broadcast(t)).select(
+        "event_type",
+        "n",
+        F.floor(F.lit(_LRM_BUDGET) * F.col("n") / F.col("total"))
+        .cast("long")
+        .alias("floor_alloc"),
+        ((F.lit(_LRM_BUDGET) * F.col("n")) % F.col("total")).alias("remainder"),
+    )
+    s = q.agg((F.lit(_LRM_BUDGET) - F.sum("floor_alloc")).alias("leftover"))
+    wr = Window.orderBy(F.col("remainder").desc(), "event_type")
+    r = q.select("*", F.row_number().over(wr).alias("rk"))
+    return (
+        r.crossJoin(F.broadcast(s))
+        .select(
+            "event_type",
+            "n",
+            "floor_alloc",
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocation"),
+        )
+        .orderBy("event_type")
+    )

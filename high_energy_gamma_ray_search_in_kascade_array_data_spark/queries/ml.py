@@ -911,3 +911,85 @@ def q_distributed_adam_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "epoch int, w0 long, w1 long, w2 long, sum_abs_resid long"
     )
+
+
+@register(
+    "decision_stump_training",
+    survey_ref="M2,A5,A8,§2.6,§2.8",
+    oracle="""
+WITH d AS (
+  SELECT CAST(event_id % 97 AS BIGINT) AS x,
+         CASE WHEN 5 * (event_id % 97) + (event_id % 11) >= 245 THEN 1 ELSE 0 END AS y
+  FROM events
+),
+h AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS pos
+  FROM d GROUP BY x
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_all, CAST(SUM(pos) AS BIGINT) AS pos_all FROM h),
+cum AS (
+  SELECT x, n, pos,
+         SUM(n) OVER (ORDER BY x) AS n_le,
+         SUM(pos) OVER (ORDER BY x) AS pos_le
+  FROM h
+),
+err AS (
+  SELECT x + 1 AS threshold,
+         -- predict 0 for x < t, 1 for x >= t: errors = pos_le + (neg > t side)
+         CAST(pos_le + ((tot.n_all - n_le) - (tot.pos_all - pos_le)) AS BIGINT) AS n_errors
+  FROM cum, tot
+)
+SELECT threshold, n_errors,
+       (SELECT n_all FROM tot) AS n_rows
+FROM err
+WHERE n_errors = (SELECT MIN(n_errors) FROM err)
+ORDER BY threshold
+LIMIT 1
+""",
+)
+def q_decision_stump_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECISION-STUMP training — the weak learner every boosting round
+    fits, trained EXACTLY and distributed: one histogram aggregate
+    over the feature (bounded bins), a cumulative window over the TINY
+    histogram enumerates every candidate threshold's error count in
+    closed form (errors(t) = positives below t + negatives at/above
+    t), and the argmin with a deterministic smallest-threshold
+    tie-break is the fitted model.  This is the exact decomposition
+    XGBoost-style trainers run per feature per node — histogram, scan,
+    argmin — and the label noise (``event_id % 11``) keeps the best
+    split's error nonzero so the argmin is non-trivial."""
+    from pyspark.sql import Window
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        (F.col("event_id") % 97).cast("bigint").alias("x"),
+        F.when(5 * (F.col("event_id") % 97) + F.col("event_id") % 11 >= 245, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    h = d.groupBy("x").agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    tot = h.agg(F.sum("n").alias("n_all"), F.sum("pos").alias("pos_all"))
+    wc = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = h.select(
+        "x",
+        F.sum("n").over(wc).alias("n_le"),
+        F.sum("pos").over(wc).alias("pos_le"),
+    )
+    err = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("x") + 1).alias("threshold"),
+            (
+                F.col("pos_le")
+                + (F.col("n_all") - F.col("n_le"))
+                - (F.col("pos_all") - F.col("pos_le"))
+            )
+            .cast("long")
+            .alias("n_errors"),
+            F.col("n_all").alias("n_rows"),
+        )
+    )
+    return err.orderBy("n_errors", "threshold").limit(1)
