@@ -993,3 +993,76 @@ def q_decision_stump_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return err.orderBy("n_errors", "threshold").limit(1)
+
+
+@register(
+    "exact_auc_report",
+    survey_ref="A7,A5,§2.6,§2.8",
+    oracle="""
+WITH d AS (
+  SELECT CAST((event_id * 37 + user_id * 11) % 101 AS BIGINT) AS score,
+         CASE WHEN 5 * (event_id % 97) + (event_id % 11) >= 245 THEN 1 ELSE 0 END AS y
+  FROM events
+),
+h AS (
+  SELECT score, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+  FROM d GROUP BY score
+),
+c AS (
+  SELECT score, pos, neg,
+         SUM(neg) OVER (ORDER BY score) - neg AS neg_below
+  FROM h
+),
+t AS (SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS n FROM h)
+SELECT t.p AS n_pos, t.n AS n_neg,
+       CAST(SUM(c.pos * (2 * c.neg_below + c.neg)) AS BIGINT) AS auc_num2,
+       CAST(2 * t.p * t.n AS BIGINT) AS auc_den2,
+       ROUND(CAST(SUM(c.pos * (2 * c.neg_below + c.neg)) AS DOUBLE)
+             / (2.0 * t.p * t.n), 6) AS auc
+FROM c, t GROUP BY t.p, t.n
+""",
+)
+def q_exact_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT ROC-AUC — with proper tie handling — computed WITHOUT the
+    global sort sklearn does: AUC is the Mann-Whitney U statistic, so
+    a score histogram (one bounded-key aggregate), a cumulative window
+    over the tiny histogram, and Σ pos_s·(2·neg_below + neg_at) / 2PN
+    give the exact value; ties contribute the standard ½ credit via
+    the integer ×2 numerator, so the statistic ships as an exact
+    integer ratio plus one rounded division.  This is the model-eval
+    counterpart of the two-phase percentile: the fact shuffles once
+    into score bins, everything ranked happens on the bins."""
+    from pyspark.sql import Window
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        ((F.col("event_id") * 37 + F.col("user_id") * 11) % 101).cast("bigint").alias("score"),
+        F.when(5 * (F.col("event_id") % 97) + F.col("event_id") % 11 >= 245, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    h = d.groupBy("score").agg(
+        F.sum("y").alias("pos"), (F.count(F.lit(1)) - F.sum("y")).alias("neg")
+    )
+    wc = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    c = h.select(
+        "score", "pos", "neg", (F.sum("neg").over(wc) - F.col("neg")).alias("neg_below")
+    )
+    t = h.agg(F.sum("pos").alias("p"), F.sum("neg").alias("n"))
+    num = F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg")))
+    agg = c.agg(num.alias("auc_num2"))
+    return (
+        agg.crossJoin(F.broadcast(t))
+        .select(
+            F.col("p").alias("n_pos"),
+            F.col("n").alias("n_neg"),
+            F.col("auc_num2").cast("long").alias("auc_num2"),
+            (2 * F.col("p") * F.col("n")).cast("long").alias("auc_den2"),
+            F.round(
+                F.col("auc_num2").cast("double") / (2.0 * F.col("p") * F.col("n")), 6
+            ).alias("auc"),
+        )
+    )
