@@ -1066,3 +1066,76 @@ def q_exact_auc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("auc"),
         )
     )
+
+
+@register(
+    "pr_curve_report",
+    survey_ref="A7,A5,§2.6,§2.8",
+    oracle="""
+WITH d AS (
+  SELECT CAST((event_id * 37 + user_id * 11) % 101 AS BIGINT) AS score,
+         CASE WHEN 5 * (event_id % 97) + (event_id % 11) >= 245 THEN 1 ELSE 0 END AS y
+  FROM events
+),
+h AS (
+  SELECT score, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+  FROM d GROUP BY score
+),
+t AS (SELECT CAST(SUM(pos) AS BIGINT) AS p FROM h),
+c AS (
+  SELECT score AS threshold,
+         SUM(pos) OVER (ORDER BY score DESC) AS tp,
+         SUM(neg) OVER (ORDER BY score DESC) AS fp
+  FROM h
+)
+SELECT c.threshold, CAST(c.tp AS BIGINT) AS tp, CAST(c.fp AS BIGINT) AS fp,
+       CAST(t.p - c.tp AS BIGINT) AS fn
+FROM c, t
+WHERE c.threshold % 10 = 0
+ORDER BY c.threshold
+""",
+)
+def q_pr_curve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRECISION-RECALL curve points from the SAME score histogram as
+    ``exact_auc_report``: a descending cumulative over the bounded
+    histogram yields TP/FP at EVERY threshold in one window pass —
+    the full confusion-matrix sweep sklearn's ``precision_recall_curve``
+    computes from a global sort, here with the fact shuffled once into
+    score bins.  Counts ship as exact integers (precision/recall are
+    one division away, left to the consumer to keep the gate
+    rational); every 10th threshold is emitted to bound the report."""
+    from pyspark.sql import Window
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        ((F.col("event_id") * 37 + F.col("user_id") * 11) % 101).cast("bigint").alias("score"),
+        F.when(5 * (F.col("event_id") % 97) + F.col("event_id") % 11 >= 245, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    h = d.groupBy("score").agg(
+        F.sum("y").alias("pos"), (F.count(F.lit(1)) - F.sum("y")).alias("neg")
+    )
+    t = h.agg(F.sum("pos").alias("p"))
+    wdesc = Window.orderBy(F.col("score").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = h.select(
+        F.col("score").alias("threshold"),
+        F.sum("pos").over(wdesc).alias("tp"),
+        F.sum("neg").over(wdesc).alias("fp"),
+    )
+    return (
+        c.crossJoin(F.broadcast(t))
+        .filter(F.col("threshold") % 10 == 0)
+        .select(
+            "threshold",
+            F.col("tp").cast("long").alias("tp"),
+            F.col("fp").cast("long").alias("fp"),
+            (F.col("p") - F.col("tp")).cast("long").alias("fn"),
+        )
+        .orderBy("threshold")
+    )
