@@ -1139,3 +1139,48 @@ def q_pr_curve_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold")
     )
+
+
+@register(
+    "calibration_reliability_report",
+    survey_ref="A5,A7,§2.6",
+    oracle="""
+WITH d AS (
+  SELECT CAST((event_id * 37 + user_id * 11) % 101 AS BIGINT) AS score,
+         CASE WHEN 5 * (event_id % 97) + (event_id % 11) >= 245 THEN 1 ELSE 0 END AS y
+  FROM events
+)
+SELECT CAST(score // 10 AS INTEGER) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(score) AS BIGINT) AS sum_score,
+       CAST(SUM(y) AS BIGINT) AS n_pos
+FROM d GROUP BY score // 10 ORDER BY bin
+""",
+)
+def q_calibration_reliability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION (reliability-diagram) report: per score decile, the
+    count, total predicted score, and positive count — the exact
+    integer sufficient statistics from which mean-predicted vs
+    observed-rate (and ECE) are one division each.  Completes the
+    model-eval family (AUC, PR sweep, calibration) in the same shape:
+    ONE bounded-bin aggregate over the fact, nothing ranked, nothing
+    global — at 100 TB every evaluation in the family is a single
+    map-side-combinable pass."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        ((F.col("event_id") * 37 + F.col("user_id") * 11) % 101).cast("bigint").alias("score"),
+        F.when(5 * (F.col("event_id") % 97) + F.col("event_id") % 11 >= 245, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    return (
+        d.groupBy(F.expr("score DIV 10").cast("int").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("score").alias("sum_score"),
+            F.sum("y").alias("n_pos"),
+        )
+        .orderBy("bin")
+    )
