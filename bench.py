@@ -121,14 +121,39 @@ def main() -> int:
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
     total = round(time.time() - t_total0, 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-    print(
-        json.dumps(
+    # Full per-query map goes to a file: with ~70 headline queries the
+    # one-line JSON outgrew the driver's ~2 KB stdout tail capture
+    # (BENCH_r06.json came back parsed=null). The final printed line stays
+    # compact — total + the flagship and the slowest few — and points at
+    # the detail file.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+            },
+            fh,
+            indent=1,
+        )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    compact = {"survival_curve": timings.get("survival_curve")}
+    compact.update(slowest)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: v for k, v in compact.items() if v is not None},
+                "n_queries": len(timings),
+                "sf": sf,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -95,6 +95,31 @@ def token_vocab(toks: DataFrame) -> DataFrame:
     )
 
 
+# Persisted frames from the CURRENT pipeline invocation. Each new
+# invocation (entered via doc_token_ids / doc_token_ids_fast) releases
+# the previous invocation's caches — without this, long sweeps leaked
+# one cached exploded-token frame per near-dup call for the session
+# lifetime, relying on LRU eviction under memory pressure (r6 ADVICE).
+# Releasing a cache a caller still holds is safe: the frame silently
+# recomputes, correctness is unaffected.
+_LIVE_CACHES: list = []
+
+
+def release_caches() -> None:
+    """Unpersist every frame cached by prior dedup-pipeline invocations."""
+    while _LIVE_CACHES:
+        try:
+            _LIVE_CACHES.pop().unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
+def _persist_tracked(df: DataFrame) -> DataFrame:
+    df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
 def doc_token_ids(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle: int = 3
 ) -> DataFrame:
@@ -104,7 +129,8 @@ def doc_token_ids(
     # (measured 10% of the sf0.1 near-dup wall). MEMORY_AND_DISK
     # spills rather than OOMs; at 100 TB this cache is the standard
     # dictionary-path tradeoff the module docstring already notes.
-    toks = doc_tokens(docs, text_col, id_col, shingle).persist()
+    release_caches()
+    toks = _persist_tracked(doc_tokens(docs, text_col, id_col, shingle))
     vocab = token_vocab(toks)
     return toks.join(F.broadcast(vocab), "tok").select(id_col, "tok_id")
 
@@ -219,7 +245,7 @@ def _near_duplicates_from_tid(tid: DataFrame, threshold: float, id_col: str) -> 
     re-executes unshared subtrees per branch; the cached frame is
     O(docs) rows × one sorted id array — the natural unit to cache at
     any scale (MEMORY_AND_DISK default spills rather than OOMs)."""
-    sets_df = token_sets(tid, id_col).persist()
+    sets_df = _persist_tracked(token_sets(tid, id_col))
     pairs = lsh_candidate_pairs(signatures_from_sets(sets_df, id_col), id_col)
     return jaccard_verify(pairs, sets_df, id_col).filter(F.col("jaccard") >= threshold)
 
@@ -239,6 +265,7 @@ def doc_token_ids_fast(
     broadcast join. This is the 100 TB path (the dictionary variant
     exists because DuckDB cannot reproduce xxhash64 for the oracle);
     ids are 64-bit so collisions are negligible at any corpus size."""
+    release_caches()
     toks = doc_tokens(docs, text_col, id_col, shingle)
     return toks.select(id_col, F.xxhash64("tok").alias("tok_id"))
 

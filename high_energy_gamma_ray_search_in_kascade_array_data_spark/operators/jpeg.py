@@ -238,6 +238,10 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray:
     while pos + 4 <= len(b):
         if b[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
+        # conformant encoders may pad with 0xFF fill bytes before a
+        # marker (ITU-T T.81 §B.1.1.2) — skip them
+        while pos + 4 <= len(b) and b[pos + 1] == 0xFF:
+            pos += 1
         marker = b[pos + 1]
         if marker == 0xD9:  # EOI
             break
@@ -295,6 +299,12 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray:
     h, w = dims
     if h % 8 or w % 8:
         raise ValueError("unsupported non-multiple-of-8 dimensions")
+    if comp_q not in qtables:
+        raise ValueError(f"JPEG scan references missing quant table {comp_q}")
+    if (0, scan_dc) not in htables or (1, scan_ac) not in htables:
+        raise ValueError(
+            f"JPEG scan references missing Huffman table dc={scan_dc} ac={scan_ac}"
+        )
     q = qtables[comp_q]
     dc_tbl, ac_tbl = htables[(0, scan_dc)], htables[(1, scan_ac)]
     reader = _BitReader(b, pos)

@@ -2228,12 +2228,12 @@ WITH o AS (
 ct AS (SELECT ub, CAST(SUM(o) AS BIGINT) AS c FROM o GROUP BY ub),
 n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM o),
 cells AS (
-  SELECT o.event_type, o.ub, o.o,
-         CAST(rt.r AS DOUBLE) * ct.c / n.n AS e
+  SELECT CAST(o.o AS HUGEINT) * n.n - CAST(rt.r AS HUGEINT) * ct.c AS d,
+         CAST(n.n AS HUGEINT) * rt.r * ct.c AS den
   FROM o JOIN rt USING (event_type) JOIN ct USING (ub), n
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
-       ROUND(SUM((o - e) * (o - e) / e), 6) AS chi2,
+       CAST(SUM((d * d * 1000000) // den) AS BIGINT) AS chi2_micro6,
        CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
          * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof
 FROM cells
@@ -2241,14 +2241,19 @@ FROM cells
 )
 def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """χ² INDEPENDENCE TEST (event_type ⟂ user cohort?) from the exact
-    contingency table: observed counts and both margins are integers
-    from ONE fact-scale aggregate; expected counts and the statistic
-    are IEEE ±×÷ on those exact integers (no transcendentals), summed
-    over a bounded cell relation (|types| × 4), so even the
-    independence test is exact-hash gated.  The companion to
-    ``ab_test_welch`` for categorical outcomes — at 100 TB the fact
-    shuffles once on the (type, cohort) key and everything after is
-    margin algebra on a handful of rows."""
+    contingency table, reported as an EXACT fixed-point integer.  With
+    e = r·c/n the cell contribution (o−e)²/e equals (o·n − r·c)²/(n·r·c)
+    exactly, so each cell yields the integer
+    ``floor((o·n − r·c)² · 10⁶ / (n·r·c))`` and the statistic is their
+    integer SUM — order-independent, unlike a float SUM whose
+    partition-dependent addition order could flake the exact-hash gate
+    (r6 ADVICE).  chi2 ≈ chi2_micro6 / 10⁶ (under-counts by < n_cells
+    micro-units from the per-cell floor — a defined, deterministic
+    statistic).  Intermediates ride DECIMAL(38,0) on Spark / HUGEINT on
+    DuckDB: (o·n − r·c)² · 10⁶ stays under 10³⁸ through ~100× the test
+    fixtures; beyond that, widen the 10⁶ scale down or split cells.
+    At 100 TB the fact shuffles once on the (type, cohort) key and
+    everything after is margin algebra on a handful of rows."""
     ev = load_table(spark, sf_dir, "events")
     o = ev.groupBy("event_type", (F.col("user_id") % 4).alias("ub")).agg(
         F.count("*").alias("o")
@@ -2261,23 +2266,24 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ct), "ub")
         .crossJoin(F.broadcast(n))
         .select(
-            "o", (F.col("r").cast("double") * F.col("c") / F.col("n")).alias("e")
+            F.expr(
+                "CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c"
+            ).alias("d"),
+            F.expr("CAST(n AS DECIMAL(38,0)) * r * c").alias("den"),
         )
     )
     n_rt = rt.agg(F.count("*").alias("nr"))
     n_ct = ct.agg(F.count("*").alias("nc"))
     stat = cells.agg(
         F.count("*").alias("n_cells"),
-        F.round(
-            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")), 6
-        ).alias("chi2"),
+        F.sum(F.expr("(d * d * 1000000) div den")).cast("long").alias("chi2_micro6"),
     )
     return (
         stat.crossJoin(F.broadcast(n_rt))
         .crossJoin(F.broadcast(n_ct))
         .select(
             "n_cells",
-            "chi2",
+            "chi2_micro6",
             ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
         )
     )

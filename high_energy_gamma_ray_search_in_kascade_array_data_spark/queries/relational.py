@@ -420,10 +420,17 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.expr("n_total DIV 4")
     r = F.col("n_total") % 4
     cut = r * (q + 1)
+    # GREATEST(…, 1): with n_total < 4 the else-branch is unreachable
+    # (cut = n_total), but without the guard its DIV-by-zero would yield
+    # silent NULL quartiles on tiny fixtures under non-ANSI SQL
     quartile = F.when(
         F.col("rn") <= cut, F.expr("(rn + n_total DIV 4) DIV (n_total DIV 4 + 1)")
     ).otherwise(
-        r + F.expr("(rn - (n_total % 4) * (n_total DIV 4 + 1) + n_total DIV 4 - 1) DIV (n_total DIV 4)")
+        r
+        + F.expr(
+            "(rn - (n_total % 4) * (n_total DIV 4 + 1) + n_total DIV 4 - 1)"
+            " DIV GREATEST(n_total DIV 4, 1)"
+        )
     )
     return (
         ranked.select("c_acctbal", quartile.cast("int").alias("quartile"))

@@ -24,10 +24,21 @@ def _ids_fixture_stale(fix_dir: str, ids: list) -> str:
     /root/testdata between rounds — if the sampled id set ever changes
     under the same tag, a stale fixture would silently mismatch the
     oracle.  The _DONE marker therefore records an id-set fingerprint;
-    a mismatch wipes the dir for a rebuild.  Returns the fingerprint."""
+    a mismatch wipes the dir for a rebuild.  Returns the fingerprint.
+
+    The fingerprint is a sha256 over the sorted ids — an
+    order-independent digest that (unlike the earlier count:sum pair,
+    which collides for e.g. {1,4} vs {2,3}) cannot match a different
+    sampled id set, so a regenerated fixture can never silently serve
+    stale media files against a fresh oracle."""
+    import hashlib
     import shutil
 
-    fp = f"{len(ids)}:{sum(ids)}"
+    h = hashlib.sha256()
+    for i in sorted(ids):
+        h.update(str(i).encode())
+        h.update(b",")
+    fp = f"{len(ids)}:{h.hexdigest()}"
     marker = os.path.join(fix_dir, "_DONE")
     if os.path.exists(marker):
         with open(marker) as f:
