@@ -1184,3 +1184,179 @@ def q_calibration_reliability_report(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("bin")
     )
+
+
+# ------------------------------------------- distributed CNN training (M2)
+def _cnn_train_modules():
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml import cnn_train
+
+    return cnn_train
+
+
+def _train_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml import cnn_train
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    return (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") % cnn_train.TRAIN_MOD == 0)
+        .select("event_id")
+    )
+
+
+def _grad_sums_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-parameter global gradient sums: mapInPandas partitions each
+    compute dense integer gradient sums over their event shard (the
+    worker side of data-parallel SGD), and ONE fixed-width groupBy —
+    ~4k (layer, idx) keys regardless of data volume — is the
+    AllReduce."""
+    import numpy as np
+    import pandas as pd
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml import cnn_train
+
+    state = cnn.cnn_state()
+
+    def grad_fn(it):
+        chunks = [pdf["event_id"].to_numpy() for pdf in it]
+        eids = np.concatenate(chunks) if chunks else np.empty(0, dtype="int64")
+        if eids.size == 0:
+            return
+        grads = cnn_train.partition_grads(state, eids)
+        layers, idxs, gs = [], [], []
+        for name, _kind, _n in cnn_train.LAYERS:
+            g = grads[name].ravel()  # C-order — matches the oracle idx formulas
+            layers.extend([name] * g.size)
+            idxs.extend(range(g.size))
+            gs.extend(int(v) for v in g)
+        yield pd.DataFrame({"layer": layers, "idx": idxs, "g": gs})
+
+    return (
+        _train_batch(spark, sf_dir)
+        .mapInPandas(grad_fn, "layer string, idx int, g long")
+        .groupBy("layer", "idx")
+        .agg(F.sum("g").alias("g"))
+    )
+
+
+def _cnn_train_oracle() -> str:
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml import cnn_train
+
+    return cnn_train.cnn_train_oracle_sql()
+
+
+@register(
+    "distributed_cnn_training",
+    survey_ref="M2,M1,§2.12",
+    oracle=_cnn_train_oracle(),
+)
+def q_distributed_cnn_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED CNN_B BACKPROP (M2, ``train_classification.py:86-101``):
+    one exact data-parallel gradient step through the FULL reference
+    topology — 3 conv blocks + 3 fc layers (``cnn_model.py:11-43``).
+    Each partition computes integer gradient sums for every parameter
+    (straight-through-estimator quantized backward, see
+    ``ml/cnn_train.py``), the fixed-width groupBy is the AllReduce, and
+    the SGD step is integer arithmetic (lr = 2⁻¹²).  Output: per-layer
+    gradient statistics and the updated-weight checksum, all exact
+    BIGINTs — the DuckDB oracle recomputes the whole backward
+    relationally (transposed conv as shifted join-aggregate).  At
+    100 TB the only event-scale work is the embarrassingly-parallel
+    per-shard backward; the shuffle is ~4k rows × partitions — the
+    ring-AllReduce wire cost."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml import cnn_train
+
+    sums = _grad_sums_df(spark, sf_dir)
+    wsums = cnn_train.weight_int_sums(cnn.cnn_state())
+    wdf = spark.createDataFrame(
+        [(k, v) for k, v in sorted(wsums.items())], "layer string, wsum long"
+    )
+    return (
+        sums.groupBy("layer")
+        .agg(
+            F.count(F.lit(1)).alias("n_params"),
+            F.sum(F.abs(F.col("g"))).alias("grad_l1"),
+            F.sum("g").alias("grad_sum"),
+            F.max(F.abs(F.col("g"))).alias("grad_max_abs"),
+        )
+        .join(F.broadcast(wdf), "layer")
+        .select(
+            "layer",
+            "n_params",
+            "grad_l1",
+            "grad_sum",
+            "grad_max_abs",
+            (F.col("wsum") - F.col("grad_sum")).alias("updated_w_checksum"),
+        )
+        .orderBy("layer")
+    )
+
+
+def _cnn_epoch_loss_oracle() -> str:
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml import cnn_train
+
+    return cnn_train.cnn_epoch_loss_oracle_sql()
+
+
+@register(
+    "cnn_training_epoch2_loss",
+    survey_ref="M2,M1,§2.12",
+    oracle=_cnn_epoch_loss_oracle(),
+)
+def q_cnn_training_epoch2_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-EPOCH CNN_B TRAINING LOOP: epoch-1 forward + loss, exact
+    gradient step (the ``distributed_cnn_training`` update), broadcast
+    of the re-quantized weights back to the workers, epoch-2 forward +
+    loss — the reference's epochs × {forward, loss, backward, step}
+    decomposition (``train_classification.py:70-152``) with the REAL
+    conv-stack gradient in the loop.  The gradient AllReduce result
+    (~4k integers) is collected to the driver and re-broadcast inside
+    the epoch-2 closure — bounded driver-loop control, the exact
+    pattern of the k-means/BPE loops.  Loss is Σ|logit − y|·2¹⁸ as an
+    exact integer per epoch."""
+    import numpy as np
+    import pandas as pd
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.ml import cnn_train
+
+    state = cnn.cnn_state()
+    # epoch-1 AllReduce: ~4k integers back to the driver (control plane)
+    rows = _grad_sums_df(spark, sf_dir).collect()
+    by_layer: dict = {}
+    for r in rows:
+        by_layer.setdefault(r["layer"], {})[r["idx"]] = r["g"]
+    grad_sums = {}
+    for name, _kind, _n in cnn_train.LAYERS:
+        shape = cnn.cnn_state()[name].shape
+        size = int(np.prod(shape))
+        arr = np.zeros(size, dtype="int64")
+        for i, v in by_layer.get(name, {}).items():
+            arr[i] = v
+        grad_sums[name] = arr.reshape(shape)
+    state2 = cnn_train.updated_int_state(state, grad_sums)
+
+    def loss_fn(state_, epoch):
+        def fn(it):
+            chunks = [pdf["event_id"].to_numpy() for pdf in it]
+            eids = np.concatenate(chunks) if chunks else np.empty(0, dtype="int64")
+            if eids.size == 0:
+                return
+            feats, grids, y = cnn_train.batch_arrays(eids)
+            logit = cnn.cnn_forward(state_, feats, grids)
+            li = np.rint(np.abs(logit - y) * 262144.0).astype("int64")
+            yield pd.DataFrame(
+                {"epoch": [epoch], "n_events": [int(eids.size)], "loss_l1": [int(li.sum())]}
+            )
+
+        return fn
+
+    batch = _train_batch(spark, sf_dir)
+    schema = "epoch int, n_events long, loss_l1 long"
+    e1 = batch.mapInPandas(loss_fn(state, 1), schema)
+    e2 = batch.mapInPandas(loss_fn(state2, 2), schema)
+    return (
+        e1.unionByName(e2)
+        .groupBy("epoch")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("loss_l1").alias("loss_l1"))
+        .orderBy("epoch")
+    )

@@ -74,6 +74,17 @@ def build(spark) -> None:
         if not os.path.exists(src_path):
             continue
         df = load_table(spark, SRC, table)
+        if not id_cols:
+            # FIXED-CARDINALITY dims (nation/region): a real higher SF
+            # keeps them at 25/5 rows — replicating them N× duplicated
+            # every key N times and MULTIPLIED every join through them
+            # by N (q7 at 30x: orders⋈customer⋈nation = 135M rows,
+            # li⋈…⋈supplier⋈nation = 4.5B — the "super-linear q5/q7"
+            # the r5/r6 probes recorded was THIS fixture artifact, not
+            # a plan property).  Copy them through verbatim, once.
+            df.write.mode("overwrite").parquet(f"{DST}/{table}.parquet")
+            print(f"built {table} x1 (fixed-cardinality dim)", flush=True)
+            continue
         offsets = {c: df.agg(F.max(c)).first()[0] + 1 for c in id_cols}
         parts = []
         for i in range(REPLICAS):
