@@ -95,6 +95,9 @@ HEADLINE = [
     "zorder_clustering_stats",
     "grouped_percentile_report",
     "hll_distinct_estimate",
+    # round-7 additions: real conv-stack backprop, segmented model eval
+    "distributed_cnn_training",
+    "grouped_auc_by_band",
 ]
 
 

@@ -1360,3 +1360,90 @@ def q_cnn_training_epoch2_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_events").alias("n_events"), F.sum("loss_l1").alias("loss_l1"))
         .orderBy("epoch")
     )
+
+
+@register(
+    "grouped_auc_by_band",
+    survey_ref="A7,A5,§2.6,§2.8",
+    oracle="""
+WITH d AS (
+  SELECT CAST((event_id * 17) % 45 // 15 AS BIGINT) AS band,
+         CAST((event_id * 37 + user_id * 11) % 101 AS BIGINT) AS score,
+         CASE WHEN 5 * (event_id % 97) + (event_id % 11) >= 245 THEN 1 ELSE 0 END AS y
+  FROM events
+),
+h AS (
+  SELECT band, score, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+  FROM d GROUP BY band, score
+),
+c AS (
+  SELECT band, score, pos, neg,
+         SUM(neg) OVER (PARTITION BY band ORDER BY score) - neg AS neg_below
+  FROM h
+),
+t AS (
+  SELECT band, CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS n
+  FROM h GROUP BY band
+)
+SELECT c.band AS band, t.p AS n_pos, t.n AS n_neg,
+       CAST(SUM(c.pos * (2 * c.neg_below + c.neg)) AS BIGINT) AS auc_num2,
+       CAST(2 * t.p * t.n AS BIGINT) AS auc_den2,
+       ROUND(CAST(SUM(c.pos * (2 * c.neg_below + c.neg)) AS DOUBLE)
+             / (2.0 * t.p * t.n), 6) AS auc
+FROM c JOIN t ON c.band = t.band
+GROUP BY c.band, t.p, t.n ORDER BY band
+""",
+)
+def q_grouped_auc_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENTED ROC-AUC: the exact tie-aware Mann-Whitney decomposition
+    of ``exact_auc_report``, sliced by evaluation band — the reference
+    itself evaluates per zenith/energy band
+    (``train_classification.py:284-293``), and real model eval is
+    always segmented.  Same scale shape with the band as an extra key:
+    ONE bounded-key aggregate over the fact ((band, score) ≤ 3×101
+    cells), the cumulative window PARTITIONED by band (no global
+    ordering anywhere), and per-band exact integer numerators.  At
+    100 TB this evaluates every segment in a single pass."""
+    from pyspark.sql import Window
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        F.expr("CAST((event_id * 17) % 45 DIV 15 AS BIGINT)").alias("band"),
+        ((F.col("event_id") * 37 + F.col("user_id") * 11) % 101).cast("bigint").alias("score"),
+        F.when(5 * (F.col("event_id") % 97) + F.col("event_id") % 11 >= 245, 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    h = d.groupBy("band", "score").agg(
+        F.sum("y").alias("pos"), (F.count(F.lit(1)) - F.sum("y")).alias("neg")
+    )
+    wc = Window.partitionBy("band").orderBy("score").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = h.select(
+        "band",
+        "pos",
+        "neg",
+        (F.sum("neg").over(wc) - F.col("neg")).alias("neg_below"),
+    )
+    t = h.groupBy("band").agg(F.sum("pos").alias("p"), F.sum("neg").alias("n"))
+    agg = c.groupBy("band").agg(
+        F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))).alias("auc_num2")
+    )
+    return (
+        agg.join(F.broadcast(t), "band")
+        .select(
+            "band",
+            F.col("p").alias("n_pos"),
+            F.col("n").alias("n_neg"),
+            F.col("auc_num2").cast("long").alias("auc_num2"),
+            (2 * F.col("p") * F.col("n")).cast("long").alias("auc_den2"),
+            F.round(
+                F.col("auc_num2").cast("double") / (2.0 * F.col("p") * F.col("n")), 6
+            ).alias("auc"),
+        )
+        .orderBy("band")
+    )

@@ -30,4 +30,21 @@ for sf in "${SFS[@]}"; do
   }
 done
 
+# Per-family artifact for the never-driver-sampled families (streaming,
+# sources/multimodal, ml) — refresh every round so the committed
+# FAMILY_CHECK_r0N.txt evidence stays current (VERDICT r6 task 7).
+ROUND="${SPARK_GRAFT_ROUND:-}"
+if [ -n "${ROUND}" ]; then
+  out="FAMILY_CHECK_r0${ROUND}.txt"
+  echo "== preflight: family check -> ${out} =="
+  {
+    echo "# Per-family oracle exact-hash check (refreshed by preflight, round ${ROUND})"
+    echo "# cmd: python scripts/check_oracle.py /root/testdata/sf0.01 --families=streaming,sources_multimodal,ml,ml_data"
+    echo "# date: $(date -u +%Y-%m-%dT%H:%MZ)  grade: driver-equivalent exact-hash"
+    python scripts/check_oracle.py /root/testdata/sf0.01 \
+      --families=streaming,sources_multimodal,ml,ml_data 2>/dev/null
+  } > "${out}" || { echo "PREFLIGHT FAIL: family check"; exit 1; }
+  grep -q "^0 failures" "${out}" || { echo "PREFLIGHT FAIL: family check"; exit 1; }
+fi
+
 echo "PREFLIGHT OK: pytest green + exact-hash sweep green at: ${SFS[*]}"
