@@ -137,3 +137,30 @@ def test_decode_image_bytes_routes_jpeg():
     img = decode_image_bytes(jpeg.fixture_jpeg(17))
     assert img.shape == (16, 16)
     assert (img == jpeg.decode_jpeg_gray(jpeg.fixture_jpeg(17))).all()
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """Conformant encoders may pad with 0xFF fill bytes before any
+    marker (ITU-T T.81 §B.1.1.2) — the decoder must skip them
+    (r6 ADVICE). Insert fill bytes before the DQT marker."""
+    b = jpeg.fixture_jpeg(9)
+    ref = jpeg.decode_jpeg_gray(b)
+    dqt = b.index(b"\xff\xdb")
+    padded = b[:dqt] + b"\xff\xff\xff" + b[dqt:]
+    assert (jpeg.decode_jpeg_gray(padded) == ref).all()
+
+
+def test_missing_tables_raise_valueerror_not_keyerror():
+    """A scan referencing a quant/Huffman table id absent from DQT/DHT
+    must raise the documented ValueError (r6 ADVICE: used to KeyError)."""
+    b = bytearray(jpeg.fixture_jpeg(3))
+    # SOF0 component quant-table id lives 10 bytes into the SOF0 seg
+    sof = bytes(b).index(b"\xff\xc0")
+    b[sof + 2 + 2 + 6 + 2] = 3  # comp_q -> undefined table id 3
+    with pytest.raises(ValueError, match="missing quant table"):
+        jpeg.decode_jpeg_gray(bytes(b))
+    b2 = bytearray(jpeg.fixture_jpeg(3))
+    sos = bytes(b2).index(b"\xff\xda")
+    b2[sos + 2 + 2 + 2] = 0x33  # scan dc/ac table ids -> undefined 3/3
+    with pytest.raises(ValueError, match="missing Huffman table"):
+        jpeg.decode_jpeg_gray(bytes(b2))

@@ -512,3 +512,22 @@ def test_reservoir_sample_bounded_and_stable(spark, sf_dir):
     s1 = {(r["user_id"], r["event_id"]) for r in df1.collect()}
     s2 = {(r["user_id"], r["event_id"]) for r in q_reservoir_sample_per_key(spark, sf_dir).collect()}
     assert s1 == s2
+
+
+def test_window_ntile_tiny_fixture_no_null_quartiles(spark, tmp_path):
+    """n_total < 4 used to hit a DIV-by-zero NULL in the else branch
+    (r6 ADVICE); with the GREATEST guard the 3-row case yields exact
+    NTILE semantics: one row per quartile 1..3."""
+    import pyspark.sql.functions as F
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.relational import q_window_ntile
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "c_custkey long, c_acctbal double"
+    ).write.parquet(f"{sf}/customer.parquet")
+    rows = q_window_ntile(spark, sf).orderBy("quartile").collect()
+    quartiles = [r["quartile"] for r in rows]
+    assert quartiles == [1, 2, 3]
+    assert all(r["n"] == 1 for r in rows)
+    assert all(r["quartile"] is not None for r in rows)
