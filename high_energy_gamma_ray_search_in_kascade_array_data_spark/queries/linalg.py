@@ -410,3 +410,104 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 3)
     )
+
+
+@register(
+    "bm25_topk_retrieval",
+    survey_ref="M5:text,§2.6,§2.7",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ('scan', 'join', 'window')
+  GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+comp AS (
+  SELECT tf.doc_id, tf.term,
+         LN(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id), stats s
+),
+pivoted AS (
+  SELECT doc_id,
+         COALESCE(MAX(CASE WHEN term = 'scan' THEN c END), 0.0)
+           + COALESCE(MAX(CASE WHEN term = 'join' THEN c END), 0.0)
+           + COALESCE(MAX(CASE WHEN term = 'window' THEN c END), 0.0) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+  FROM comp GROUP BY doc_id
+)
+SELECT doc_id, ROUND(score, 6) AS bm25, n_terms_hit
+FROM pivoted
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+""",
+)
+def q_bm25_topk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval (k1=1.2, b=0.75, Lucene idf) for the fixed
+    query {scan, join, window} — the ranking function a RAG / data-
+    curation pipeline runs over the same inverted index
+    ``inverted_index_postings`` builds (reference analogue: the
+    selection scans in ``data_preparation.py``; re-derived, not copied).
+
+    Scale shape: one event-scale token aggregate for per-doc length,
+    one *query-filtered* (3-term) tf aggregate — everything after that
+    is query-sized. df (3 rows) and the corpus stats (1 row) ride as
+    broadcast joins; the per-term components are pivoted into fixed
+    columns so the final score is a row-local fixed-order float add
+    (no partition-order-dependent SUM of doubles — the exact-hash
+    discipline ADVICE r6 asked for), then TakeOrderedAndProject top-10.
+    At 100 TB the only full-corpus work is the two token aggregates;
+    candidate rows are bounded by docs containing a query term."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") * F.lit(1.0) / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("term").isin("scan", "join", "window"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    comp = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                * (F.col("tf") * 2.2)
+                / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+            ).alias("c"),
+        )
+    )
+    zero = F.lit(0.0)
+    pivoted = comp.groupBy("doc_id").agg(
+        (
+            F.coalesce(F.max(F.when(F.col("term") == "scan", F.col("c"))), zero)
+            + F.coalesce(F.max(F.when(F.col("term") == "join", F.col("c"))), zero)
+            + F.coalesce(F.max(F.when(F.col("term") == "window", F.col("c"))), zero)
+        ).alias("score"),
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    return (
+        pivoted.select("doc_id", F.round("score", 6).alias("bm25"), "n_terms_hit")
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )

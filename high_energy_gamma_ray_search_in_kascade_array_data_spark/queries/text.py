@@ -1221,3 +1221,247 @@ def q_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", lev.cast("long").alias("lev"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "heaps_law_vocab_growth",
+    survey_ref="M5:text,§2.6,§2.8",
+    oracle="""
+WITH mx AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+bucketed AS (
+  SELECT CAST(doc_id * 10 / mx.n AS INTEGER) AS bucket, tok
+  FROM toks, mx
+),
+per_bucket_tokens AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tok FROM bucketed GROUP BY bucket
+),
+first_bucket AS (
+  SELECT tok, MIN(bucket) AS fb FROM bucketed GROUP BY tok
+),
+new_vocab AS (
+  SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_bucket GROUP BY fb
+)
+SELECT t.bucket,
+       CAST(SUM(t.n_tok) OVER (ORDER BY t.bucket) AS BIGINT) AS tokens_cum,
+       CAST(SUM(COALESCE(v.n_new, 0)) OVER (ORDER BY t.bucket) AS BIGINT) AS vocab_cum
+FROM per_bucket_tokens t LEFT JOIN new_vocab v USING (bucket)
+ORDER BY t.bucket
+""",
+)
+def q_heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: cumulative distinct-token
+    count vs cumulative token count across the corpus in doc_id order,
+    sampled at 10 corpus-fraction buckets — the saturation diagnostic
+    a training-data pipeline uses to decide whether more raw data
+    still adds vocabulary (dedup'd corpora flatten early).
+
+    Scale shape: a token-scale (tok → min bucket) aggregate and a
+    10-key token-count aggregate are the only event-scale exchanges;
+    the cumulative windows run over exactly 10 rows. The first-
+    occurrence decomposition avoids any cumulative COUNT(DISTINCT)
+    over the raw stream (which would need a per-prefix distinct — the
+    banned fact-scale-sort shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    mx = d.agg((F.max("doc_id") + 1).alias("n"))
+    bucketed = (
+        d.crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("doc_id") * 10 / F.col("n")).cast("int").alias("bucket"),
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_tok"))
+    first_bucket = bucketed.groupBy("tok").agg(F.min("bucket").alias("fb"))
+    new_vocab = first_bucket.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_bucket.join(new_vocab, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_tok").over(w).cast("long").alias("tokens_cum"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0))).over(w).cast("long").alias("vocab_cum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "ngram_novelty_by_doc",
+    survey_ref="M5:text,§2.6,§2.7",
+    oracle="""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         l[x] || ' ' || l[x+1] || ' ' || l[x+2] || ' ' || l[x+3] || ' ' || l[x+4] AS g
+  FROM lists, unnest(generate_series(1, len(l) - 4)) AS u(x)
+),
+first_doc AS (SELECT g, MIN(doc_id) AS fd FROM grams GROUP BY g)
+SELECT grams.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc.fd = grams.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN first_doc.fd = grams.doc_id THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 6) AS novelty_frac
+FROM grams JOIN first_doc USING (g)
+GROUP BY grams.doc_id
+""",
+)
+def q_ngram_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram novelty: the fraction of a document's
+    distinct 5-grams whose corpus-wide first occurrence (min doc_id)
+    is this document — the incremental-ingest signal a curation
+    pipeline uses to decide whether a newly crawled document adds
+    anything the corpus hasn't seen (complement of
+    ``decontaminate_overlap``'s train/test direction).
+
+    Scale shape: distinct (doc, gram) aggregate, gram-keyed MIN
+    aggregate, and one gram-keyed join back — all hash exchanges on
+    the gram key, no all-pairs and no sort. The distinct-per-doc step
+    is what bounds the join fan-out for repetitive documents."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split(F.col("text"), " ").alias("l"))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("l") - 5),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("l"), i + 1, 5)),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first_doc = grams.groupBy("g").agg(F.min("doc_id").alias("fd"))
+    novel = F.sum(F.when(F.col("fd") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        grams.join(first_doc, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.cast("long").alias("n_novel"),
+            F.round(novel * 1.0 / F.count(F.lit(1)), 6).alias("novelty_frac"),
+        )
+    )
+
+
+@register(
+    "cdc_chunk_dedup",
+    survey_ref="M5:dedup,§2.5,§2.6",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, text, LENGTH(text) AS n,
+         list_filter(range(8, LENGTH(text)),
+           i -> ((ascii(substring(text, i - 7, 1)) * 13163680
+                + ascii(substring(text, i - 6, 1)) * 805498697
+                + ascii(substring(text, i - 5, 1)) * 154885210
+                + ascii(substring(text, i - 4, 1)) * 362470373
+                + ascii(substring(text, i - 3, 1)) * 16974593
+                + ascii(substring(text, i - 2, 1)) * 66049
+                + ascii(substring(text, i - 1, 1)) * 257
+                + ascii(substring(text, i, 1))) % 1000000007) % 64 = 0)
+           AS cuts
+  FROM documents
+),
+bounds AS (
+  SELECT doc_id, text,
+         list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS b
+  FROM hashed
+),
+chunks AS (
+  SELECT substring(text, CAST(b[j] + 1 AS INTEGER), CAST(b[j + 1] - b[j] AS INTEGER)) AS chunk
+  FROM bounds, unnest(range(1, len(b))) AS u(j)
+  WHERE b[j + 1] > b[j]
+),
+per_chunk AS (
+  SELECT chunk, CAST(COUNT(*) AS BIGINT) AS cnt, LENGTH(chunk) AS clen
+  FROM chunks GROUP BY chunk
+)
+SELECT CAST(SUM(cnt) AS BIGINT) AS total_chunks,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+       CAST(SUM(cnt * clen) AS BIGINT) AS total_bytes,
+       CAST(SUM((cnt - 1) * clen) AS BIGINT) AS dup_bytes,
+       ROUND(SUM((cnt - 1) * clen) * 1.0 / SUM(cnt * clen), 6) AS dedup_ratio
+FROM per_chunk
+""",
+)
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (rsync/LBFS-style): slide an
+    8-char polynomial rolling hash (base 257 mod 1e9+7) over each
+    document, cut a chunk boundary wherever hash % 64 == 0, then
+    dedup the chunk stream globally by content — the storage-level
+    dedup estimate used when shingle/MinHash doc-level dedup
+    (``minhash_lsh_neardup``) is too coarse, robust to insertions
+    because boundaries are content-anchored, not offset-anchored.
+
+    Scale shape: boundary detection is a per-row higher-order
+    filter over a char-position sequence — whole-stage codegen, zero
+    shuffle, embarrassingly parallel (the 8 ascii/substring probes per
+    position are fixed-order exact-integer math, identical in both
+    engines). The only exchanges are the chunk-content hash aggregate
+    and the final 1-row rollup; chunk keys are content hashes, so
+    skew is bounded by true duplication. At 100 TB this is a single
+    pass over the text bytes plus one combine-heavy aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+
+    POW = [13163680, 805498697, 154885210, 362470373, 16974593, 66049, 257, 1]
+
+    def rolling(i):
+        s = None
+        for k, c in enumerate(POW):
+            term = F.ascii(text.substr(i - 7 + k, F.lit(1))) * F.lit(c)
+            s = term if s is None else s + term
+        return s % F.lit(1000000007)
+
+    n = F.length(text)
+    cuts = F.when(
+        n >= 9,
+        F.filter(F.sequence(F.lit(8), n - 1), lambda i: rolling(i) % 64 == 0),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(cuts, lambda x: x.cast("long")),
+        F.array(n.cast("long")),
+    )
+    chunked = d.select(text.alias("text"), bounds.alias("b")).select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("b") - 1),
+                    lambda j: F.struct(
+                        F.col("text")
+                        .substr(
+                            (F.element_at(F.col("b"), j) + 1).cast("int"),
+                            (F.element_at(F.col("b"), j + 1) - F.element_at(F.col("b"), j)).cast(
+                                "int"
+                            ),
+                        )
+                        .alias("chunk"),
+                        (F.element_at(F.col("b"), j + 1) - F.element_at(F.col("b"), j)).alias(
+                            "clen"
+                        ),
+                    ),
+                ),
+                lambda s: s.clen > 0,
+            )
+        ).alias("s")
+    )
+    per_chunk = chunked.select(F.col("s.chunk").alias("chunk")).groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_chunk = per_chunk.select("cnt", F.length("chunk").alias("clen"))
+    return per_chunk.agg(
+        F.sum("cnt").alias("total_chunks"),
+        F.count(F.lit(1)).alias("distinct_chunks"),
+        F.sum(F.col("cnt") * F.col("clen")).alias("total_bytes"),
+        F.sum((F.col("cnt") - 1) * F.col("clen")).alias("dup_bytes"),
+        F.round(
+            F.sum((F.col("cnt") - 1) * F.col("clen")) * 1.0 / F.sum(F.col("cnt") * F.col("clen")),
+            6,
+        ).alias("dedup_ratio"),
+    )

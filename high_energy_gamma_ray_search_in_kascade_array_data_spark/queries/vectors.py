@@ -651,3 +651,108 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register(
+    "semdedup_cluster_prune",
+    survey_ref="M5:similarity,M5:dedup,§2.6",
+    oracle="""
+WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         CAST(ROUND(
+           list_sum(list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.ce[i] AS DOUBLE)))
+           / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(list_sum(list_transform(c.ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           * 1000000) AS BIGINT) AS icos
+  FROM embeddings e, c
+  WHERE e.vec_id >= 8
+),
+assigned AS (
+  SELECT vec_id, MAX((icos + 1000000) * 8 + (7 - cid)) AS code
+  FROM scored GROUP BY vec_id
+),
+decoded AS (
+  SELECT vec_id,
+         7 - (code % 8) AS cid,
+         (code // 8) - 1000000 AS icos
+  FROM assigned
+),
+agg AS (
+  SELECT cid,
+         CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(CASE WHEN icos >= 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_core,
+         MAX(CASE WHEN icos >= 250000 THEN icos * 10000000000 - vec_id END) AS m
+  FROM decoded GROUP BY cid
+)
+SELECT cid, n_members, n_core,
+       CAST(GREATEST(n_core - 1, 0) AS BIGINT) AS n_pruned,
+       ROUND((n_members - GREATEST(n_core - 1, 0)) * 1.0 / n_members, 6) AS kept_frac,
+       COALESCE(((m + 9999999999) // 10000000000) * 10000000000 - m, -1) AS rep_vec
+FROM agg
+ORDER BY cid
+""",
+)
+def q_semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning report (Abbas et al. 2023,
+    arXiv:2303.09540): assign every embedding to its nearest of K=8
+    fixed centroids (the first 8 vectors — deterministic stand-in for
+    a k-means fit), call the members with centroid-cosine >= 0.25 the
+    cluster's semantic-duplicate core, keep one representative (the
+    highest-cosine, lowest-vec_id member) and prune the rest. Emits
+    the per-cluster prune accounting a curation pipeline reviews
+    before dropping data.
+
+    Scale shape: centroids are a broadcast 8-row relation, so scoring
+    is a map-only nested-loop pass over the fact (no shuffle); the
+    per-vector argmax and the per-cluster rollup are the only two
+    exchanges, both hash aggregates (vec- then 8-key). No windows, no
+    all-pairs — the O(n^2) pairwise step of naive SemDeDup is replaced
+    by the centroid-proxy exactly as the paper's cluster-level variant
+    does. Determinism: cosine is a fixed-order 64-element fold,
+    rounded to 1e-6 ticks and integer-encoded; argmax/tie-breaks are
+    pure BIGINT arithmetic ((icos,cid) and (icos,vec_id) packed codes),
+    so both engines agree bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cos = _dot(F.col("embedding"), F.col("ce")) / (
+        F.sqrt(_sq_norm(F.col("embedding"))) * F.sqrt(_sq_norm(F.col("ce")))
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(c))
+        .select(
+            "vec_id",
+            "cid",
+            F.round(cos * 1000000).cast("long").alias("icos"),
+        )
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max((F.col("icos") + 1000000) * 8 + (7 - F.col("cid"))).alias("code")
+    )
+    decoded = assigned.select(
+        "vec_id",
+        (7 - F.col("code") % 8).alias("cid"),
+        (F.expr("code DIV 8") - 1000000).alias("icos"),
+    )
+    core = F.col("icos") >= 250000
+    agg = decoded.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum(F.when(core, 1).otherwise(0)).alias("n_core"),
+        F.max(F.when(core, F.col("icos") * F.lit(10000000000) - F.col("vec_id"))).alias("m"),
+    )
+    pruned = F.greatest(F.col("n_core") - 1, F.lit(0))
+    return agg.select(
+        "cid",
+        "n_members",
+        F.col("n_core").cast("long").alias("n_core"),
+        pruned.cast("long").alias("n_pruned"),
+        F.round((F.col("n_members") - pruned) * 1.0 / F.col("n_members"), 6).alias("kept_frac"),
+        F.coalesce(
+            F.expr("(m + 9999999999) DIV 10000000000") * F.lit(10000000000) - F.col("m"),
+            F.lit(-1),
+        ).alias("rep_vec"),
+    ).orderBy("cid")
