@@ -1465,3 +1465,132 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dedup_ratio"),
     )
+
+
+@register(
+    "unigram_logprob_score",
+    survey_ref="M5:text,§2.6,§2.7",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+),
+total AS (SELECT SUM(c) AS n FROM vocab),
+cost AS (
+  SELECT tok, CAST(ROUND(LN(c * 1.0 / total.n) * 1000000) AS BIGINT) AS inll
+  FROM vocab, total
+)
+SELECT toks.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(-SUM(cost.inll) AS BIGINT) AS nll_micro_total,
+       ROUND(-SUM(cost.inll) * 1.0 / (COUNT(*) * 1000000), 6) AS avg_nll
+FROM toks JOIN cost USING (tok)
+GROUP BY toks.doc_id
+""",
+)
+def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter (CCNet/KenLM-style, unigram
+    order): train a unigram LM on the corpus itself (token → count /
+    total), then score every document by its average negative
+    log-likelihood — the classic 'drop the gibberish tail' signal in a
+    training-data pipeline.
+
+    Scale shape: one vocab-keyed count aggregate trains the LM; the
+    scoring pass is a vocab-keyed join of the token stream against the
+    (broadcastable) cost table plus a per-doc integer-sum aggregate.
+    Per-token costs are fixed-point micro-nats (ROUND(ln·1e6) — one
+    libm call per DISTINCT token, not per occurrence), so the per-doc
+    SUM is exact BIGINT arithmetic with no float-order dependence; the
+    single float division happens once per output row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("n"))
+    cost = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("c") * 1.0 / F.col("n")) * 1000000).cast("long").alias("inll"),
+    )
+    return (
+        toks.join(F.broadcast(cost), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (-F.sum("inll")).cast("long").alias("nll_micro_total"),
+            F.round(-F.sum("inll") * 1.0 / (F.count(F.lit(1)) * 1000000), 6).alias("avg_nll"),
+        )
+    )
+
+
+@register(
+    "quality_classifier_scoring",
+    survey_ref="M5:text,T7,§2.6",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+feat AS (
+  SELECT doc_id, source,
+         (CAST(list_sum(list_transform(range(0, LEAST(LENGTH(tok), 8)),
+              k -> ascii(tok[k+1]) * (31 ** k))) % 64 AS BIGINT)
+          * 2654435761) % 1001 - 500 AS w
+  FROM toks WHERE LENGTH(tok) > 0
+),
+per_doc AS (
+  SELECT doc_id, source,
+         (SUM(w) * 1000) // COUNT(*) AS iavg_milli
+  FROM feat GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN iavg_milli >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+       ROUND(SUM(CASE WHEN iavg_milli >= 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS keep_rate,
+       CAST(SUM(iavg_milli) AS BIGINT) AS sum_iavg_milli
+FROM per_doc
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_quality_classifier_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier over hashed
+    bag-of-words (the CCNet / RefinedWeb keep-drop gate): each token
+    hashes into 64 buckets (same polynomial char hash as
+    ``feature_hashing_counts``), a fixed Knuth-multiplicative weight
+    table stands in for trained weights (deterministic, no model file),
+    a document's score is the mean bucket weight, and keep = score>=0.
+    Emits the per-source keep-rate audit a curation run reports.
+
+    Scale shape: scoring is pure row-local integer column algebra
+    (hash + weight lookup computed arithmetically — no vocabulary, no
+    dictionary join, no broadcast state at all), then one doc-keyed
+    and one source-keyed hash aggregate. All arithmetic is exact
+    BIGINT (floor-div milli-score), so partial-aggregation order never
+    shows."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    h = F.lit(0).cast("long")
+    for k in range(8):
+        code = F.when(
+            F.length("tok") > k, F.ascii(F.substring("tok", k + 1, 1)).cast("long")
+        ).otherwise(F.lit(0))
+        h = h + code * F.lit(31**k)
+    w = ((h % 64) * F.lit(2654435761)) % 1001 - 500
+    per_doc = (
+        toks.select("doc_id", "source", w.alias("w"))
+        .groupBy("doc_id", "source")
+        .agg(F.expr("(SUM(w) * 1000) DIV COUNT(*)").alias("iavg_milli"))
+    )
+    keep = F.sum(F.when(F.col("iavg_milli") >= 0, 1).otherwise(0))
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            keep.cast("long").alias("n_keep"),
+            F.round(keep * 1.0 / F.count(F.lit(1)), 6).alias("keep_rate"),
+            F.sum("iavg_milli").cast("long").alias("sum_iavg_milli"),
+        )
+        .orderBy("source")
+    )
