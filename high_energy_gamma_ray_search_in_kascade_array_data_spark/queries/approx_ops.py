@@ -866,3 +866,79 @@ def q_bom_subtree_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_c").alias("subtree_cents"),
         )
     )
+
+
+@register(
+    "poisson_bootstrap_ci",
+    survey_ref="§2.3,§2.6,A4",
+    oracle="""
+WITH reps AS (
+  SELECT e.event_id,
+         CAST(ROUND(e.value * 1000000) AS BIGINT) AS iv,
+         b.b,
+         ((e.event_id % 1000003) * 31 + b.b * 7 + 11) * 2654435761 % 1000000 AS u
+  FROM events e, (SELECT unnest(range(0, 16)) AS b) b
+),
+weighted AS (
+  SELECT b,
+         CASE WHEN u < 367879 THEN 0
+              WHEN u < 735759 THEN 1
+              WHEN u < 919699 THEN 2
+              WHEN u < 981012 THEN 3
+              WHEN u < 996340 THEN 4
+              ELSE 5 END AS w,
+         iv
+  FROM reps
+)
+SELECT b,
+       CAST(SUM(w) AS BIGINT) AS n_eff,
+       ROUND(SUM(w * iv) * 1.0 / (SUM(w) * 1000000), 6) AS boot_mean
+FROM weighted
+GROUP BY b ORDER BY b
+""",
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (the distributed bootstrap: resample weights
+    ~ Poisson(1) instead of materializing resamples — Chamandy et al.,
+    'Estimating uncertainty for massive data streams', Google 2012):
+    16 bootstrap replicates of the mean event value in ONE pass, each
+    event's per-replicate weight drawn by inverse-CDF lookup on a
+    deterministic integer hash (seeded by event_id × replicate), so
+    the replicate means' spread is the standard error estimate.
+
+    Scale shape: a literal 16-row explode fans each event into its
+    replicates map-side (no shuffle to resample — the whole point at
+    100 TB, where a true resample would shuffle the fact 16×), then
+    one 16-key aggregate. Weights and micro-value sums are exact
+    BIGINT (hash stays under 2^63: (1000003·31+123)·2654435761 ≈
+    8.2e16), the only float division is once per output row."""
+    e = load_table(spark, sf_dir, "events")
+    b = spark.range(16).select(F.col("id").cast("int").alias("b"))
+    reps = e.crossJoin(F.broadcast(b)).select(
+        F.col("b"),
+        F.round(F.col("value") * 1000000).cast("long").alias("iv"),
+        (
+            ((F.col("event_id") % 1000003) * 31 + F.col("b") * 7 + 11)
+            * F.lit(2654435761)
+            % 1000000
+        ).alias("u"),
+    )
+    w = (
+        F.when(F.col("u") < 367879, 0)
+        .when(F.col("u") < 735759, 1)
+        .when(F.col("u") < 919699, 2)
+        .when(F.col("u") < 981012, 3)
+        .when(F.col("u") < 996340, 4)
+        .otherwise(5)
+    )
+    return (
+        reps.select("b", w.alias("w"), "iv")
+        .groupBy("b")
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.round(F.sum(F.col("w") * F.col("iv")) * 1.0 / (F.sum("w") * 1000000), 6).alias(
+                "boot_mean"
+            ),
+        )
+        .orderBy("b")
+    )

@@ -1594,3 +1594,83 @@ def q_quality_classifier_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "bpe_encode_fertility",
+    survey_ref="M5:text,§2.4,§2.6",
+    oracle="""
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+),
+spaced AS (
+  SELECT source, w,
+         ' ' || array_to_string(list_transform(range(1, LENGTH(w) + 1),
+                                i -> substring(w, i, 1)), ' ') || ' ' AS s
+  FROM words WHERE LENGTH(w) > 0
+),
+merged AS (
+  SELECT source, w,
+         replace(replace(replace(replace(replace(replace(
+           s, ' e r ', ' er '), ' i n ', ' in '), ' o w ', ' ow '),
+              ' o r ', ' or '), ' s t ', ' st '), ' e r ', ' er ') AS m
+  FROM spaced
+),
+pieces AS (
+  SELECT source, LENGTH(w) AS n_chars,
+         LEN(string_split(TRIM(m), ' ')) AS n_pieces
+  FROM merged
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(SUM(n_pieces) AS BIGINT) AS n_pieces,
+       ROUND(SUM(n_pieces) * 1.0 / COUNT(*), 6) AS fertility,
+       ROUND(SUM(n_pieces) * 1.0 / SUM(n_chars), 6) AS compression
+FROM pieces
+GROUP BY source ORDER BY source
+""",
+)
+def q_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE (the apply side of ``bpe_merge_training``): segment
+    every word with a fixed 5-merge table (er,in,ow,or,st — the top
+    pairs the training query learns on this corpus, frozen as the
+    tokenizer artifact) by the standard rank-order greedy merge —
+    char-spaced string, sequential ' a b '→' ab ' replaces, with the
+    top-rank merge re-applied after the table (second 'er' pass mirrors
+    rank-order re-scanning for merges re-enabled by later ones). Emits
+    the per-source fertility (pieces/word) and compression
+    (pieces/char) report a tokenizer rollout reviews.
+
+    Scale shape: pure row-local string algebra (explode → chained
+    replace — whole-stage codegen, no UDF, no model broadcast), then
+    one source-keyed aggregate. Counts are exact integers; the two
+    ratios are single end divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("source", F.explode(F.split(F.col("text"), " ")).alias("w")).filter(
+        F.length("w") > 0
+    )
+    spaced = F.concat(
+        F.lit(" "),
+        F.array_join(F.split(F.col("w"), ""), " "),
+        F.lit(" "),
+    )
+    m = spaced
+    for a, b in [("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"), ("e", "r")]:
+        m = F.replace(m, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    pieces = words.select(
+        "source",
+        F.length("w").alias("n_chars"),
+        F.size(F.split(F.trim(m), " ")).alias("n_pieces"),
+    )
+    return (
+        pieces.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_chars").alias("n_chars"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.round(F.sum("n_pieces") * 1.0 / F.count(F.lit(1)), 6).alias("fertility"),
+            F.round(F.sum("n_pieces") * 1.0 / F.sum("n_chars"), 6).alias("compression"),
+        )
+        .orderBy("source")
+    )
