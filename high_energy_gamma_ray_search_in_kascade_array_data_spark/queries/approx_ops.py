@@ -942,3 +942,58 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b")
     )
+
+
+@register(
+    "dp_laplace_counts",
+    survey_ref="§2.6,A3",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type
+),
+noised AS (
+  SELECT event_type, n,
+         (list_sum(list_transform(range(0, LEAST(LENGTH(event_type), 8)),
+              k -> ascii(event_type[k+1]) * (31 ** k))) * 2654435761 % 1000000
+          + 0.5) / 1000000.0 AS u
+  FROM counts
+)
+SELECT event_type, n AS true_n,
+       ROUND(n + (CASE WHEN u >= 0.5 THEN -2.0 ELSE 2.0 END)
+                 * LN(1.0 - 2.0 * ABS(u - 0.5)), 6) AS noisy_n,
+       0.5 AS epsilon
+FROM noised
+ORDER BY event_type
+""",
+)
+def q_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy release shape: per-group counts with
+    Laplace(sensitivity/epsilon = 1/0.5 = scale 2) noise drawn by
+    inverse-CDF on a deterministic per-group hash uniform (seeded
+    noise stands in for a CSPRNG — the privacy calibration and the
+    plan shape are the operator; swap the hash for real entropy in
+    production). Complements ``k_anonymity_generalize`` on the
+    privacy surface.
+
+    Scale shape: one hash aggregate to counts (group-key scale), then
+    row-local noise arithmetic on the tiny result — the noise draw
+    never touches the fact table. One LN per group, rounded to 1e-6."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    h = F.lit(0).cast("long")
+    for k in range(8):
+        code = F.when(
+            F.length("event_type") > k,
+            F.ascii(F.substring("event_type", k + 1, 1)).cast("long"),
+        ).otherwise(F.lit(0))
+        h = h + code * F.lit(31**k)
+    u = (h * F.lit(2654435761) % 1000000 + 0.5) / 1000000.0
+    noise = F.when(u >= 0.5, F.lit(-2.0)).otherwise(F.lit(2.0)) * F.log(
+        1.0 - 2.0 * F.abs(u - 0.5)
+    )
+    return counts.select(
+        "event_type",
+        F.col("n").alias("true_n"),
+        F.round(F.col("n") + noise, 6).alias("noisy_n"),
+        F.lit(0.5).alias("epsilon"),
+    ).orderBy("event_type")

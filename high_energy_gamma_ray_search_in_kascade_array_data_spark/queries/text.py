@@ -16,6 +16,22 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import re
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
 
 
+def _vec_as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _vec_sq_norm(col):
+    return F.aggregate(_vec_as_double(col), F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def _vec_dot(a, b):
+    return F.aggregate(
+        F.zip_with(_vec_as_double(a), _vec_as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def _tokens(df: DataFrame) -> DataFrame:
     return df.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
 
@@ -1673,4 +1689,187 @@ def q_bpe_encode_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("n_pieces") * 1.0 / F.sum("n_chars"), 6).alias("compression"),
         )
         .orderBy("source")
+    )
+
+
+@register(
+    "source_vocab_overlap",
+    survey_ref="M5:dedup,§2.6,§2.7",
+    oracle="""
+WITH vs AS (
+  SELECT DISTINCT source, tok
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+),
+vocab_n AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM vs GROUP BY source
+),
+inter AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM vs a JOIN vs b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT s1, s2, n_inter,
+       (v1.n + v2.n - n_inter) AS n_union,
+       ROUND(n_inter * 1.0 / (v1.n + v2.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN vocab_n v1 ON v1.source = s1
+JOIN vocab_n v2 ON v2.source = s2
+ORDER BY jaccard DESC, s1, s2
+LIMIT 20
+""",
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source vocabulary Jaccard matrix: which data sources
+    share a vocabulary (the corpus-composition / contamination
+    diagnostic run before mixing sources into a training blend) — set
+    intersection via a token-keyed self-join of DISTINCT (source,
+    token), union by inclusion-exclusion from per-source vocabulary
+    sizes, top-20 most-overlapping pairs.
+
+    Scale shape: the distinct projection collapses the token stream
+    to vocabulary scale FIRST, so the self-join's fan-out is bounded
+    by (sources-per-token choose 2) <= 190 per vocab entry, never by
+    occurrences; per-source sizes are a 20-row broadcast. All counts
+    exact integers; one division per emitted pair."""
+    d = load_table(spark, sf_dir, "documents")
+    vs = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).distinct()
+    vocab_n = vs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = vs.alias("a")
+    b = vs.alias("b")
+    inter = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("s1"), F.col("b.source").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    v1 = vocab_n.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+    v2 = vocab_n.select(F.col("source").alias("s2"), F.col("n").alias("n2"))
+    uni = F.col("n1") + F.col("n2") - F.col("n_inter")
+    return (
+        inter.join(F.broadcast(v1), "s1")
+        .join(F.broadcast(v2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "n_inter",
+            uni.alias("n_union"),
+            F.round(F.col("n_inter") * 1.0 / uni, 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "s1", "s2")
+        .limit(20)
+    )
+
+
+@register(
+    "reciprocal_rank_fusion",
+    survey_ref="M5:similarity,§2.7,§2.8",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks WHERE term IN ('scan', 'join', 'window')
+  GROUP BY doc_id, term
+),
+lex_score AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS s FROM tf GROUP BY doc_id
+),
+lex_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+  FROM lex_score QUALIFY r <= 50
+),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT e.vec_id AS doc_id,
+         CAST(ROUND(
+           list_sum(list_transform(range(1, 65),
+                    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qe[i] AS DOUBLE)))
+           / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * SQRT(list_sum(list_transform(q.qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           * 1000000) AS BIGINT) AS icos
+  FROM embeddings e, q WHERE e.vec_id <> 0
+),
+sem_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY icos DESC, doc_id) AS r
+  FROM sem QUALIFY r <= 50
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         COALESCE(1.0 / (60 + l.r), 0.0) + COALESCE(1.0 / (60 + s.r), 0.0) AS rrf,
+         l.r AS lex_r, s.r AS sem_r
+  FROM lex_rank l FULL OUTER JOIN sem_rank s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, ROUND(rrf, 6) AS rrf_score,
+       CAST(COALESCE(lex_r, -1) AS BIGINT) AS lex_rank,
+       CAST(COALESCE(sem_r, -1) AS BIGINT) AS sem_rank
+FROM fused
+ORDER BY rrf_score DESC, doc_id
+LIMIT 10
+""",
+)
+def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval reciprocal-rank fusion (Cormack et al. 2009):
+    fuse a lexical ranking (term-frequency hits on the fixed query
+    {scan, join, window} over ``documents``) with a semantic ranking
+    (cosine to query vector 0 over ``embeddings``, integer-encoded as
+    in ``semdedup_cluster_prune``) via RRF(k=60) over the two top-50
+    lists — the standard RAG retrieval stack (BM25 ⊕ dense) as one
+    declarative plan.
+
+    Scale shape: each leg reduces the corpus to a 50-row ranked list
+    (TakeOrderedAndProject after one aggregate / one broadcast scoring
+    pass); the fusion full-outer join and re-sort touch <= 100 rows.
+    The RRF sum is a fixed-order two-term row-local float add on
+    integer ranks — no order-dependent aggregation anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    lex_score = (
+        toks.filter(F.col("term").isin("scan", "join", "window"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    w_lex = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+    lex_rank = (
+        lex_score.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(50)
+        .withColumn("r", F.row_number().over(w_lex))
+        .select("doc_id", F.col("r").alias("lex_r"))
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cos = _vec_dot(F.col("embedding"), F.col("qe")) / (
+        F.sqrt(_vec_sq_norm(F.col("embedding"))) * F.sqrt(_vec_sq_norm(F.col("qe")))
+    )
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), F.round(cos * 1000000).cast("long").alias("icos"))
+    )
+    w_sem = Window.orderBy(F.desc("icos"), F.asc("doc_id"))
+    sem_rank = (
+        sem.orderBy(F.desc("icos"), F.asc("doc_id"))
+        .limit(50)
+        .withColumn("r", F.row_number().over(w_sem))
+        .select("doc_id", F.col("r").alias("sem_r"))
+    )
+    fused = lex_rank.join(sem_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (60 + F.col("lex_r")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("sem_r")), F.lit(0.0))
+        ).alias("rrf"),
+        "lex_r",
+        "sem_r",
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            F.coalesce(F.col("lex_r"), F.lit(-1)).cast("long").alias("lex_rank"),
+            F.coalesce(F.col("sem_r"), F.lit(-1)).cast("long").alias("sem_rank"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(10)
     )
