@@ -756,3 +756,171 @@ def q_semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1),
         ).alias("rep_vec"),
     ).orderBy("cid")
+
+
+def _icos_sql(a: str, b: str, k: int = 64) -> str:
+    """Integer-encoded (1e-6 tick) cosine over the first k dims."""
+    dot = f"list_sum(list_transform(range(1, {k + 1}), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    na = f"SQRT(list_sum(list_transform({a}[1:{k}], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = f"SQRT(list_sum(list_transform({b}[1:{k}], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"CAST(ROUND({dot} / ({na} * {nb}) * 1000000) AS BIGINT)"
+
+
+def _icos_col(a, b, k: int = 64):
+    ap = F.slice(a, 1, k)
+    bp = F.slice(b, 1, k)
+    return F.round(
+        _dot(ap, bp) / (F.sqrt(_sq_norm(ap)) * F.sqrt(_sq_norm(bp))) * 1000000
+    ).cast("long")
+
+
+@register(
+    "matryoshka_recall_eval",
+    survey_ref="M5:similarity,§2.10",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+full_rank AS (
+  SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY {_icos_sql("e.embedding", "q.qe", 64)} DESC, e.vec_id LIMIT 10
+),
+t16 AS (
+  SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY {_icos_sql("e.embedding", "q.qe", 16)} DESC, e.vec_id LIMIT 10
+),
+t32 AS (
+  SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY {_icos_sql("e.embedding", "q.qe", 32)} DESC, e.vec_id LIMIT 10
+)
+SELECT dims, n_common, ROUND(n_common / 10.0, 6) AS recall_at_10
+FROM (
+  SELECT 16 AS dims,
+         CAST((SELECT COUNT(*) FROM t16 JOIN full_rank USING (vec_id)) AS BIGINT) AS n_common
+  UNION ALL
+  SELECT 32 AS dims,
+         CAST((SELECT COUNT(*) FROM t32 JOIN full_rank USING (vec_id)) AS BIGINT) AS n_common
+)
+ORDER BY dims
+""",
+)
+def q_matryoshka_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-embedding truncation evaluation (Kusupati et al.
+    2022): rank the corpus against query vector 0 using only the
+    first 16 / 32 dims, and report recall@10 against the full-64-dim
+    ranking — the storage-vs-quality trade a vector-index deployment
+    measures before truncating its embedding column.
+
+    Scale shape: each ranking is a map-only broadcast-scored scan
+    reduced by TakeOrderedAndProject to 10 rows (integer-encoded
+    cosine, fixed-order fold, deterministic ties) — three bounded
+    scans, then 10-row joins; no corpus-scale sort or shuffle. The
+    prefix scoring reads the same column (no reprojection), so at
+    100 TB the three passes share the parquet scan bytes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    base = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+
+    def topk(k: int) -> DataFrame:
+        return (
+            base.select("vec_id", _icos_col(F.col("embedding"), F.col("qe"), k).alias("icos"))
+            .orderBy(F.desc("icos"), F.asc("vec_id"))
+            .limit(10)
+            .select("vec_id")
+        )
+
+    full_rank = topk(64)
+    rows = []
+    for dims in (16, 32):
+        common = topk(dims).join(full_rank, "vec_id").agg(
+            F.lit(dims).alias("dims"),
+            F.count(F.lit(1)).alias("n_common"),
+        )
+        rows.append(common)
+    out = rows[0].unionAll(rows[1])
+    return out.select(
+        "dims",
+        "n_common",
+        F.round(F.col("n_common") / 10.0, 6).alias("recall_at_10"),
+    ).orderBy("dims")
+
+
+@register(
+    "ann_recall_at_k",
+    survey_ref="M5:similarity,§2.10",
+    oracle=f"""
+WITH q AS (
+  SELECT embedding AS qe, {_BUCKET_SQL.format(e="embedding")} AS qb
+  FROM embeddings WHERE vec_id = 0
+),
+exact AS (
+  SELECT e.vec_id FROM embeddings e, q WHERE e.vec_id <> 0
+  ORDER BY {_icos_sql("e.embedding", "q.qe", 64)} DESC, e.vec_id LIMIT 10
+),
+probe1 AS (
+  SELECT e.vec_id FROM embeddings e, q
+  WHERE e.vec_id <> 0 AND {_BUCKET_SQL.format(e="e.embedding")} = q.qb
+  ORDER BY {_icos_sql("e.embedding", "q.qe", 64)} DESC, e.vec_id LIMIT 10
+),
+probe5 AS (
+  SELECT e.vec_id FROM embeddings e, q
+  WHERE e.vec_id <> 0 AND {_BUCKET_SQL.format(e="e.embedding")}
+        IN (q.qb, xor(q.qb, 1), xor(q.qb, 2), xor(q.qb, 4), xor(q.qb, 8))
+  ORDER BY {_icos_sql("e.embedding", "q.qe", 64)} DESC, e.vec_id LIMIT 10
+)
+SELECT method, n_common, ROUND(n_common / 10.0, 6) AS recall_at_10
+FROM (
+  SELECT 'probe1' AS method,
+         CAST((SELECT COUNT(*) FROM probe1 JOIN exact USING (vec_id)) AS BIGINT) AS n_common
+  UNION ALL
+  SELECT 'probe5' AS method,
+         CAST((SELECT COUNT(*) FROM probe5 JOIN exact USING (vec_id)) AS BIGINT) AS n_common
+)
+ORDER BY method
+""",
+)
+def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality evaluation: recall@10 of the single-probe and
+    5-bucket multi-probe LSH searches against the exact brute-force
+    top-10 — the acceptance metric every approximate index ships with
+    (probe5 should dominate probe1; both trade recall for scan
+    fraction).
+
+    Scale shape: the exact leg is one TakeOrderedAndProject scan; the
+    probe legs filter to 1/16 (resp. 5/16) of the corpus via the
+    bucket predicate BEFORE scoring, exactly as their production
+    counterparts (``ann_lsh_probe_topk`` / ``ann_multiprobe_lsh_topk``);
+    the recall joins touch 10-row sets. Integer-encoded cosine keeps
+    every comparison deterministic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), _bucket("embedding").alias("qb")
+    )
+    base = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    scored = base.select(
+        "vec_id",
+        "qb",
+        _bucket("embedding").alias("eb"),
+        _icos_col(F.col("embedding"), F.col("qe"), 64).alias("icos"),
+    )
+
+    def topk(df: DataFrame) -> DataFrame:
+        return df.orderBy(F.desc("icos"), F.asc("vec_id")).limit(10).select("vec_id")
+
+    exact = topk(scored)
+    probe1 = topk(scored.filter(F.col("eb") == F.col("qb")))
+    flips = F.array(
+        F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << i)) for i in range(4)]
+    )
+    probe5 = topk(
+        scored.withColumn("pf", flips).filter(F.array_contains(F.col("pf"), F.col("eb")))
+    )
+    rows = []
+    for method, df in (("probe1", probe1), ("probe5", probe5)):
+        rows.append(
+            df.join(exact, "vec_id").agg(
+                F.lit(method).alias("method"), F.count(F.lit(1)).alias("n_common")
+            )
+        )
+    out = rows[0].unionAll(rows[1])
+    return out.select(
+        "method", "n_common", F.round(F.col("n_common") / 10.0, 6).alias("recall_at_10")
+    ).orderBy("method")
