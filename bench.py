@@ -95,9 +95,15 @@ HEADLINE = [
     "zorder_clustering_stats",
     "grouped_percentile_report",
     "hll_distinct_estimate",
-    # round-7 additions: real conv-stack backprop, segmented model eval
+    # round-7 additions: real conv-stack backprop, segmented model eval,
+    # retrieval/curation ops (BM25, SemDeDup, CDC chunking, unigram LM, RRF)
     "distributed_cnn_training",
     "grouped_auc_by_band",
+    "bm25_topk_retrieval",
+    "semdedup_cluster_prune",
+    "cdc_chunk_dedup",
+    "unigram_logprob_score",
+    "reciprocal_rank_fusion",
 ]
 
 

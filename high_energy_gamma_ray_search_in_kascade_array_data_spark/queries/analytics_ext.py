@@ -2543,3 +2543,187 @@ def q_largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "allen_interval_relations",
+    survey_ref="§2.7,§2.8,A3",
+    oracle="""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(ROUND(value * 1000000) AS BIGINT) AS e,
+         event_id
+  FROM events
+),
+pairs AS (
+  SELECT user_id,
+         LAG(s) OVER w AS ps, LAG(e) OVER w AS pe,
+         s, e
+  FROM iv
+  WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+),
+classified AS (
+  SELECT CASE
+           WHEN ps = s AND pe = e THEN 'equals'
+           WHEN ps = s AND pe < e THEN 'starts'
+           WHEN ps = s AND pe > e THEN 'started_by'
+           WHEN pe < s THEN 'before'
+           WHEN pe = s THEN 'meets'
+           WHEN pe < e THEN 'overlaps'
+           WHEN pe = e THEN 'finished_by'
+           ELSE 'contains'
+         END AS relation
+  FROM pairs WHERE ps IS NOT NULL
+)
+SELECT relation, CAST(COUNT(*) AS BIGINT) AS n
+FROM classified
+GROUP BY relation
+ORDER BY relation
+""",
+)
+def q_allen_interval_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra (Allen 1983) over per-user event
+    intervals [ts, ts + value): classify each consecutive interval
+    pair (ordered by start, so 8 of the 13 relations are reachable)
+    and histogram the relations — the temporal-data profiling step
+    that decides whether downstream logic needs overlap handling
+    (``interval_overlap_join``) or can assume disjointness.
+
+    Scale shape: one user-keyed window (lag — partitioned by the
+    natural key, no global sort) and one 8-key aggregate. Interval
+    endpoints are exact BIGINT micros (value rounded to fixed-point
+    micro-units), so every relation predicate is integer equality /
+    order — no float-boundary flakiness."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.round(F.col("value") * 1000000).cast("long")).alias("e"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    pairs = iv.select(
+        F.lag("s").over(w).alias("ps"),
+        F.lag("e").over(w).alias("pe"),
+        "s",
+        "e",
+    ).filter(F.col("ps").isNotNull())
+    relation = (
+        F.when((F.col("ps") == F.col("s")) & (F.col("pe") == F.col("e")), "equals")
+        .when((F.col("ps") == F.col("s")) & (F.col("pe") < F.col("e")), "starts")
+        .when((F.col("ps") == F.col("s")) & (F.col("pe") > F.col("e")), "started_by")
+        .when(F.col("pe") < F.col("s"), "before")
+        .when(F.col("pe") == F.col("s"), "meets")
+        .when(F.col("pe") < F.col("e"), "overlaps")
+        .when(F.col("pe") == F.col("e"), "finished_by")
+        .otherwise("contains")
+    )
+    return (
+        pairs.select(relation.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("relation")
+    )
+
+
+@register(
+    "kaplan_meier_conversion",
+    survey_ref="A6,§2.6,§2.8",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS t0,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS tconv,
+         MAX(epoch_us(ts)) AS tlast
+  FROM events GROUP BY user_id
+),
+durations AS (
+  SELECT (COALESCE(tconv, tlast) - t0) // 60000000 AS t_min,
+         CASE WHEN tconv IS NULL THEN 1 ELSE 0 END AS censored
+  FROM per_user
+),
+at_time AS (
+  SELECT t_min,
+         CAST(SUM(1 - censored) AS BIGINT) AS d,
+         CAST(SUM(censored) AS BIGINT) AS c
+  FROM durations GROUP BY t_min
+),
+risk AS (
+  SELECT t_min, d, c,
+         (SELECT COUNT(*) FROM durations)
+           - COALESCE(SUM(d + c) OVER (ORDER BY t_min
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM at_time
+),
+km AS (
+  SELECT t_min, d, c, n_risk,
+         SUM(CASE WHEN d > 0
+                  THEN CAST(ROUND(LN(1.0 - d * 1.0 / n_risk) * 1000000000) AS BIGINT)
+                  ELSE 0 END)
+           OVER (ORDER BY t_min) AS ilog_s
+  FROM risk
+  WHERE n_risk > d OR d = 0
+)
+SELECT t_min, d AS n_converted, c AS n_censored,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       ROUND(EXP(ilog_s / 1000000000.0), 4) AS km_survival
+FROM km
+ORDER BY t_min
+""",
+)
+def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival estimator over time-to-conversion: per
+    user, duration in whole minutes from first event to first
+    'purchase' (right-censored at the last observed event when no
+    purchase happens), then the product-limit curve S(t) = prod(1 -
+    d_i/n_i) over the ordered event times — the censoring-aware
+    complement of the flagship ``survival_curve`` CDF (which has no
+    censoring notion).
+
+    Scale shape: one user-keyed aggregate collapses the fact table to
+    one row per user; everything after runs at distinct-duration
+    scale (bounded by the observation window in minutes), where the
+    two cumulative windows are fine. The running product is computed
+    as a cumulative BIGINT sum of fixed-point nano-logs (one LN per
+    distinct time), so partial-order float accumulation never occurs;
+    EXP is applied once per output row."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per_user = e.groupBy("user_id").agg(
+        F.min(us).alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("tconv"),
+        F.max(us).alias("tlast"),
+    )
+    durations = per_user.select(
+        F.expr("(COALESCE(tconv, tlast) - t0) DIV 60000000").alias("t_min"),
+        F.when(F.col("tconv").isNull(), 1).otherwise(0).alias("censored"),
+    )
+    at_time = durations.groupBy("t_min").agg(
+        F.sum(1 - F.col("censored")).alias("d"),
+        F.sum("censored").alias("c"),
+    )
+    total = durations.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = Window.orderBy("t_min").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        at_time.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)),
+        )
+        .filter((F.col("n_risk") > F.col("d")) | (F.col("d") == 0))
+    )
+    w_cum = Window.orderBy("t_min").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ilog = F.when(
+        F.col("d") > 0,
+        F.round(F.log(1.0 - F.col("d") * 1.0 / F.col("n_risk")) * 1000000000).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    km = risk.withColumn("ilog_s", F.sum(ilog).over(w_cum))
+    return km.select(
+        "t_min",
+        F.col("d").cast("long").alias("n_converted"),
+        F.col("c").cast("long").alias("n_censored"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.round(F.exp(F.col("ilog_s") / 1000000000.0), 4).alias("km_survival"),
+    ).orderBy("t_min")

@@ -954,7 +954,8 @@ WITH counts AS (
 noised AS (
   SELECT event_type, n,
          (list_sum(list_transform(range(0, LEAST(LENGTH(event_type), 8)),
-              k -> ascii(event_type[k+1]) * (31 ** k))) * 2654435761 % 1000000
+              k -> CAST(ascii(event_type[k+1]) AS BIGINT) * (31 ** k))) % 1000003
+            * 2654435761 % 1000000
           + 0.5) / 1000000.0 AS u
   FROM counts
 )
@@ -987,7 +988,7 @@ def q_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ascii(F.substring("event_type", k + 1, 1)).cast("long"),
         ).otherwise(F.lit(0))
         h = h + code * F.lit(31**k)
-    u = (h * F.lit(2654435761) % 1000000 + 0.5) / 1000000.0
+    u = (h % 1000003 * F.lit(2654435761) % 1000000 + 0.5) / 1000000.0
     noise = F.when(u >= 0.5, F.lit(-2.0)).otherwise(F.lit(2.0)) * F.log(
         1.0 - 2.0 * F.abs(u - 0.5)
     )
@@ -997,3 +998,90 @@ def q_dp_laplace_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") + noise, 6).alias("noisy_n"),
         F.lit(0.5).alias("epsilon"),
     ).orderBy("event_type")
+
+
+@register(
+    "l_diversity_audit",
+    survey_ref="§2.6,P5",
+    oracle="""
+WITH base AS (
+  SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M') AS hour_b,
+         event_type
+  FROM events
+),
+per_group AS (
+  SELECT hour_b,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+  FROM base GROUP BY hour_b
+),
+scored AS (
+  SELECT hour_b, n,
+         (CASE WHEN n_click > 0 THEN 1 ELSE 0 END) + (CASE WHEN n_error > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_purchase > 0 THEN 1 ELSE 0 END) + (CASE WHEN n_signup > 0 THEN 1 ELSE 0 END)
+           + (CASE WHEN n_view > 0 THEN 1 ELSE 0 END) AS distinct_l,
+         0.0 - (CASE WHEN n_click > 0 THEN n_click * 1.0 / n * LN(n_click * 1.0 / n) ELSE 0.0 END)
+             - (CASE WHEN n_error > 0 THEN n_error * 1.0 / n * LN(n_error * 1.0 / n) ELSE 0.0 END)
+             - (CASE WHEN n_purchase > 0 THEN n_purchase * 1.0 / n * LN(n_purchase * 1.0 / n) ELSE 0.0 END)
+             - (CASE WHEN n_signup > 0 THEN n_signup * 1.0 / n * LN(n_signup * 1.0 / n) ELSE 0.0 END)
+             - (CASE WHEN n_view > 0 THEN n_view * 1.0 / n * LN(n_view * 1.0 / n) ELSE 0.0 END) AS h
+  FROM per_group
+)
+SELECT hour_b, n, CAST(distinct_l AS BIGINT) AS distinct_l,
+       ROUND(EXP(h), 6) AS entropy_l,
+       CAST(CASE WHEN distinct_l >= 3 AND EXP(h) >= 2.0 THEN 1 ELSE 0 END AS BIGINT) AS release_ok
+FROM scored
+ORDER BY hour_b
+""",
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) companion to
+    ``k_anonymity_generalize``: for each quasi-identifier group (hour
+    bucket), measure how diverse the sensitive attribute (event_type)
+    is — both distinct-l and entropy-l — and flag groups safe to
+    release under (distinct >= 3, entropy-l >= 2). k-anonymity alone
+    leaves a group of 8 identical purchases fully disclosive; this is
+    the check that catches it.
+
+    Scale shape: one hash aggregate to the hour grain with the five
+    known sensitive categories pivoted into fixed columns, so the
+    entropy is a fixed-order row-local expression over exact integer
+    counts (no order-dependent float SUM) — one LN per (group,
+    category), applied on the aggregated relation only."""
+    ev = load_table(spark, sf_dir, "events")
+    cats = ["click", "error", "purchase", "signup", "view"]
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(F.when(F.col("event_type") == c, 1).otherwise(0)).alias(f"n_{c}") for c in cats
+    ]
+    per_group = (
+        ev.select(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm").alias("hour_b"),
+            "event_type",
+        )
+        .groupBy("hour_b")
+        .agg(*aggs)
+    )
+    distinct_l = None
+    h = F.lit(0.0)
+    for c in cats:
+        nc = F.col(f"n_{c}")
+        ind = F.when(nc > 0, 1).otherwise(0)
+        distinct_l = ind if distinct_l is None else distinct_l + ind
+        p = nc * 1.0 / F.col("n")
+        h = h - F.when(nc > 0, p * F.log(p)).otherwise(F.lit(0.0))
+    return (
+        per_group.select(
+            "hour_b",
+            "n",
+            distinct_l.cast("long").alias("distinct_l"),
+            F.round(F.exp(h), 6).alias("entropy_l"),
+            F.when((distinct_l >= 3) & (F.exp(h) >= 2.0), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("release_ok"),
+        ).orderBy("hour_b")
+    )

@@ -1248,7 +1248,7 @@ toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
 bucketed AS (
-  SELECT CAST(doc_id * 10 / mx.n AS INTEGER) AS bucket, tok
+  SELECT CAST((doc_id * 10) // mx.n AS INTEGER) AS bucket, tok
   FROM toks, mx
 ),
 per_bucket_tokens AS (
@@ -1285,7 +1285,7 @@ def q_heaps_law_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed = (
         d.crossJoin(F.broadcast(mx))
         .select(
-            (F.col("doc_id") * 10 / F.col("n")).cast("int").alias("bucket"),
+            F.expr("(doc_id * 10) DIV n").cast("int").alias("bucket"),
             F.explode(F.split(F.col("text"), " ")).alias("tok"),
         )
     )
@@ -1372,14 +1372,14 @@ def q_ngram_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH hashed AS (
   SELECT doc_id, text, LENGTH(text) AS n,
          list_filter(range(8, LENGTH(text)),
-           i -> ((ascii(substring(text, i - 7, 1)) * 13163680
-                + ascii(substring(text, i - 6, 1)) * 805498697
-                + ascii(substring(text, i - 5, 1)) * 154885210
-                + ascii(substring(text, i - 4, 1)) * 362470373
-                + ascii(substring(text, i - 3, 1)) * 16974593
-                + ascii(substring(text, i - 2, 1)) * 66049
-                + ascii(substring(text, i - 1, 1)) * 257
-                + ascii(substring(text, i, 1))) % 1000000007) % 64 = 0)
+           i -> ((CAST(ascii(substring(text, i - 7, 1)) AS BIGINT) * 13163680
+                + CAST(ascii(substring(text, i - 6, 1)) AS BIGINT) * 805498697
+                + CAST(ascii(substring(text, i - 5, 1)) AS BIGINT) * 154885210
+                + CAST(ascii(substring(text, i - 4, 1)) AS BIGINT) * 362470373
+                + CAST(ascii(substring(text, i - 3, 1)) AS BIGINT) * 16974593
+                + CAST(ascii(substring(text, i - 2, 1)) AS BIGINT) * 66049
+                + CAST(ascii(substring(text, i - 1, 1)) AS BIGINT) * 257
+                + CAST(ascii(substring(text, i, 1)) AS BIGINT)) % 1000000007) % 64 = 0)
            AS cuts
   FROM documents
 ),
@@ -1430,7 +1430,7 @@ def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rolling(i):
         s = None
         for k, c in enumerate(POW):
-            term = F.ascii(text.substr(i - 7 + k, F.lit(1))) * F.lit(c)
+            term = F.ascii(text.substr(i - 7 + k, F.lit(1))).cast("long") * F.lit(c)
             s = term if s is None else s + term
         return s % F.lit(1000000007)
 
@@ -1872,4 +1872,83 @@ def q_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(10)
+    )
+
+
+@register(
+    "rake_keyword_scores",
+    survey_ref="M5:text,§2.6,§2.8",
+    oracle="""
+WITH lists AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+toks AS (
+  SELECT doc_id, x AS pos, l[x] AS tok
+  FROM lists, unnest(generate_series(1, len(l))) AS u(x)
+),
+content AS (
+  SELECT doc_id, pos, tok,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM toks
+  WHERE tok NOT IN ('the', 'a', 'and', 'of', 'to', 'in', 'is')
+),
+phrase_len AS (
+  SELECT doc_id, island, CAST(COUNT(*) AS BIGINT) AS plen
+  FROM content GROUP BY doc_id, island
+),
+word_stats AS (
+  SELECT c.tok,
+         CAST(COUNT(*) AS BIGINT) AS freq,
+         CAST(SUM(p.plen) AS BIGINT) AS degree
+  FROM content c JOIN phrase_len p USING (doc_id, island)
+  GROUP BY c.tok
+  HAVING COUNT(*) >= 5
+)
+SELECT tok, freq, degree, ROUND(degree * 1.0 / freq, 6) AS rake_score
+FROM word_stats
+ORDER BY rake_score DESC, tok
+LIMIT 20
+""",
+)
+def q_rake_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): split each document
+    into candidate phrases at stopword boundaries (gaps-and-islands
+    over token positions), then score every content word by
+    degree/frequency — degree being the summed length of the phrases
+    it appears in — and emit the top-20 corpus keywords. The classic
+    no-model keyword extractor a curation pipeline runs for corpus
+    topic profiling.
+
+    Scale shape: the island id is a doc-keyed window (natural
+    partition key, no global sort); phrase lengths and word stats are
+    hash aggregates keyed by (doc, island) and token; the final
+    ranking is TakeOrderedAndProject over the >=5-frequency vocab.
+    freq/degree are exact integers, one division per emitted row."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    content = toks.filter(
+        ~F.col("tok").isin("the", "a", "and", "of", "to", "in", "is")
+    ).withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    phrase_len = content.groupBy("doc_id", "island").agg(
+        F.count(F.lit(1)).alias("plen")
+    )
+    word_stats = (
+        content.join(phrase_len, ["doc_id", "island"])
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("degree"))
+        .filter(F.col("freq") >= 5)
+    )
+    return (
+        word_stats.select(
+            "tok",
+            "freq",
+            "degree",
+            F.round(F.col("degree") * 1.0 / F.col("freq"), 6).alias("rake_score"),
+        )
+        .orderBy(F.desc("rake_score"), F.asc("tok"))
+        .limit(20)
     )

@@ -65,6 +65,13 @@ def main() -> int:
         args.append(a)
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
+    # Guard against vacuous runs: a typo'd / unsupported selector (e.g.
+    # "--only=a,b") would otherwise match nothing and print "0 failures"
+    # for a sweep that checked zero queries.
+    unknown = only - set(corpus())
+    if unknown:
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        return 2
     spark = get_spark("oracle_check")
     con = duckdb_con(sf_dir)
     n_fail = 0
