@@ -2727,3 +2727,71 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_risk").cast("long").alias("n_risk"),
         F.round(F.exp(F.col("ilog_s") / 1000000000.0), 4).alias("km_survival"),
     ).orderBy("t_min")
+
+
+@register(
+    "gini_activity_inequality",
+    survey_ref="§2.6,§2.8,A9",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS w FROM events GROUP BY user_id
+),
+by_wealth AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM per_user GROUP BY w
+),
+ranked AS (
+  SELECT w, n_w,
+         COALESCE(SUM(n_w) OVER (ORDER BY w
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS a
+  FROM by_wealth
+),
+terms AS (
+  SELECT SUM(n_w) AS n,
+         SUM(w * n_w) AS total,
+         SUM(w * (n_w * a + n_w * (n_w + 1) // 2)) AS rank_sum
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(total AS BIGINT) AS total_events,
+       ROUND(2.0 * rank_sum / (n * total) - (n + 1.0) / n, 6) AS gini
+FROM terms
+""",
+)
+def q_gini_activity_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity (event counts) — the
+    inequality/skew diagnostic a platform runs to know whether 1% of
+    users generate 90% of events (which is also exactly the key-skew
+    statistic that predicts shuffle stragglers on user-keyed joins;
+    cf. ``join_size_from_degrees``).
+
+    Scale shape: the fact table collapses to one row per user, then to
+    one row per DISTINCT wealth level — the rank-weighted sum
+    Σ i·x_i is evaluated in closed form per tie-group (x·(n_w·a +
+    n_w(n_w+1)/2), a = users below), so no global sort of users ever
+    happens: the only window is a prefix-sum over the tiny distinct-
+    wealth relation. Every term is exact BIGINT; the two divisions
+    happen once, in the final 1-row projection."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("w"))
+    by_wealth = per_user.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    wb = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = by_wealth.withColumn(
+        "a", F.coalesce(F.sum("n_w").over(wb), F.lit(0))
+    )
+    terms = ranked.agg(
+        F.sum("n_w").alias("n"),
+        F.sum(F.col("w") * F.col("n_w")).alias("total"),
+        F.sum(
+            F.col("w")
+            * (F.col("n_w") * F.col("a") + F.expr("n_w * (n_w + 1) DIV 2"))
+        ).alias("rank_sum"),
+    )
+    return terms.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("total").cast("long").alias("total_events"),
+        F.round(
+            2.0 * F.col("rank_sum") / (F.col("n") * F.col("total"))
+            - (F.col("n") + 1.0) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

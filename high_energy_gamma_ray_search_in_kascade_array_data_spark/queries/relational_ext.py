@@ -2117,3 +2117,121 @@ def q_grouped_percentile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "p", "n", F.col("cents").alias("pct_cents"))
         .orderBy("event_type", "p")
     )
+
+
+@register(
+    "trimmed_mean_robust",
+    survey_ref="§2.6,§2.8,A4",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events
+),
+ordered AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MAX(n) // 10 AS BIGINT) AS k_trim,
+       CAST(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN cents ELSE 0 END) AS BIGINT)
+         AS trimmed_cents,
+       ROUND(SUM(CASE WHEN rn > n // 10 AND rn <= n - n // 10 THEN cents ELSE 0 END) * 1.0
+             / ((MAX(n) - 2 * (MAX(n) // 10)) * 100), 6) AS trimmed_mean
+FROM ordered
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_trimmed_mean_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean per group (the robust location estimator that
+    survives the outliers ``mad_outlier_events`` detects): drop the
+    lowest and highest n/10 observations by rank and average the rest
+    — computed WITHOUT the per-group fact-scale row_number the oracle
+    uses.
+
+    Decomposition (same two-phase locate discipline as
+    ``grouped_percentile_report``): a (group, cent-range) histogram
+    with per-group prefix sums classifies every range as fully-inside
+    the kept rank interval (its SUM(cents) — carried as a mergeable
+    partial aggregate — is taken wholesale), fully-outside (dropped),
+    or boundary (at most two per group); only boundary ranges are
+    rescanned and ranked in bounded windows. All sums/counts are exact
+    BIGINT cents; one division per group at the end."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents")
+    )
+    coarse = c.groupBy("event_type", F.expr("cents DIV 100").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("bn"), F.sum("cents").alias("bsum")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist = coarse.select(
+        "event_type",
+        "bucket",
+        "bn",
+        "bsum",
+        (F.sum("bn").over(wcum) - F.col("bn")).alias("below"),
+        F.sum("bn").over(
+            Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    k = F.expr("n DIV 10")
+    lo = k + 1          # first kept rank
+    hi = F.col("n") - k  # last kept rank
+    first_rank = F.col("below") + 1
+    last_rank = F.col("below") + F.col("bn")
+    hist = hist.withColumn("lo", lo).withColumn("hi", hi)
+    inside = hist.filter((first_rank >= F.col("lo")) & (last_rank <= F.col("hi")))
+    boundary = hist.filter(
+        (first_rank <= F.col("hi"))
+        & (last_rank >= F.col("lo"))
+        & ((first_rank < F.col("lo")) | (last_rank > F.col("hi")))
+    )
+    inside_sum = inside.groupBy("event_type").agg(
+        F.sum("bsum").alias("in_cents"), F.max("n").alias("n1")
+    )
+    bsel = boundary.select(
+        F.col("event_type").alias("et"),
+        F.col("bucket").alias("tb"),
+        F.col("below").alias("bbelow"),
+        F.col("lo").alias("blo"),
+        F.col("hi").alias("bhi"),
+        F.col("n").alias("n2"),
+    )
+    fine = c.join(
+        F.broadcast(bsel),
+        (F.col("event_type") == F.col("et")) & (F.expr("cents DIV 100") == F.col("tb")),
+    )
+    wb = Window.partitionBy("event_type", "tb").orderBy("cents")
+    fine_ranked = fine.withColumn("grank", F.col("bbelow") + F.row_number().over(wb))
+    boundary_sum = (
+        fine_ranked.filter((F.col("grank") >= F.col("blo")) & (F.col("grank") <= F.col("bhi")))
+        .groupBy("event_type")
+        .agg(F.sum("cents").alias("b_cents"), F.max("n2").alias("n2"))
+    )
+    merged = (
+        inside_sum.join(boundary_sum, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce(F.col("n1"), F.col("n2")).alias("n"),
+            (F.coalesce(F.col("in_cents"), F.lit(0)) + F.coalesce(F.col("b_cents"), F.lit(0))).alias(
+                "trimmed_cents"
+            ),
+        )
+    )
+    kept = F.col("n") - 2 * F.expr("n DIV 10")
+    return merged.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr("n DIV 10").cast("long").alias("k_trim"),
+        F.col("trimmed_cents").cast("long").alias("trimmed_cents"),
+        F.round(F.col("trimmed_cents") * 1.0 / (kept * 100), 6).alias("trimmed_mean"),
+    ).orderBy("event_type")
