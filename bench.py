@@ -104,6 +104,10 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "unigram_logprob_score",
     "reciprocal_rank_fusion",
+    "kaplan_meier_conversion",
+    "rake_keyword_scores",
+    "gini_activity_inequality",
+    "trimmed_mean_robust",
 ]
 
 

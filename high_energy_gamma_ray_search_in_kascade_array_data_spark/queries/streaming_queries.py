@@ -836,3 +836,70 @@ def q_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     core.run_to_memory(regs, "stream_hll_registers_sink", state_partitions=8)
     return spark.table("stream_hll_registers_sink").orderBy("bucket")
+
+
+@register(
+    "stream_cdc_chunk_dedup",
+    survey_ref="§2.11,M5:dedup",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, text, LENGTH(text) AS n,
+         list_filter(range(8, LENGTH(text)),
+           i -> ((CAST(ascii(substring(text, i - 7, 1)) AS BIGINT) * 13163680
+                + CAST(ascii(substring(text, i - 6, 1)) AS BIGINT) * 805498697
+                + CAST(ascii(substring(text, i - 5, 1)) AS BIGINT) * 154885210
+                + CAST(ascii(substring(text, i - 4, 1)) AS BIGINT) * 362470373
+                + CAST(ascii(substring(text, i - 3, 1)) AS BIGINT) * 16974593
+                + CAST(ascii(substring(text, i - 2, 1)) AS BIGINT) * 66049
+                + CAST(ascii(substring(text, i - 1, 1)) AS BIGINT) * 257
+                + CAST(ascii(substring(text, i, 1)) AS BIGINT)) % 1000000007) % 64 = 0)
+           AS cuts
+  FROM documents
+),
+bounds AS (
+  SELECT doc_id, text,
+         list_concat(list_concat([CAST(0 AS BIGINT)], cuts), [CAST(n AS BIGINT)]) AS b
+  FROM hashed
+),
+chunks AS (
+  SELECT substring(text, CAST(b[j] + 1 AS INTEGER), CAST(b[j + 1] - b[j] AS INTEGER)) AS chunk
+  FROM bounds, unnest(range(1, len(b))) AS u(j)
+  WHERE b[j + 1] > b[j]
+),
+per_chunk AS (
+  SELECT chunk, CAST(COUNT(*) AS BIGINT) AS cnt FROM chunks GROUP BY chunk
+)
+SELECT CAST(SUM(cnt) AS BIGINT) AS total_chunks,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+       CAST(SUM((cnt - 1) * LENGTH(chunk)) AS BIGINT) AS dup_bytes
+FROM per_chunk
+""",
+)
+def q_stream_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING content-defined-chunking dedup: documents arrive as a
+    stream, the stateless Arrow chunking kernel (``cdc_chunk_stream``,
+    shared with the batch query) cuts them in-flight, and the engine
+    maintains the per-chunk count incrementally (complete-mode
+    aggregate — the chunk table IS the dedup index a storage layer
+    keeps warm); the final accounting rolls up the result table
+    batch-side after the drain. Replay-equivalent to
+    ``cdc_chunk_dedup``'s semantics by the DuckDB oracle.
+
+    Scale: streaming state is one row per DISTINCT chunk (content-
+    bounded, like the dedup index itself); the chunking projection is
+    stateless, so the only stateful operator is the keyed count."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.text import (
+        cdc_chunk_stream,
+    )
+
+    docs = core.read_documents_stream(spark, sf_dir)
+    per_chunk = cdc_chunk_stream(docs).groupBy("chunk").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    core.run_to_memory(per_chunk, "stream_cdc_chunk_sink", state_partitions=8)
+    sink = spark.table("stream_cdc_chunk_sink")
+    return sink.agg(
+        F.sum("cnt").alias("total_chunks"),
+        F.count(F.lit(1)).alias("distinct_chunks"),
+        F.sum((F.col("cnt") - 1) * F.length("chunk")).alias("dup_bytes"),
+    )

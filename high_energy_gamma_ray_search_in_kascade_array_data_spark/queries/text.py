@@ -1365,6 +1365,77 @@ def q_ngram_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_POW = [13163680, 805498697, 154885210, 362470373, 16974593, 66049, 257, 1]
+
+
+def cdc_chunk_stream(d: DataFrame) -> DataFrame:
+    """Content-defined chunking of a ``text`` column → one row per
+    chunk (column ``chunk``). Boundary detection is a sliding 8-wide
+    polynomial rolling hash (base 257 mod 1e9+7, cut at hash % 64 == 0)
+    run as a vectorized Arrow kernel: Catalyst higher-order functions
+    evaluate interpreted (ArrayFilter.eval, no codegen) and measured
+    14.6 s at sf0.1, vs ~1 s for one np.frombuffer + 8 shifted
+    multiply-adds per batch — exact int64 (max term 127·8.06e8, 8-term
+    sum < 2^63), bit-identical to the per-position SQL oracle formula.
+    Works on batch AND streaming DataFrames (stateless projection)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: module has `from __future__ import annotations`, which turns
+    # hints into strings pandas_udf can't inspect — set them post-hoc.
+    def _cut_positions_fn(texts):
+        pows = np.array(_CDC_POW, dtype=np.int64)
+        out = []
+        for t in texts:
+            b = np.frombuffer(t.encode("latin-1", "replace"), dtype=np.uint8).astype(np.int64)
+            n = len(b)
+            if n < 9:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            # position i (1-based, 8..n-1) hashes chars [i-8, i) 0-based
+            h = np.zeros(n - 8, dtype=np.int64)
+            for k in range(8):
+                h += b[k : k + n - 8] * pows[k]
+            cuts = (np.arange(8, n, dtype=np.int64))[(h % 1000000007) % 64 == 0]
+            out.append(cuts)
+        return pd.Series(out)
+
+    _cut_positions_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _cut_positions = pandas_udf(_cut_positions_fn, "array<long>")
+
+    text = F.col("text")
+    n = F.length(text)
+    bounds = F.concat(
+        F.array(F.lit(0).cast("long")),
+        _cut_positions(text),
+        F.array(n.cast("long")),
+    )
+    return d.select(text.alias("text"), bounds.alias("b")).select(
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("b") - 1),
+                    lambda j: F.struct(
+                        F.col("text")
+                        .substr(
+                            (F.element_at(F.col("b"), j) + 1).cast("int"),
+                            (F.element_at(F.col("b"), j + 1) - F.element_at(F.col("b"), j)).cast(
+                                "int"
+                            ),
+                        )
+                        .alias("chunk"),
+                        (F.element_at(F.col("b"), j + 1) - F.element_at(F.col("b"), j)).alias(
+                            "clen"
+                        ),
+                    ),
+                ),
+                lambda s: s.clen > 0,
+            )
+        ).alias("s")
+    ).select(F.col("s.chunk").alias("chunk"))
+
+
 @register(
     "cdc_chunk_dedup",
     survey_ref="M5:dedup,§2.5,§2.6",
@@ -1406,93 +1477,26 @@ FROM per_chunk
 """,
 )
 def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content-defined-chunking dedup (rsync/LBFS-style): slide an
-    8-char polynomial rolling hash (base 257 mod 1e9+7) over each
-    document, cut a chunk boundary wherever hash % 64 == 0, then
+    """Content-defined-chunking dedup (rsync/LBFS-style): cut every
+    document into content-anchored chunks (``cdc_chunk_stream``), then
     dedup the chunk stream globally by content — the storage-level
     dedup estimate used when shingle/MinHash doc-level dedup
     (``minhash_lsh_neardup``) is too coarse, robust to insertions
     because boundaries are content-anchored, not offset-anchored.
 
-    Scale shape: boundary detection is a per-row higher-order
-    filter over a char-position sequence — whole-stage codegen, zero
-    shuffle, embarrassingly parallel (the 8 ascii/substring probes per
-    position are fixed-order exact-integer math, identical in both
-    engines). The only exchanges are the chunk-content hash aggregate
-    and the final 1-row rollup; chunk keys are content hashes, so
-    skew is bounded by true duplication. At 100 TB this is a single
-    pass over the text bytes plus one combine-heavy aggregate."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
+    Scale shape: chunking is a stateless Arrow-kernel projection —
+    zero shuffle, embarrassingly parallel; the only exchanges are the
+    chunk-content hash aggregate and the final 1-row rollup. Chunk
+    keys are content hashes, so skew is bounded by true duplication.
+    At 100 TB this is a single pass over the text bytes plus one
+    combine-heavy aggregate."""
     d = load_table(spark, sf_dir, "documents")
-    text = F.col("text")
-
-    POW = [13163680, 805498697, 154885210, 362470373, 16974593, 66049, 257, 1]
-
-    # Boundary detection is a sliding 8-wide integer dot product per
-    # character — Catalyst higher-order functions evaluate interpreted
-    # (ArrayFilter.eval, no codegen), which measured 14.6 s at sf0.1, so
-    # the scan runs as a vectorized Arrow kernel instead: one
-    # np.frombuffer + 8 shifted multiply-adds per batch, exact int64
-    # (max term 127·8.06e8, 8-term sum < 2^63), bit-identical to the
-    # oracle's per-position formula.
-    # NB: module has `from __future__ import annotations`, which turns
-    # hints into strings pandas_udf can't inspect — set them post-hoc.
-    def _cut_positions_fn(texts):
-        pows = np.array(POW, dtype=np.int64)
-        out = []
-        for t in texts:
-            b = np.frombuffer(t.encode("latin-1", "replace"), dtype=np.uint8).astype(np.int64)
-            n = len(b)
-            if n < 9:
-                out.append(np.empty(0, dtype=np.int64))
-                continue
-            # position i (1-based, 8..n-1) hashes chars [i-8, i) 0-based
-            h = np.zeros(n - 8, dtype=np.int64)  # windows ending at 1-based pos 8..n-1
-            for k in range(8):
-                h += b[k : k + n - 8] * pows[k]
-            cuts = (np.arange(8, n, dtype=np.int64))[(h % 1000000007) % 64 == 0]
-            out.append(cuts)
-        return pd.Series(out)
-
-    _cut_positions_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
-    _cut_positions = pandas_udf(_cut_positions_fn, "array<long>")
-
-    n = F.length(text)
-    bounds = F.concat(
-        F.array(F.lit(0).cast("long")),
-        _cut_positions(text),
-        F.array(n.cast("long")),
+    per_chunk = (
+        cdc_chunk_stream(d)
+        .groupBy("chunk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("cnt", F.length("chunk").alias("clen"))
     )
-    chunked = d.select(text.alias("text"), bounds.alias("b")).select(
-        F.explode(
-            F.filter(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("b") - 1),
-                    lambda j: F.struct(
-                        F.col("text")
-                        .substr(
-                            (F.element_at(F.col("b"), j) + 1).cast("int"),
-                            (F.element_at(F.col("b"), j + 1) - F.element_at(F.col("b"), j)).cast(
-                                "int"
-                            ),
-                        )
-                        .alias("chunk"),
-                        (F.element_at(F.col("b"), j + 1) - F.element_at(F.col("b"), j)).alias(
-                            "clen"
-                        ),
-                    ),
-                ),
-                lambda s: s.clen > 0,
-            )
-        ).alias("s")
-    )
-    per_chunk = chunked.select(F.col("s.chunk").alias("chunk")).groupBy("chunk").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    per_chunk = per_chunk.select("cnt", F.length("chunk").alias("clen"))
     return per_chunk.agg(
         F.sum("cnt").alias("total_chunks"),
         F.count(F.lit(1)).alias("distinct_chunks"),

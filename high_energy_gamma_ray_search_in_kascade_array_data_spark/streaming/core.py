@@ -68,6 +68,21 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_events_ts(raw)
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the documents fixture (same two fixture-shape
+    handling as ``read_events_stream``; no timestamp normalization —
+    documents carry no event time)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    file_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        return spark.readStream.schema(file_schema).parquet(path)
+    return (
+        spark.readStream.schema(file_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def tumbling_counts(events: DataFrame, duration: str = "1 hour") -> DataFrame:
     """Tumbling-window count per event_type with a 1-hour watermark."""
     return (
