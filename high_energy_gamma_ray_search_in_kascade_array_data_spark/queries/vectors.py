@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
@@ -924,3 +925,112 @@ def q_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "method", "n_common", F.round(F.col("n_common") / 10.0, 6).alias("recall_at_10")
     ).orderBy("method")
+
+
+@register(
+    "ndcg_at_10",
+    survey_ref="M5:similarity,§2.8",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sem AS (
+  SELECT e.vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY {_icos_sql("e.embedding", "q.qe", 64)} DESC, e.vec_id) AS r
+  FROM embeddings e, q WHERE e.vec_id <> 0
+  QUALIFY r <= 10
+),
+rel AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN tok IN ('scan', 'join', 'window') THEN 1 ELSE 0 END) AS BIGINT) AS hits
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id
+),
+graded AS (
+  SELECT sem.r, LEAST(COALESCE(rel.hits, 0), 20) AS g
+  FROM sem LEFT JOIN rel USING (doc_id)
+),
+dcg AS (
+  SELECT SUM(CAST(ROUND(((1 << g) - 1) * 1000000000.0 / LOG2(r + 1.0)) AS BIGINT)) AS idcg_n
+  FROM graded
+),
+ideal_ranked AS (
+  SELECT hits, ROW_NUMBER() OVER (ORDER BY hits DESC, doc_id) AS r
+  FROM (SELECT * FROM rel ORDER BY hits DESC, doc_id LIMIT 10)
+),
+ideal AS (
+  SELECT SUM(CAST(ROUND(((1 << LEAST(hits, 20)) - 1) * 1000000000.0
+             / LOG2(r + 1.0)) AS BIGINT)) AS iideal_n
+  FROM ideal_ranked
+)
+SELECT ROUND(dcg.idcg_n / 1000000000.0, 6) AS dcg_at_10,
+       ROUND(ideal.iideal_n / 1000000000.0, 6) AS idcg_at_10,
+       ROUND(dcg.idcg_n * 1.0 / ideal.iideal_n, 6) AS ndcg_at_10
+FROM dcg, ideal
+""",
+)
+def q_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the dense (cosine) ranking against graded lexical
+    relevance — relevance of a document = number of occurrences of the
+    fixed query terms {scan, join, window}, gain = 2^rel - 1 (standard
+    exponential gain, clamped at 31 so the BIGINT shift is exact), DCG
+    discounted by log2(rank+1), normalized by the ideal ordering's
+    DCG. The third leg of the retrieval-eval family next to
+    ``ann_recall_at_k`` and ``matryoshka_recall_eval``.
+
+    Scale shape: the ranking leg is the broadcast-scored
+    TakeOrderedAndProject top-10; the relevance leg is one
+    query-filtered token aggregate, then a 10-row join. The DCG sums
+    run over exactly 10 rows in rank order (both engines accumulate in
+    the same order), every per-rank term is integer-encoded (nano-gain fixed point) before summation, so accumulation order never shows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    sem = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), _icos_col(F.col("embedding"), F.col("qe"), 64).alias("icos"))
+        .orderBy(F.desc("icos"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn("r", F.row_number().over(Window.orderBy(F.desc("icos"), F.asc("doc_id"))))
+        .select("doc_id", "r")
+    )
+    rel = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("tok").isin("scan", "join", "window"), 1).otherwise(0)).alias(
+                "hits"
+            )
+        )
+    )
+    graded = sem.join(rel, "doc_id", "left").select(
+        "r", F.least(F.coalesce(F.col("hits"), F.lit(0)), F.lit(20)).alias("g")
+    )
+    # Per-row DCG terms are integer-encoded (nano-gain units) BEFORE the
+    # SUM, so the 10-term accumulation is exact BIGINT in any order —
+    # a 10-row float SUM would still be partition-order-dependent.
+    gain = F.expr("shiftleft(1L, CAST(g AS INT))") - 1
+    dcg = graded.agg(
+        F.sum(F.round(gain * 1000000000.0 / F.log2(F.col("r") + 1.0)).cast("long")).alias(
+            "idcg_n"
+        )
+    )
+    ideal_rows = rel.orderBy(F.desc("hits"), F.asc("doc_id")).limit(10)
+    wi = Window.orderBy(F.desc("hits"), F.asc("doc_id"))
+    ideal = (
+        ideal_rows.withColumn("r", F.row_number().over(wi))
+        .select(
+            F.round(
+                (F.expr("shiftleft(1L, CAST(LEAST(hits, 20) AS INT))") - 1)
+                * 1000000000.0
+                / F.log2(F.col("r") + 1.0)
+            )
+            .cast("long")
+            .alias("term")
+        )
+        .agg(F.sum("term").alias("iideal_n"))
+    )
+    return dcg.crossJoin(ideal).select(
+        F.round(F.col("idcg_n") / 1000000000.0, 6).alias("dcg_at_10"),
+        F.round(F.col("iideal_n") / 1000000000.0, 6).alias("idcg_at_10"),
+        F.round(F.col("idcg_n") * 1.0 / F.col("iideal_n"), 6).alias("ndcg_at_10"),
+    )
