@@ -531,3 +531,39 @@ def test_window_ntile_tiny_fixture_no_null_quartiles(spark, tmp_path):
     assert quartiles == [1, 2, 3]
     assert all(r["n"] == 1 for r in rows)
     assert all(r["quartile"] is not None for r in rows)
+
+
+def test_cdc_chunk_stream_matches_pure_python(spark):
+    """The vectorized Arrow CDC kernel must agree with a direct
+    per-position pure-Python evaluation of the same rolling hash
+    (boundary when hash(chars[i-8:i]) % 64 == 0, 1-based cut position
+    i in [8, len-1]), including the edge cases: text shorter than the
+    window, text of exactly 9 chars, and chunks covering the full
+    text when no boundary fires."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.text import (
+        _CDC_POW,
+        cdc_chunk_stream,
+    )
+
+    def py_chunks(t: str) -> list[str]:
+        n = len(t)
+        cuts = []
+        if n >= 9:
+            for i in range(8, n):  # 1-based positions 8..n-1
+                h = sum(ord(t[i - 8 + k]) * _CDC_POW[k] for k in range(8)) % 1000000007
+                if h % 64 == 0:
+                    cuts.append(i)
+        bounds = [0] + cuts + [n]
+        return [t[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+
+    import random
+
+    rng = random.Random(42)
+    texts = ["", "ab", "abcdefgh", "abcdefghi", "x" * 200] + [
+        "".join(rng.choice("abcdef ghij") for _ in range(rng.randint(1, 300)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = sorted(r["chunk"] for r in cdc_chunk_stream(df).collect())
+    want = sorted(c for t in texts for c in py_chunks(t))
+    assert got == want
