@@ -1085,3 +1085,61 @@ def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("release_ok"),
         ).orderBy("hour_b")
     )
+
+
+@register(
+    "gdpr_erasure_audit",
+    survey_ref="§2.6,§2.7,P5",
+    oracle="""
+WITH subjects AS (
+  SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+),
+ev AS (
+  SELECT e.user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(DISTINCT e.event_type) AS BIGINT) AS n_types,
+         MIN(epoch_us(e.ts)) AS first_us,
+         MAX(epoch_us(e.ts)) AS last_us
+  FROM events e JOIN subjects s ON e.user_id = s.user_id
+  GROUP BY e.user_id
+)
+SELECT user_id, n_events, n_types,
+       (last_us - first_us) // 86400000000 AS span_days,
+       CAST(CASE WHEN n_events > 0 THEN 1 ELSE 0 END AS BIGINT) AS requires_erasure
+FROM ev
+ORDER BY user_id
+""",
+)
+def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR art. 17) pre-delete audit: for every
+    data subject in the deletion batch (here the deterministic cohort
+    user_id % 97 == 0), enumerate what will be destroyed — row counts,
+    distinct event types, retention span — the report a privacy
+    pipeline files BEFORE issuing the actual deletes, completing the
+    privacy surface next to ``k_anonymity_generalize``,
+    ``l_diversity_audit``, ``dp_laplace_counts`` and ``pii_redact``.
+
+    Scale shape: the subject list is a broadcastable semi-join input
+    (at 100 TB the deletion batch is always small relative to the
+    fact), so the plan is one broadcast-filtered scan + one user-keyed
+    aggregate. All outputs are exact integers."""
+    e = load_table(spark, sf_dir, "events")
+    subjects = e.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    us = F.unix_micros("ts")
+    ev = (
+        e.join(F.broadcast(subjects), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min(us).alias("first_us"),
+            F.max(us).alias("last_us"),
+        )
+    )
+    return ev.select(
+        "user_id",
+        "n_events",
+        "n_types",
+        F.expr("(last_us - first_us) DIV 86400000000").alias("span_days"),
+        F.when(F.col("n_events") > 0, 1).otherwise(0).cast("long").alias("requires_erasure"),
+    ).orderBy("user_id")

@@ -273,3 +273,82 @@ def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "churn_label_builder",
+    survey_ref="§2.6,§2.7,M3",
+    oracle="""
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi FROM events
+),
+cut AS (
+  SELECT lo + ((hi - lo) * 4) // 5 AS cut_us FROM bounds
+),
+feat AS (
+  SELECT e.user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_before,
+         CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_purchase_before,
+         MAX(epoch_us(e.ts)) AS last_seen_us
+  FROM events e, cut
+  WHERE epoch_us(e.ts) < cut.cut_us
+  GROUP BY e.user_id
+),
+future AS (
+  SELECT DISTINCT e.user_id
+  FROM events e, cut
+  WHERE epoch_us(e.ts) >= cut.cut_us
+)
+SELECT f.user_id, f.n_before, f.n_purchase_before,
+       (c.cut_us - f.last_seen_us) // 3600000000 AS recency_hours,
+       CAST(CASE WHEN fu.user_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS churned
+FROM feat f LEFT JOIN future fu ON f.user_id = fu.user_id, cut c
+ORDER BY f.user_id
+""",
+)
+def q_churn_label_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe churn-label construction: split observation time at
+    the 80% mark of the global window, build features STRICTLY from
+    events before the cutoff (activity count, purchases, recency) and
+    the label (churned = no events after the cutoff) strictly from
+    events after it — the supervised-dataset builder that pairs with
+    ``temporal_embargo_split`` (which guards the same leakage class at
+    split level).
+
+    Scale shape: the cutoff is a broadcast 1-row aggregate; features
+    are one user-keyed aggregate over the before-cut scan; the label
+    is an anti-join-shaped LEFT JOIN against the distinct after-cut
+    user set (user-keyed, no fan-out). Micros arithmetic is exact
+    BIGINT throughout."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    bounds = e.agg(F.min(us).alias("lo"), F.max(us).alias("hi"))
+    cut = bounds.select((F.col("lo") + F.expr("((hi - lo) * 4) DIV 5")).alias("cut_us"))
+    before = e.crossJoin(F.broadcast(cut)).filter(us < F.col("cut_us"))
+    feat = before.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "n_purchase_before"
+        ),
+        F.max(us).alias("last_seen_us"),
+        F.max(F.col("cut_us")).alias("cut_us"),
+    )
+    future = (
+        e.crossJoin(F.broadcast(cut))
+        .filter(us >= F.col("cut_us"))
+        .select("user_id")
+        .distinct()
+        .withColumn("seen_after", F.lit(1))
+    )
+    return (
+        feat.join(future, "user_id", "left")
+        .select(
+            "user_id",
+            "n_before",
+            "n_purchase_before",
+            F.expr("(cut_us - last_seen_us) DIV 3600000000").alias("recency_hours"),
+            F.when(F.col("seen_after").isNull(), 1).otherwise(0).cast("long").alias("churned"),
+        )
+        .orderBy("user_id")
+    )
