@@ -1034,3 +1034,65 @@ def q_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("iideal_n") / 1000000000.0, 6).alias("idcg_at_10"),
         F.round(F.col("idcg_n") * 1.0 / F.col("iideal_n"), 6).alias("ndcg_at_10"),
     )
+
+
+@register(
+    "colbert_maxsim_retrieval",
+    survey_ref="M5:similarity,§2.6,§2.7",
+    oracle=f"""
+WITH toks AS (
+  SELECT vec_id, vec_id // 50 AS doc, embedding FROM embeddings
+),
+qtoks AS (SELECT vec_id AS qid, embedding AS qe FROM toks WHERE doc = 0),
+pairs AS (
+  SELECT t.doc, q.qid,
+         MAX({_icos_sql("t.embedding", "q.qe", 64)}) AS max_icos
+  FROM toks t, qtoks q
+  WHERE t.doc <> 0
+  GROUP BY t.doc, q.qid
+)
+SELECT doc,
+       CAST(SUM(max_icos) AS BIGINT) AS maxsim_micro,
+       ROUND(SUM(max_icos) / (COUNT(*) * 1000000.0), 6) AS maxsim_avg
+FROM pairs
+GROUP BY doc
+ORDER BY maxsim_micro DESC, doc
+LIMIT 5
+""",
+)
+def q_colbert_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim, Khattab & Zaharia 2020)
+    multi-vector retrieval: treat each run of 50 embedding rows as one
+    document's token vectors, take document 0 as the query; a
+    document's score is Σ over query tokens of the MAX cosine against
+    any of its own tokens — the fine-grained scoring that beats single-
+    vector cosine when relevance hinges on one matching passage.
+
+    Scale shape: the query's token matrix is a broadcast 50-row
+    relation, so scoring is a map-side nested-loop pass over the
+    corpus; the MaxSim reduction is two hash aggregates — (doc,
+    query-token) MAX then doc SUM — both on exact integer-encoded
+    cosines, so no float-order dependence; TakeOrderedAndProject
+    emits the top-5. At 100 TB the per-(doc,qtok) partial MAX is
+    map-side combinable, so the exchange carries at most
+    |docs|·|query tokens| rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    toks = e.select("vec_id", F.expr("vec_id DIV 50").alias("doc"), "embedding")
+    qtoks = toks.filter(F.col("doc") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    pairs = (
+        toks.filter(F.col("doc") != 0)
+        .crossJoin(F.broadcast(qtoks))
+        .groupBy("doc", "qid")
+        .agg(F.max(_icos_col(F.col("embedding"), F.col("qe"), 64)).alias("max_icos"))
+    )
+    return (
+        pairs.groupBy("doc")
+        .agg(
+            F.sum("max_icos").alias("maxsim_micro"),
+            F.round(F.sum("max_icos") / (F.count(F.lit(1)) * 1000000.0), 6).alias("maxsim_avg"),
+        )
+        .orderBy(F.desc("maxsim_micro"), F.asc("doc"))
+        .limit(5)
+    )
