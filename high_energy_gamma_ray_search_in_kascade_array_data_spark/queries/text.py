@@ -1978,3 +1978,80 @@ def q_rake_keyword_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), F.asc("tok"))
         .limit(20)
     )
+
+
+@register(
+    "zipf_exponent_fit",
+    survey_ref="M5:text,§2.6,§2.9",
+    oracle="""
+WITH freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok
+  ORDER BY c DESC, tok
+  LIMIT 100
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM freq
+),
+pts AS (
+  SELECT CAST(ROUND(LN(r) * 1000000) AS BIGINT) AS x,
+         CAST(ROUND(LN(c) * 1000000) AS BIGINT) AS y
+  FROM ranked
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts
+)
+SELECT n,
+       ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND((sy * 1.0 / n - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx / n)
+             / 1000000.0, 6) AS log_intercept
+FROM s
+""",
+)
+def q_zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law exponent fit: least-squares slope of log(freq) vs
+    log(rank) over the top-100 vocabulary — the corpus-health statistic
+    (natural language sits near -1; template/boilerplate-heavy corpora
+    flatten) that complements ``heaps_law_vocab_growth`` on the
+    profiling surface.
+
+    Scale shape: one vocab-keyed count aggregate reduced by
+    TakeOrderedAndProject to 100 rows; the regression runs on exact
+    integer sufficient statistics (micro-log fixed point per rank, so
+    SUM order is immaterial; max |x·y| ≈ (2e7)² = 4e14 × 100 rows
+    < 2^63); the two divisions happen once in the 1-row projection."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(100)
+    )
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok")))
+    )
+    pts = ranked.select(
+        F.round(F.log("r") * 1000000).cast("long").alias("x"),
+        F.round(F.log("c") * 1000000).cast("long").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "n",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") * 1.0 / F.col("n") - slope * F.col("sx") / F.col("n")) / 1000000.0, 6
+        ).alias("log_intercept"),
+    )
