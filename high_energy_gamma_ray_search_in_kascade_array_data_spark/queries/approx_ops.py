@@ -1143,3 +1143,87 @@ def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(last_us - first_us) DIV 86400000000").alias("span_days"),
         F.when(F.col("n_events") > 0, 1).otherwise(0).cast("long").alias("requires_erasure"),
     ).orderBy("user_id")
+
+
+@register(
+    "ab_power_analysis",
+    survey_ref="§2.6,A4",
+    oracle="""
+WITH cents AS (
+  SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events WHERE event_type IN ('view', 'purchase')
+),
+stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vc) AS BIGINT) AS s,
+         CAST(SUM(vc * vc) AS BIGINT) AS sq
+  FROM cents GROUP BY event_type
+),
+pivoted AS (
+  SELECT MAX(CASE WHEN event_type = 'view' THEN n END) AS n1,
+         MAX(CASE WHEN event_type = 'view' THEN s END) AS s1,
+         MAX(CASE WHEN event_type = 'view' THEN sq END) AS sq1,
+         MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n2,
+         MAX(CASE WHEN event_type = 'purchase' THEN s END) AS s2,
+         MAX(CASE WHEN event_type = 'purchase' THEN sq END) AS sq2
+  FROM stats
+)
+SELECT n1, n2,
+       ROUND((s1 * 1.0 / n1 - s2 * 1.0 / n2) / 100.0, 6) AS observed_diff,
+       ROUND(((sq1 * 1.0 - s1 * 1.0 * s1 / n1) / (n1 - 1)
+            + (sq2 * 1.0 - s2 * 1.0 * s2 / n2) / (n2 - 1)) / 2.0 / 10000.0, 6)
+         AS pooled_var,
+       CAST(CEIL(2.0 * 7.849 * (((sq1 * 1.0 - s1 * 1.0 * s1 / n1) / (n1 - 1)
+            + (sq2 * 1.0 - s2 * 1.0 * s2 / n2) / (n2 - 1)) / 2.0 / 10000.0)
+            / (((s1 * 1.0 / n1 - s2 * 1.0 / n2) / 100.0)
+               * ((s1 * 1.0 / n1 - s2 * 1.0 / n2) / 100.0))) AS BIGINT)
+         AS n_per_arm_80pct
+FROM pivoted
+""",
+)
+def q_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample power analysis (the design-stage companion to
+    ``ab_test_welch``): from exact sufficient statistics of the two
+    arms, compute the observed effect, pooled variance, and the
+    per-arm sample size for 80% power at α=0.05 — n = 2(z_{α/2}+z_β)²
+    σ²/Δ², with (1.96+0.842)² = 7.849 as the standard constant.
+
+    Scale shape: one 2-key aggregate of exact integer sufficient
+    statistics (n, Σ, Σ²) pivoted into fixed columns, so every float
+    expression is row-local fixed-order arithmetic on exact BIGINTs —
+    the same discipline as ab_test_welch; no per-row float math
+    anywhere."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.filter(F.col("event_type").isin("view", "purchase")).select(
+        "event_type", F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("vc")
+    )
+    stats = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("sq"),
+    )
+    p = stats.agg(
+        *[
+            F.max(F.when(F.col("event_type") == et, F.col(c))).alias(f"{c}{i}")
+            for i, et in ((1, "view"), (2, "purchase"))
+            for c in ("n", "s", "sq")
+        ]
+    )
+    mean_diff = (F.col("s1") * 1.0 / F.col("n1") - F.col("s2") * 1.0 / F.col("n2")) / 100.0
+    var1 = (F.col("sq1") * 1.0 - F.col("s1") * 1.0 * F.col("s1") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    var2 = (F.col("sq2") * 1.0 - F.col("s2") * 1.0 * F.col("s2") / F.col("n2")) / (
+        F.col("n2") - 1
+    )
+    pooled = (var1 + var2) / 2.0 / 10000.0
+    return p.select(
+        "n1",
+        "n2",
+        F.round(mean_diff, 6).alias("observed_diff"),
+        F.round(pooled, 6).alias("pooled_var"),
+        F.ceil(2.0 * 7.849 * pooled / (mean_diff * mean_diff)).cast("long").alias(
+            "n_per_arm_80pct"
+        ),
+    )

@@ -2235,3 +2235,52 @@ def q_trimmed_mean_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("trimmed_cents").cast("long").alias("trimmed_cents"),
         F.round(F.col("trimmed_cents") * 1.0 / (kept * 100), 6).alias("trimmed_mean"),
     ).orderBy("event_type")
+
+
+@register(
+    "incremental_join_view_delta",
+    survey_ref="§2.6,§2.7",
+    oracle="""
+WITH delta_orders AS (
+  SELECT * FROM orders WHERE o_orderkey % 100 = 0
+),
+view_delta AS (
+  SELECT o.o_orderpriority,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+  FROM delta_orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderpriority
+)
+SELECT o_orderpriority, n_lines, sum_qty
+FROM view_delta
+ORDER BY o_orderpriority
+""",
+)
+def q_incremental_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view (the delta rule
+    ΔV = ΔR ⋈ S): given a batch of changed orders (the deterministic
+    delta o_orderkey % 100 == 0), compute the view's delta — the
+    per-priority line counts and quantity sums those orders contribute
+    — WITHOUT recomputing the full orders⋈lineitem view, the
+    complement of ``incremental_agg_maintenance`` (which maintains
+    aggregate views) and ``cdc_merge_apply`` (which maintains the base
+    table).
+
+    Scale shape: the delta relation is small by construction (that is
+    the IVM premise), so the plan is a broadcast/semi-filtered probe
+    of lineitem keyed on l_orderkey + one bounded-key aggregate —
+    lineitem is scanned once, never joined full-vs-full. Counts and
+    integer quantity sums are exact BIGINTs (mergeable partials, so
+    the delta can be APPLIED to view state by addition)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    delta = o.filter(F.col("o_orderkey") % 100 == 0).select("o_orderkey", "o_orderpriority")
+    return (
+        li.join(F.broadcast(delta), li["l_orderkey"] == delta["o_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
