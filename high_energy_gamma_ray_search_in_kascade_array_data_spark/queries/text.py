@@ -2055,3 +2055,124 @@ def q_zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") * 1.0 / F.col("n") - slope * F.col("sx") / F.col("n")) / 1000000.0, 6
         ).alias("log_intercept"),
     )
+
+
+@register(
+    "sliding_window_split",
+    survey_ref="M5:text,§2.5,§2.6",
+    oracle="""
+WITH lists AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+wins AS (
+  SELECT doc_id, len(l) AS n_tokens,
+         CASE WHEN len(l) <= 32 THEN 1
+              ELSE (len(l) - 32 + 23) // 24 + 1 END AS n_windows
+  FROM lists
+)
+SELECT CAST(SUM(n_windows) AS BIGINT) AS total_windows,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(CASE WHEN n_tokens <= 32 THEN 32 - n_tokens ELSE
+            (CASE WHEN (n_tokens - 32) % 24 = 0 THEN 0
+                  ELSE 24 - (n_tokens - 32) % 24 END) END) AS BIGINT) AS pad_tokens,
+       CAST(SUM(n_windows * 32 - CASE WHEN n_tokens <= 32 THEN n_tokens
+            ELSE 32 + ((n_windows - 1) * 24) END) AS BIGINT) AS overlap_plus_pad,
+       ROUND(SUM(n_tokens) * 1.0 / (SUM(n_windows) * 32), 6) AS fill_ratio
+FROM wins
+""",
+)
+def q_sliding_window_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window accounting for sliding-window document splitting
+    (window 32 tokens, stride 24 — the 25%-overlap chunking an LLM
+    training/RAG pipeline applies to long documents before embedding):
+    windows per doc in closed form, padding waste of the final window,
+    and overall fill ratio — the budget numbers that decide the
+    window/stride trade BEFORE materializing the split (complement of
+    ``pack_sequences``, which packs SHORT docs; this splits LONG ones,
+    and ``chunk_documents_hof`` which materializes fixed chunks).
+
+    Scale shape: pure row-local integer arithmetic on token counts —
+    no explode, no shuffle except the final 1-row rollup. The closed
+    form (ceil((n-W)/S)+1) avoids materializing a window list at all."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.col("text"), " "))
+    n_windows = F.when(n <= 32, 1).otherwise(F.expr(
+        "(size(split(text, ' ')) - 32 + 23) DIV 24 + 1"
+    ))
+    last_fill = F.when(n <= 32, 32 - n).otherwise(
+        F.when((n - 32) % 24 == 0, 0).otherwise(24 - (n - 32) % 24)
+    )
+    wins = d.select(
+        n.alias("n_tokens"),
+        n_windows.alias("n_windows"),
+        last_fill.alias("pad"),
+    )
+    return wins.agg(
+        F.sum("n_windows").alias("total_windows"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("pad").alias("pad_tokens"),
+        F.sum(
+            F.col("n_windows") * 32
+            - F.when(F.col("n_tokens") <= 32, F.col("n_tokens")).otherwise(
+                32 + (F.col("n_windows") - 1) * 24
+            )
+        ).alias("overlap_plus_pad"),
+        F.round(F.sum("n_tokens") * 1.0 / (F.sum("n_windows") * 32), 6).alias("fill_ratio"),
+    )
+
+
+@register(
+    "tokenizer_oov_rate",
+    survey_ref="M5:text,§2.6,§2.7",
+    oracle="""
+WITH vocab AS (
+  SELECT tok FROM (
+    SELECT tok, COUNT(*) AS c
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok ORDER BY c DESC, tok LIMIT 100
+  )
+),
+toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS oov_rate
+FROM toks LEFT JOIN vocab v USING (tok)
+GROUP BY source
+ORDER BY source
+""",
+)
+def q_tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against a top-100 frequency
+    vocabulary (the fixed-vocab tokenizer acceptance metric: which
+    sources will fragment into UNKs/bytes) — pairs with
+    ``bpe_encode_fertility`` (subword cost) and ``lang_stopword_rate``
+    on the per-source tokenizer-rollout report.
+
+    Scale shape: the vocabulary is a top-k aggregate reduced to 100
+    rows and broadcast back onto the token stream (LEFT join on the
+    token key); one source-keyed aggregate finishes. Counts exact,
+    one division per source."""
+    d = load_table(spark, sf_dir, "documents")
+    toks_all = d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    vocab = (
+        toks_all.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(100)
+        .select("tok", F.lit(1).alias("in_vocab"))
+    )
+    toks = d.select("source", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    oov = F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            oov.cast("long").alias("n_oov"),
+            F.round(oov * 1.0 / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )
