@@ -2176,3 +2176,113 @@ def q_tokenizer_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dup_cluster_size_histogram",
+    survey_ref="M5:dedup,§2.6",
+    oracle="""
+WITH clusters AS (
+  SELECT text, CAST(COUNT(*) AS BIGINT) AS sz FROM documents GROUP BY text
+)
+SELECT sz AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(sz) AS BIGINT) AS n_docs,
+       CAST(SUM(sz - 1) AS BIGINT) AS n_removable
+FROM clusters
+GROUP BY sz ORDER BY sz
+""",
+)
+def q_dup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size distribution: how many documents
+    sit in clusters of size 1, 2, 3, ... and how many rows dedup would
+    remove — the shape report that distinguishes 'a few viral pages
+    copied 10k times' (heavy tail → salting needed on the dedup key)
+    from 'pairwise mirror copies' (uniform 2s). Read alongside
+    ``dedup_exact`` (which keeps one per cluster) and
+    ``join_size_from_degrees`` (the same skew statistic for joins).
+
+    Scale shape: two hash aggregates — content key, then size key
+    (output bounded by the largest cluster) — both map-side
+    combinable; no joins, no windows."""
+    d = load_table(spark, sf_dir, "documents")
+    clusters = d.groupBy("text").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        clusters.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").alias("n_docs"),
+            F.sum(F.col("sz") - 1).alias("n_removable"),
+        )
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            "n_docs",
+            "n_removable",
+        )
+        .orderBy("cluster_size")
+    )
+
+
+@register(
+    "dataset_datasheet_report",
+    survey_ref="M5:text,§2.6",
+    oracle="""
+WITH per_doc AS (
+  SELECT source, lang, doc_id, n_chars,
+         LEN(string_split(text, ' ')) AS n_tokens,
+         text
+  FROM documents
+),
+dups AS (
+  SELECT text, COUNT(*) AS c FROM per_doc GROUP BY text
+)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT p.lang) AS BIGINT) AS n_langs,
+       CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(p.n_chars) AS BIGINT) AS n_chars,
+       CAST(MIN(p.n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(p.n_tokens) AS BIGINT) AS max_tokens,
+       CAST(SUM(CASE WHEN d.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_cluster,
+       ROUND(SUM(CASE WHEN d.c > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_frac
+FROM per_doc p JOIN dups d USING (text)
+GROUP BY p.source
+ORDER BY p.source
+""",
+)
+def q_dataset_datasheet_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Datasheets for datasets' (Gebru et al. 2021) per-source
+    summary: document/token/char volumes, token-length extrema,
+    language count, and the fraction of documents sitting in an exact-
+    duplicate cluster — the one-table composition card published with
+    a training-data release.
+
+    Scale shape: one content-keyed aggregate for dup-cluster sizes
+    joined back on the content key (hash join, no fan-out: one row per
+    doc), one source-keyed rollup. All counts exact integers."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        "text",
+    )
+    dups = d.groupBy("text").agg(F.count(F.lit(1)).alias("c"))
+    in_dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+    return (
+        per_doc.join(dups, "text")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            in_dup.cast("long").alias("n_in_dup_cluster"),
+            F.round(in_dup * 1.0 / F.count(F.lit(1)), 6).alias("dup_frac"),
+        )
+        .orderBy("source")
+    )

@@ -1096,3 +1096,79 @@ def q_colbert_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("maxsim_micro"), F.asc("doc"))
         .limit(5)
     )
+
+
+@register(
+    "hard_negative_mining",
+    survey_ref="M5:similarity,§2.9",
+    oracle=f"""
+WITH queries AS (
+  SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+  FROM embeddings WHERE vec_id < 5
+),
+ranked AS (
+  SELECT q.qid, e.vec_id, e.label,
+         {_icos_sql("e.embedding", "q.qe", 64)} AS icos,
+         ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY {_icos_sql("e.embedding", "q.qe", 64)} DESC, e.vec_id) AS rn
+  FROM embeddings e, queries q
+  WHERE e.vec_id >= 5 AND e.label <> q.qlabel
+)
+SELECT qid, vec_id, label, CAST(rn AS BIGINT) AS rank,
+       ROUND(icos / 1000000.0, 6) AS cosine
+FROM ranked WHERE rn <= 3
+ORDER BY qid, rank
+""",
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (the retrieval-
+    training data op): for each of 5 anchor embeddings, the 3 most
+    similar vectors with a DIFFERENT label — the near-misses that make
+    the best negatives (random negatives are too easy; these sit right
+    at the decision boundary).
+
+    Scale shape: anchors are a broadcast 5-row relation, so scoring is
+    map-only; each anchor's top-3 comes from its own
+    TakeOrderedAndProject branch (5 bounded reductions unioned), never
+    a window partitioned by anchor over the full corpus (5 partitions
+    x corpus rows is the few-key-window shape the plan audit bans).
+    Integer-encoded cosine keeps ranking deterministic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = [
+        (r["vec_id"], r["label"])
+        for r in e.filter(F.col("vec_id") < 5).select("vec_id", "label").collect()
+    ]
+    corpus_side = e.filter(F.col("vec_id") >= 5)
+    branches = []
+    for qid, qlabel in sorted(anchors):
+        q = (
+            e.filter(F.col("vec_id") == qid)
+            .select(F.col("embedding").alias("qe"))
+        )
+        scored = (
+            corpus_side.filter(F.col("label") != qlabel)
+            .crossJoin(F.broadcast(q))
+            .select(
+                F.lit(qid).alias("qid"),
+                "vec_id",
+                "label",
+                _icos_col(F.col("embedding"), F.col("qe"), 64).alias("icos"),
+            )
+            .orderBy(F.desc("icos"), F.asc("vec_id"))
+            .limit(3)
+            .withColumn(
+                "rank",
+                F.row_number().over(Window.orderBy(F.desc("icos"), F.asc("vec_id"))),
+            )
+        )
+        branches.append(scored)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.select(
+        "qid",
+        "vec_id",
+        "label",
+        F.col("rank").cast("long").alias("rank"),
+        F.round(F.col("icos") / 1000000.0, 6).alias("cosine"),
+    ).orderBy("qid", "rank")
