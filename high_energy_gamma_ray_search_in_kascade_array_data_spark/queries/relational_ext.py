@@ -2284,3 +2284,48 @@ def q_incremental_join_view_delta(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "decimal_money_audit",
+    survey_ref="§2.4,§2.6,F6",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,2)))
+            AS DECIMAL(38,2)) AS VARCHAR) AS sum_price_exact,
+       CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,2))
+                * CAST(CAST(1.0 - l_discount AS DECIMAL(18,4)) AS DECIMAL(38,4)))
+            AS DECIMAL(38,4)) AS VARCHAR) AS revenue_exact
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_decimal_money_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL money arithmetic (the financial-grade alternative
+    to float sums): extended price and discounted revenue accumulated
+    as DECIMAL(38) — associative EXACT addition, so the result is
+    independent of partitioning by construction; emitted as exact
+    decimal STRINGS so the differential harness compares digits, not
+    a lossy float re-parse (no fixed-point
+    encoding tricks needed; this is the engine's own exact numeric
+    tower, the same semantics a ledger or billing pipeline requires).
+
+    Scale shape: one bounded-key hash aggregate; DECIMAL partials are
+    mergeable 128-bit integers under the hood — map-side combine works
+    exactly as for BIGINT. The deliberate contrast is with the float
+    SUM queries (e.g. q1's ROUND-guarded doubles): DECIMAL buys
+    bit-determinism at ~2x the aggregation CPU."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)").cast("decimal(38,2)")
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,4)").cast("decimal(38,4)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(price).cast("decimal(38,2)").cast("string").alias("sum_price_exact"),
+            F.sum(price * disc).cast("decimal(38,4)").cast("string").alias("revenue_exact"),
+        )
+        .orderBy("l_returnflag")
+    )
