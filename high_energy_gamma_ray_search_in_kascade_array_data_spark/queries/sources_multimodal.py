@@ -908,3 +908,98 @@ def q_multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFra
         .repartition(spark.sparkContext.defaultParallelism)
     )
     return multimodal.video_frame_features(media, every=2)
+
+
+@register(
+    "export_training_shards",
+    survey_ref="S4,M5:text,§2.6",
+    oracle="""
+SELECT doc_id % 8 AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+       CAST(SUM((doc_id + 1) * ((LENGTH(text) % 1000003) + 7) % 1000000007) AS BIGINT)
+         AS checksum,
+       CAST(1 AS BIGINT) AS readback_ok
+FROM documents
+GROUP BY doc_id % 8
+ORDER BY shard
+""",
+)
+def q_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export (the WebDataset/Dolma-style release step):
+    partition the corpus into 8 deterministic shards (doc_id % 8),
+    write each shard as its own JSONL directory partition, emit a
+    MANIFEST of per-shard row counts, byte volumes, and an
+    order-independent content checksum — then PROVE the export by
+    reading the shards back with an explicit schema and recomputing
+    the manifest from the readback (readback_ok = 1 iff identical).
+    The manifest-with-checksums is what makes a multi-terabyte release
+    resumable and verifiable shard-by-shard.
+
+    Scale shape: the write is `repartition(shard)` → `partitionBy`
+    (each shard a parallel task, no global sort); both manifests are
+    one bounded-key aggregate; the checksum is an exact-integer SUM,
+    so it is insensitive to row order within a shard — exactly the
+    property a distributed writer needs (files land in any order)."""
+    import os
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = load_table(spark, sf_dir, "documents")
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(
+        SCRATCH, f"training_shards_{os.path.basename(sf_dir.rstrip(chr(47)))}"
+    )
+    shard = (F.col("doc_id") % 8).alias("shard")
+    (
+        d.select("doc_id", "text", shard)
+        .repartition(8, F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .json(path)
+    )
+
+    def manifest(df):
+        csum = F.sum(
+            (F.col("doc_id") + 1) * ((F.length("text") % 1000003) + 7) % 1000000007
+        )
+        return df.groupBy("shard").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.length("text")).alias("n_chars"),
+            csum.alias("checksum"),
+        )
+
+    written = manifest(d.select("doc_id", "text", shard))
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    readback = spark.read.schema(schema).option("basePath", path).json(path)
+    readback = readback.withColumn(
+        "shard",
+        F.regexp_extract(F.input_file_name(), r"shard=(\d+)", 1).cast("long"),
+    )
+    rb = manifest(readback).select(
+        F.col("shard").alias("r_shard"),
+        F.col("n_rows").alias("r_rows"),
+        F.col("n_chars").alias("r_chars"),
+        F.col("checksum").alias("r_checksum"),
+    )
+    return (
+        written.join(rb, written["shard"] == rb["r_shard"], "left")
+        .select(
+            "shard",
+            "n_rows",
+            "n_chars",
+            "checksum",
+            F.when(
+                (F.col("r_rows") == F.col("n_rows"))
+                & (F.col("r_chars") == F.col("n_chars"))
+                & (F.col("r_checksum") == F.col("checksum")),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("readback_ok"),
+        )
+        .orderBy("shard")
+    )
