@@ -2286,3 +2286,86 @@ def q_dataset_datasheet_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "negative_sampling_table",
+    survey_ref="M5:text,§2.6,§2.9",
+    oracle="""
+WITH freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY tok ORDER BY c DESC, tok LIMIT 50
+),
+powed AS (
+  SELECT tok, c, CAST(ROUND(EXP(0.75 * LN(c)) * 1000000) AS BIGINT) AS w
+  FROM freq
+),
+tot AS (SELECT SUM(w) AS tw FROM powed),
+alloc AS (
+  SELECT tok, c, w,
+         (w * 1000) // tot.tw AS base,
+         (w * 1000) % tot.tw AS rem
+  FROM powed, tot
+),
+ranked AS (
+  SELECT tok, c, base,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, tok) AS rr
+  FROM alloc
+),
+short AS (
+  SELECT 1000 - SUM(base) AS missing FROM ranked
+)
+SELECT tok, c,
+       CAST(base + CASE WHEN rr <= short.missing THEN 1 ELSE 0 END AS BIGINT) AS table_slots
+FROM ranked, short
+ORDER BY table_slots DESC, tok
+""",
+)
+def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style negative-sampling table: allocate 1000 sampling
+    slots across the top-50 vocabulary proportional to count^0.75 (the
+    Mikolov smoothing that keeps rare words sampleable), with exact
+    integer slot totals via largest-remainder apportionment — the
+    precomputed table a skip-gram/contrastive trainer draws negatives
+    from.
+
+    Scale shape: one vocab aggregate reduced to 50 rows by
+    TakeOrderedAndProject; everything after (fixed-point ^0.75 powers,
+    one ln/exp per vocab entry, remainder ranking over 50 rows) is
+    bounded-size arithmetic. Slot math is exact BIGINT, so the 1000
+    slots always sum exactly (the property floor-only allocation
+    loses)."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(50)
+    )
+    powed = freq.select(
+        "tok", "c", F.round(F.exp(0.75 * F.log("c")) * 1000000).cast("long").alias("w")
+    )
+    tot = powed.agg(F.sum("w").alias("tw"))
+    alloc = powed.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "c",
+        F.expr("(w * 1000) DIV tw").alias("base"),
+        F.expr("(w * 1000) % tw").alias("rem"),
+    )
+    ranked = alloc.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("tok")))
+    )
+    short = ranked.agg((F.lit(1000) - F.sum("base")).alias("missing"))
+    return (
+        ranked.crossJoin(F.broadcast(short))
+        .select(
+            "tok",
+            "c",
+            (F.col("base") + F.when(F.col("rr") <= F.col("missing"), 1).otherwise(0))
+            .cast("long")
+            .alias("table_slots"),
+        )
+        .orderBy(F.desc("table_slots"), F.asc("tok"))
+    )

@@ -1172,3 +1172,94 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.round(F.col("icos") / 1000000.0, 6).alias("cosine"),
     ).orderBy("qid", "rank")
+
+
+@register(
+    "kcenter_coreset_selection",
+    survey_ref="M5:similarity,§2.9",
+    oracle="""
+WITH c1(v) AS (SELECT CAST(0 AS BIGINT)),
+m2 AS (
+  SELECT e.vec_id, MAX(CAST(ROUND(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (SQRT(list_sum(list_transform(e.embedding[1:64], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * SQRT(list_sum(list_transform(c.embedding[1:64], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 1000000) AS BIGINT)) AS mx
+  FROM embeddings e, embeddings c
+  WHERE c.vec_id IN (SELECT v FROM c1)
+    AND e.vec_id NOT IN (SELECT v FROM c1)
+  GROUP BY e.vec_id
+),
+p2(v) AS (SELECT vec_id FROM m2 ORDER BY mx ASC, vec_id ASC LIMIT 1),
+c2(v) AS (SELECT v FROM c1 UNION ALL SELECT v FROM p2),
+m3 AS (
+  SELECT e.vec_id, MAX(CAST(ROUND(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (SQRT(list_sum(list_transform(e.embedding[1:64], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * SQRT(list_sum(list_transform(c.embedding[1:64], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 1000000) AS BIGINT)) AS mx
+  FROM embeddings e, embeddings c
+  WHERE c.vec_id IN (SELECT v FROM c2)
+    AND e.vec_id NOT IN (SELECT v FROM c2)
+  GROUP BY e.vec_id
+),
+p3(v) AS (SELECT vec_id FROM m3 ORDER BY mx ASC, vec_id ASC LIMIT 1),
+c3(v) AS (SELECT v FROM c2 UNION ALL SELECT v FROM p3),
+m4 AS (
+  SELECT e.vec_id, MAX(CAST(ROUND(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (SQRT(list_sum(list_transform(e.embedding[1:64], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * SQRT(list_sum(list_transform(c.embedding[1:64], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 1000000) AS BIGINT)) AS mx
+  FROM embeddings e, embeddings c
+  WHERE c.vec_id IN (SELECT v FROM c3)
+    AND e.vec_id NOT IN (SELECT v FROM c3)
+  GROUP BY e.vec_id
+),
+p4(v) AS (SELECT vec_id FROM m4 ORDER BY mx ASC, vec_id ASC LIMIT 1),
+c4(v) AS (SELECT v FROM c3 UNION ALL SELECT v FROM p4),
+m5 AS (
+  SELECT e.vec_id, MAX(CAST(ROUND(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE))) / (SQRT(list_sum(list_transform(e.embedding[1:64], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * SQRT(list_sum(list_transform(c.embedding[1:64], x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) * 1000000) AS BIGINT)) AS mx
+  FROM embeddings e, embeddings c
+  WHERE c.vec_id IN (SELECT v FROM c4)
+    AND e.vec_id NOT IN (SELECT v FROM c4)
+  GROUP BY e.vec_id
+),
+p5(v) AS (SELECT vec_id FROM m5 ORDER BY mx ASC, vec_id ASC LIMIT 1),
+c5(v) AS (SELECT v FROM c4 UNION ALL SELECT v FROM p5)
+SELECT step, vec_id FROM (
+  SELECT 1 AS step, CAST(0 AS BIGINT) AS vec_id
+  UNION ALL SELECT 2, v FROM p2
+  UNION ALL SELECT 3, v FROM p3
+  UNION ALL SELECT 4, v FROM p4
+  UNION ALL SELECT 5, v FROM p5
+)
+ORDER BY step
+""",
+)
+def q_kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal —
+    the Sener & Savarese 2018 active-learning / data-pruning
+    selector): starting from vector 0, repeatedly add the point whose
+    MAXIMUM cosine to any already-chosen center is SMALLEST (i.e. the
+    point farthest from the current coreset), k=5. The diversity-
+    maximizing complement of ``semdedup_cluster_prune`` (which removes
+    redundancy; this SELECTS the spanning skeleton).
+
+    Scale shape: the chosen set is driver-held control plane (k ids,
+    same class as the k-means centroid loop); each of the k-1 rounds
+    is one broadcast-scored corpus pass reduced by a (min over a
+    <=k-column row-local MAX) TakeOrdered-1 — no window over the fact,
+    no pairwise matrix. Integer-encoded cosine makes the greedy
+    sequence deterministic, hence SQL-oracle-checkable (the oracle
+    replays it as a recursive CTE)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    chosen = [0]
+    rows = [(1, 0)]
+    for step in range(2, 6):
+        centers = e.filter(F.col("vec_id").isin(chosen)).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+        far = (
+            e.filter(~F.col("vec_id").isin(chosen))
+            .crossJoin(F.broadcast(centers))
+            .select(
+                "vec_id", _icos_col(F.col("embedding"), F.col("ce"), 64).alias("icos")
+            )
+            .groupBy("vec_id")
+            .agg(F.max("icos").alias("max_icos"))
+            .orderBy(F.asc("max_icos"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append(far["vec_id"])
+        rows.append((step, far["vec_id"]))
+    return spark.createDataFrame(rows, "step int, vec_id long")
