@@ -108,6 +108,9 @@ HEADLINE = [
     "rake_keyword_scores",
     "gini_activity_inequality",
     "trimmed_mean_robust",
+    "colbert_maxsim_retrieval",
+    "dataset_datasheet_report",
+    "zipf_exponent_fit",
 ]
 
 
