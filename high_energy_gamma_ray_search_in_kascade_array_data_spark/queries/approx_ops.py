@@ -1275,3 +1275,78 @@ def q_ndv_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in ("l_orderkey", "l_partkey", "l_suppkey"):
         assert abs(est[c] - ex[c]) <= 0.1 * ex[c], (c, est[c], ex[c])
     return out.orderBy("col")
+
+
+@register(
+    "psi_population_stability",
+    survey_ref="§2.6,A5",
+    oracle="""
+WITH mid AS (
+  SELECT MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS m
+  FROM events
+),
+binned AS (
+  SELECT CASE WHEN epoch_us(ts) < mid.m THEN 'ref' ELSE 'cur' END AS cohort,
+         CAST(LEAST(CAST(FLOOR(value / 10.0) AS BIGINT), 39) AS INTEGER) AS bin
+  FROM events, mid
+),
+counts AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN cohort = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS r,
+         CAST(SUM(CASE WHEN cohort = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT SUM(r) AS tr, SUM(c) AS tc FROM counts),
+terms AS (
+  SELECT bin, r, c,
+         CAST(ROUND(((c + 1) * 1.0 / (tot.tc + 40) - (r + 1) * 1.0 / (tot.tr + 40))
+               * LN(((c + 1) * 1.0 / (tot.tc + 40)) / ((r + 1) * 1.0 / (tot.tr + 40)))
+               * 1000000000) AS BIGINT) AS ipsi
+  FROM counts, tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(r) AS BIGINT) AS n_ref,
+       CAST(SUM(c) AS BIGINT) AS n_cur,
+       ROUND(SUM(ipsi) / 1000000000.0, 6) AS psi
+FROM terms
+""",
+)
+def q_psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the observation window (the credit-scoring / feature-drift metric:
+    PSI < 0.1 stable, > 0.25 drifted): 40 fixed value bins, add-one
+    smoothing so empty bins stay finite, PSI = Σ (p-q)·ln(p/q).
+    Pairs with ``embedding_drift_report`` (vector drift) and
+    ``window_zscore_anomaly`` (pointwise) on the monitoring surface.
+
+    Scale shape: the time midpoint is a broadcast 1-row aggregate; one
+    40-key binned aggregate per cohort (single fact pass, map-side
+    combine); the PSI terms are integer-encoded (nano units) per bin
+    BEFORE the final 40-row SUM, so bin accumulation order never
+    shows. One LN per bin."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    mid = e.agg((F.min(us) + F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) DIV 2")).alias("m"))
+    binned = e.crossJoin(F.broadcast(mid)).select(
+        F.when(us < F.col("m"), "ref").otherwise("cur").alias("cohort"),
+        F.least(F.floor(F.col("value") / 10.0).cast("long"), F.lit(39)).cast("int").alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("cohort") == "ref", 1).otherwise(0)).alias("r"),
+        F.sum(F.when(F.col("cohort") == "cur", 1).otherwise(0)).alias("c"),
+    )
+    tot = counts.agg(F.sum("r").alias("tr"), F.sum("c").alias("tc"))
+    p = (F.col("c") + 1) * 1.0 / (F.col("tc") + 40)
+    q = (F.col("r") + 1) * 1.0 / (F.col("tr") + 40)
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "r",
+        "c",
+        F.round((p - q) * F.log(p / q) * 1000000000).cast("long").alias("ipsi"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("r").alias("n_ref"),
+        F.sum("c").alias("n_cur"),
+        F.round(F.sum("ipsi") / 1000000000.0, 6).alias("psi"),
+    )

@@ -1263,3 +1263,107 @@ def q_kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         chosen.append(far["vec_id"])
         rows.append((step, far["vec_id"]))
     return spark.createDataFrame(rows, "step int, vec_id long")
+
+
+@register(
+    "embedding_drift_report",
+    survey_ref="M5:similarity,§2.5,§2.6",
+    oracle="""
+WITH comps AS (
+  SELECT CASE WHEN vec_id < 250 THEN 'ref' ELSE 'cur' END AS cohort,
+         i AS dim,
+         CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v
+  FROM embeddings, unnest(range(0, 64)) AS u(i)
+),
+stats AS (
+  SELECT dim,
+         CAST(SUM(CASE WHEN cohort = 'ref' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN cohort = 'ref' THEN v ELSE 0 END) AS BIGINT) AS s1,
+         CAST(SUM(CASE WHEN cohort = 'ref' THEN v * v ELSE 0 END) AS BIGINT) AS q1,
+         CAST(SUM(CASE WHEN cohort = 'cur' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN cohort = 'cur' THEN v ELSE 0 END) AS BIGINT) AS s2,
+         CAST(SUM(CASE WHEN cohort = 'cur' THEN v * v ELSE 0 END) AS BIGINT) AS q2
+  FROM comps GROUP BY dim
+),
+ints AS (
+  SELECT dim,
+         s2 * n1 - s1 * n2 AS num,
+         n1 * n2 AS den,
+         q1 * n1 - s1 * s1 AS a1,
+         n1 * n1 * (n1 - 1) AS d1,
+         q2 * n2 - s2 * s2 AS a2,
+         n2 * n2 * (n2 - 1) AS d2
+  FROM stats
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) + 0.5) AS BIGINT)
+         AS mean_shift_micro,
+       CAST(FLOOR(ABS(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+             / SQRT(CAST(a1 AS DOUBLE) / CAST(d1 AS DOUBLE)
+                  + CAST(a2 AS DOUBLE) / CAST(d2 AS DOUBLE)) * 1000000 + 0.5)
+            AS BIGINT) AS z_micro
+FROM ints
+ORDER BY z_micro DESC, dim
+LIMIT 10
+""",
+)
+def q_embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor: split the corpus into a
+    reference and a current cohort (vec_id halves standing in for
+    last-week/this-week), compute the per-dimension two-sample z-score
+    of the mean from exact sufficient statistics, and report the 10
+    most drifted dimensions — the alarm a retrieval deployment watches
+    for encoder or upstream-data regressions.
+
+    Scale shape: one posexplode to (dim, fixed-point component) —
+    64x the rows but keyed by 64 dims, so the sufficient-statistics
+    aggregate is map-side combinable into 64 rows; all downstream
+    float math is row-local on exact BIGINTs (the ab_test_welch
+    discipline applied per dimension)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comps = e.select(
+        F.when(F.col("vec_id") < 250, "ref").otherwise("cur").alias("cohort"),
+        F.posexplode(F.col("embedding")).alias("dim", "x"),
+    ).select(
+        "cohort",
+        "dim",
+        F.round(F.col("x").cast("double") * 1000000).cast("long").alias("v"),
+    )
+    is_ref = F.col("cohort") == "ref"
+    stats = comps.groupBy("dim").agg(
+        F.sum(F.when(is_ref, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(is_ref, F.col("v")).otherwise(0)).alias("s1"),
+        F.sum(F.when(is_ref, F.col("v") * F.col("v")).otherwise(0)).alias("q1"),
+        F.sum(F.when(~is_ref, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(~is_ref, F.col("v")).otherwise(0)).alias("s2"),
+        F.sum(F.when(~is_ref, F.col("v") * F.col("v")).otherwise(0)).alias("q2"),
+    )
+    # Cross-multiplied EXACT-integer sufficient statistics, converted
+    # to double exactly once per term: mixed int/float expressions like
+    # s1*1.0*s1 are reassociated differently by the two engines'
+    # constant folding (measured 1-ulp z divergence), so every float op
+    # here takes explicitly CAST BIGINT inputs; FLOOR(x+0.5) replaces
+    # decimal ROUND (whose .5-tick semantics also differ).
+    ints = stats.select(
+        "dim",
+        (F.col("s2") * F.col("n1") - F.col("s1") * F.col("n2")).alias("num"),
+        (F.col("n1") * F.col("n2")).alias("den"),
+        (F.col("q1") * F.col("n1") - F.col("s1") * F.col("s1")).alias("a1"),
+        (F.col("n1") * F.col("n1") * (F.col("n1") - 1)).alias("d1"),
+        (F.col("q2") * F.col("n2") - F.col("s2") * F.col("s2")).alias("a2"),
+        (F.col("n2") * F.col("n2") * (F.col("n2") - 1)).alias("d2"),
+    )
+    dnum = F.col("num").cast("double") / F.col("den").cast("double")
+    z = F.abs(dnum) / F.sqrt(
+        F.col("a1").cast("double") / F.col("d1").cast("double")
+        + F.col("a2").cast("double") / F.col("d2").cast("double")
+    )
+    return (
+        ints.select(
+            F.col("dim").cast("int").alias("dim"),
+            F.floor(dnum + 0.5).cast("long").alias("mean_shift_micro"),
+            F.floor(z * 1000000 + 0.5).cast("long").alias("z_micro"),
+        )
+        .orderBy(F.desc("z_micro"), F.asc("dim"))
+        .limit(10)
+    )
