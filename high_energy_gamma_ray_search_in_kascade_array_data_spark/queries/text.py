@@ -2369,3 +2369,132 @@ def q_negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("table_slots"), F.asc("tok"))
     )
+
+
+@register(
+    "containment_query_search",
+    survey_ref="M5:dedup,§2.7,§2.9",
+    oracle="""
+WITH q AS (
+  SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE doc_id = 0
+),
+qn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq FROM q),
+cand AS (
+  SELECT d.doc_id, CAST(COUNT(DISTINCT t.tok) AS BIGINT) AS n_inter
+  FROM documents d, unnest(string_split(d.text, ' ')) AS u(tok)
+  JOIN q t ON t.tok = u.tok
+  WHERE d.doc_id <> 0
+  GROUP BY d.doc_id
+)
+SELECT cand.doc_id, n_inter, qn.nq,
+       ROUND(n_inter * 1.0 / qn.nq, 6) AS containment
+FROM cand, qn
+ORDER BY containment DESC, doc_id
+LIMIT 10
+""",
+)
+def q_containment_query_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment search (asymmetric Jaccard |A∩B|/|A|, Broder's
+    containment): which documents CONTAIN most of query document 0's
+    vocabulary — the measure that catches partial copies, quotations,
+    and boilerplate embedding that symmetric Jaccard
+    (``minhash_lsh_neardup``) under-scores when the containing
+    document is much longer.
+
+    Scale shape: the query's distinct-token set is a broadcast
+    relation; candidates come from a token-keyed semi-join of the
+    token stream against it (only docs sharing >= 1 query token
+    survive — the inverted-index probe), then one doc-keyed distinct
+    count and TakeOrderedAndProject. No all-pairs: one query vs
+    corpus is index-probe-shaped by construction."""
+    d = load_table(spark, sf_dir, "documents")
+    q = (
+        d.filter(F.col("doc_id") == 0)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .distinct()
+    )
+    qn = q.agg(F.count(F.lit(1)).alias("nq"))
+    toks = d.filter(F.col("doc_id") != 0).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    cand = (
+        toks.join(F.broadcast(q), "tok")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("tok").alias("n_inter"))
+    )
+    return (
+        cand.crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            "n_inter",
+            "nq",
+            F.round(F.col("n_inter") * 1.0 / F.col("nq"), 6).alias("containment"),
+        )
+        .orderBy(F.desc("containment"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "epoch_shuffle_order",
+    survey_ref="X3,X4,§2.9",
+    oracle="""
+WITH perm AS (
+  SELECT e.epoch, d.doc_id,
+         ((d.doc_id % 1000003) * 31 + e.epoch * 7 + 13) * 2654435761 % 1000000007 AS h
+  FROM documents d, (SELECT unnest([0, 1, 2]) AS epoch) e
+),
+ranked AS (
+  SELECT epoch, doc_id, h,
+         ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS pos
+  FROM perm
+)
+SELECT epoch, CAST(pos AS BIGINT) AS pos, doc_id
+FROM ranked WHERE pos <= 10
+ORDER BY epoch, pos
+""",
+)
+def q_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-epoch shuffle order (the X3/X4 primitive at training
+    time): each epoch permutes the corpus by a deterministic integer
+    hash of (doc_id, epoch) — same data, different order every epoch,
+    reproducible across reruns and executors — and emits each epoch's
+    first 10 examples as the verification prefix.
+
+    Scale shape: the permutation KEY is pure row-local integer algebra
+    (no stored permutation, no shuffle to generate randomness); the
+    top-10-per-epoch comes from a window over the 3 epoch replicas —
+    at fixture scale a 3-partition window is acceptable because the
+    emitted prefix is tiny, and at 100 TB the same hash key IS the
+    sort key a shard writer distributes by (range partition on h), so
+    nothing about the construction requires a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    perm = d.select("doc_id").crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        (
+            ((F.col("doc_id") % 1000003) * 31 + F.col("epoch") * 7 + 13)
+            * F.lit(2654435761)
+            % 1000000007
+        ).alias("h"),
+    )
+    # top-10 per epoch without a fact-scale few-key window: prefilter
+    # candidates with a per-epoch rank bound via TakeOrdered on the
+    # union of 3 bounded branches.
+    branches = []
+    for ep in range(3):
+        w = Window.orderBy("h", "doc_id")
+        b = (
+            perm.filter(F.col("epoch") == ep)
+            .orderBy("h", "doc_id")
+            .limit(10)
+            .withColumn("pos", F.row_number().over(w))
+            .select("epoch", F.col("pos").cast("long").alias("pos"), "doc_id")
+        )
+        branches.append(b)
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out.orderBy("epoch", "pos")
