@@ -2795,3 +2795,76 @@ def q_gini_activity_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "theil_sen_trend",
+    survey_ref="§2.6,§2.7,§2.9",
+    oracle="""
+WITH hourly AS (
+  SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+slopes AS (
+  SELECT CAST(FLOOR((b.n - a.n) * 1000000000.0 / (b.h - a.h) + 0.5) AS BIGINT) AS islope
+  FROM hourly a JOIN hourly b ON b.h > a.h
+),
+ranked AS (
+  SELECT islope, ROW_NUMBER() OVER (ORDER BY islope) AS rn, COUNT(*) OVER () AS m
+  FROM slopes
+)
+SELECT CAST(MAX(m) AS BIGINT) AS n_pairs,
+       ROUND(SUM(CASE WHEN rn = (m + 1) // 2 THEN islope ELSE 0 END)
+             / 1000000000.0, 6) AS median_slope_per_hour
+FROM ranked
+""",
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator over the hourly event-count
+    series: the median of all pairwise slopes — the outlier-immune
+    answer to 'is traffic growing' (a single incident hour that would
+    wreck an OLS fit moves Theil-Sen by at most one rank).
+
+    Scale shape: the fact collapses to the TIME-BOUNDED hourly series
+    first (720 rows for a 30-day window — fixed by the window, not by
+    SF), so the pairwise-slope self-join is bounded at ~260k rows
+    regardless of data volume; slopes are integer-encoded nano-units
+    (one division each, deterministic), and the median comes from a
+    rank over the bounded slope relation. The all-pairs step is safe
+    precisely BECAUSE it runs on the aggregated series — the same
+    query shape on raw events would be the banned quadratic."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            F.expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000").alias("h")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    slopes = a.join(b, F.col("b.h") > F.col("a.h")).select(
+        F.floor(
+            (F.col("b.n") - F.col("a.n")) * 1000000000.0 / (F.col("b.h") - F.col("a.h"))
+            + 0.5
+        )
+        .cast("long")
+        .alias("islope")
+    )
+    w = Window.orderBy("islope")
+    ranked = slopes.select(
+        "islope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("m"),
+    )
+    return ranked.agg(
+        F.max("m").cast("long").alias("n_pairs"),
+        F.round(
+            F.sum(F.when(F.col("rn") == F.expr("(m + 1) DIV 2"), F.col("islope")).otherwise(0))
+            / 1000000000.0,
+            6,
+        ).alias("median_slope_per_hour"),
+    )
