@@ -468,3 +468,77 @@ def q_dup_graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> Data
         ).alias("coeff"),
     )
     return j.orderBy("doc_id")
+
+
+_LSH_PRECISION_ORACLE = f"""
+WITH {TID_CTE},
+{SIG_CTE},
+bands AS (
+  {_BANDS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM tid GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN tid ta ON ta.doc_id = c.doc_a
+  JOIN tid tb ON tb.doc_id = c.doc_b AND tb.tok_id = ta.tok_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT i.doc_a, i.doc_b,
+         ROUND(i.n_inter * 1.0 / (ca.n + cb.n - i.n_inter), 6) AS jaccard
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.doc_a
+  JOIN counts cb ON cb.doc_id = i.doc_b
+),
+base AS (
+  SELECT CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+         CAST(COUNT(*) AS BIGINT) AS n_scored,
+         CAST(SUM(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+  FROM scored
+)
+SELECT n_candidates, n_true,
+       ROUND(n_true * 1.0 / n_candidates, 6) AS precision_at_band
+FROM base
+"""
+
+
+@register("lsh_candidate_precision", survey_ref="M5:dedup,§2.6", oracle=_LSH_PRECISION_ORACLE)
+def q_lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index-quality evaluation for the dedup pipeline: of all
+    candidate pairs the 8-band/2-row banding emits, what fraction
+    survives exact Jaccard >= 0.5 — the precision knob that decides
+    whether the banding is too loose (verify cost explodes) or too
+    tight (recall loss), read alongside the retrieval-side
+    ``ann_recall_at_k``. Candidate count, true-pair count, precision.
+
+    Scale shape: identical candidate generation to
+    ``minhash_lsh_neardup`` (signature aggregate + bounded band-bucket
+    self-join — never all-pairs); the evaluation adds only a 1-row
+    rollup on top of the verify join, so the eval costs what the
+    pipeline itself costs."""
+    d = load_table(spark, sf_dir, "documents")
+    tid = dedup.doc_token_ids(d)
+    sig = dedup.minhash_signatures(tid)
+    cand = dedup.lsh_candidate_pairs(sig)
+    sets_df = dedup.token_sets(tid)
+    verified = dedup.jaccard_verify(cand, sets_df)
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    agg = verified.agg(
+        F.sum(F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)).alias("n_true")
+    )
+    return (
+        n_cand.crossJoin(agg)
+        .select(
+            "n_candidates",
+            F.col("n_true").cast("long").alias("n_true"),
+            F.round(F.col("n_true") * 1.0 / F.col("n_candidates"), 6).alias(
+                "precision_at_band"
+            ),
+        )
+    )
