@@ -2868,3 +2868,85 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("median_slope_per_hour"),
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    survey_ref="§2.6,§2.8",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) // 604800000000 AS cohort_week
+  FROM events GROUP BY user_id
+),
+purchases AS (
+  SELECT e.user_id,
+         f.cohort_week,
+         epoch_us(e.ts) // 604800000000 - f.cohort_week AS age_weeks,
+         CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase'
+),
+cohort_sizes AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+  FROM firsts GROUP BY cohort_week
+),
+weekly AS (
+  SELECT cohort_week, age_weeks, CAST(SUM(cents) AS BIGINT) AS rev
+  FROM purchases GROUP BY cohort_week, age_weeks
+),
+cum AS (
+  SELECT cohort_week, age_weeks,
+         SUM(rev) OVER (PARTITION BY cohort_week ORDER BY age_weeks) AS cum_rev
+  FROM weekly
+)
+SELECT c.cohort_week, c.age_weeks,
+       CAST(c.cum_rev AS BIGINT) AS cum_rev_cents,
+       s.n_users,
+       ROUND(c.cum_rev * 1.0 / (s.n_users * 100), 6) AS ltv_per_user
+FROM cum c JOIN cohort_sizes s USING (cohort_week)
+ORDER BY c.cohort_week, c.age_weeks
+""",
+)
+def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users grouped by first-seen week,
+    cumulative purchase revenue per cohort member as a function of
+    cohort age in weeks — the curve a growth team reads LTV/CAC from,
+    extending ``retention_cohort_matrix`` (presence) to value.
+
+    Scale shape: first-seen is one user-keyed aggregate; revenue rolls
+    up to (cohort, age) grain — bounded by weeks² — BEFORE the
+    cumulative window runs (partitioned by cohort over the tiny
+    grain relation, never over raw events). Cents are exact BIGINT;
+    the per-user division happens once per output row."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.expr("unix_micros(ts) DIV 604800000000")
+    firsts = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cohort_week",
+            (wk - F.col("cohort_week")).alias("age_weeks"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    weekly = purchases.groupBy("cohort_week", "age_weeks").agg(F.sum("cents").alias("rev"))
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = weekly.withColumn("cum_rev", F.sum("rev").over(wcum))
+    return (
+        cum.join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            F.col("cum_rev").cast("long").alias("cum_rev_cents"),
+            "n_users",
+            F.round(F.col("cum_rev") * 1.0 / (F.col("n_users") * 100), 6).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )

@@ -2329,3 +2329,47 @@ def q_decimal_money_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "write_conflict_detection",
+    survey_ref="§2.7,§2.10",
+    oracle="""
+WITH txn_a AS (
+  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 100 = 0
+),
+txn_b AS (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 70 = 0
+)
+SELECT CAST((SELECT COUNT(*) FROM txn_a) AS BIGINT) AS n_txn_a,
+       CAST((SELECT COUNT(*) FROM txn_b) AS BIGINT) AS n_txn_b,
+       CAST(COUNT(*) AS BIGINT) AS n_conflicts,
+       CAST(MIN(a.o_orderkey) AS BIGINT) AS first_conflict_key
+FROM txn_a a JOIN txn_b b ON a.o_orderkey = b.o_orderkey
+""",
+)
+def q_write_conflict_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic-concurrency write-write conflict detection (the
+    lakehouse commit check behind Delta/Iceberg snapshot isolation):
+    two concurrent transactions each stage an update batch (the
+    deterministic key sets o_orderkey % 100 == 0 and % 70 == 0); the
+    commit of the second must detect every key both batches touched
+    and report the conflict set — the pre-commit validation
+    ``cdc_merge_apply`` assumes has already passed.
+
+    Scale shape: both change batches are small relative to the table
+    (the OCC premise), so conflict detection is one key-equi-join of
+    two filtered scans plus a 1-row rollup; at 100 TB the same check
+    runs on the transactions' FILE-level key ranges first (zone-map
+    pruning, cf. ``zone_map_skipping_stats``) before this exact
+    row-level intersection."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 100 == 0).select("o_orderkey")
+    b = o.filter(F.col("o_orderkey") % 70 == 0).select(F.col("o_orderkey").alias("bk"))
+    na = a.agg(F.count(F.lit(1)).alias("n_txn_a"))
+    nb = b.agg(F.count(F.lit(1)).alias("n_txn_b"))
+    conf = a.join(b, a["o_orderkey"] == b["bk"]).agg(
+        F.count(F.lit(1)).alias("n_conflicts"),
+        F.min("o_orderkey").alias("first_conflict_key"),
+    )
+    return na.crossJoin(nb).crossJoin(conf)
