@@ -903,3 +903,92 @@ def q_stream_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("distinct_chunks"),
         F.sum((F.col("cnt") - 1) * F.length("chunk")).alias("dup_bytes"),
     )
+
+
+@register(
+    "stream_psi_monitor",
+    survey_ref="§2.11,A5",
+    oracle="""
+WITH mid AS (
+  SELECT MIN(epoch_us(ts)) + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 2 AS m
+  FROM events
+),
+ref AS (
+  SELECT CAST(LEAST(CAST(FLOOR(value / 10.0) AS BIGINT), 39) AS INTEGER) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS r
+  FROM events, mid WHERE epoch_us(ts) < mid.m GROUP BY 1
+),
+cur AS (
+  SELECT CAST(LEAST(CAST(FLOOR(value / 10.0) AS BIGINT), 39) AS INTEGER) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events, mid WHERE epoch_us(ts) >= mid.m GROUP BY 1
+),
+joined AS (
+  SELECT COALESCE(ref.bin, cur.bin) AS bin,
+         COALESCE(r, 0) AS r, COALESCE(c, 0) AS c
+  FROM ref FULL OUTER JOIN cur ON ref.bin = cur.bin
+),
+tot AS (SELECT SUM(r) AS tr, SUM(c) AS tc FROM joined),
+terms AS (
+  SELECT CAST(ROUND(((c + 1) * 1.0 / (tot.tc + 40) - (r + 1) * 1.0 / (tot.tr + 40))
+               * LN(((c + 1) * 1.0 / (tot.tc + 40)) / ((r + 1) * 1.0 / (tot.tr + 40)))
+               * 1000000000) AS BIGINT) AS ipsi
+  FROM joined, tot
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+       ROUND(SUM(ipsi) / 1000000000.0, 6) AS psi
+FROM terms
+""",
+)
+def q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING drift monitor: the reference histogram is a static
+    batch relation (first half of the window); the current cohort's
+    histogram is maintained INCREMENTALLY by the streaming engine
+    (complete-mode 40-bin aggregate over the second half); PSI is
+    computed batch-side over the drained result joined to the
+    reference — the monitoring deployment shape where last week's
+    distribution is a broadcast table and this week's accumulates in
+    stream state. Batch twin: ``psi_population_stability``.
+
+    Scale: stream state is 40 rows (bin-bounded, like
+    ``stream_value_histogram``); the PSI terms are integer-encoded per
+    bin before the 40-row SUM."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    ev_batch = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    mid_row = ev_batch.agg(
+        (F.min(us) + F.expr("(max(unix_micros(ts)) - min(unix_micros(ts))) DIV 2")).alias("m")
+    ).first()
+    m = int(mid_row["m"])
+    bin_col = F.least(F.floor(F.col("value") / 10.0).cast("long"), F.lit(39)).cast("int")
+    ref = (
+        ev_batch.filter(us < F.lit(m))
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    ev_stream = core.read_events_stream(spark, sf_dir)
+    cur_stream = (
+        ev_stream.filter(F.unix_micros("ts") >= F.lit(m))
+        .groupBy(bin_col.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    core.run_to_memory(cur_stream, "stream_psi_cur_sink", state_partitions=8)
+    cur = spark.table("stream_psi_cur_sink")
+    joined = ref.join(cur, "bin", "full_outer").select(
+        F.coalesce(F.col("bin"), F.col("bin")).alias("bin"),
+        F.coalesce(F.col("r"), F.lit(0)).alias("r"),
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    tot = joined.agg(F.sum("r").alias("tr"), F.sum("c").alias("tc"))
+    p = (F.col("c") + 1) * 1.0 / (F.col("tc") + 40)
+    q = (F.col("r") + 1) * 1.0 / (F.col("tr") + 40)
+    terms = joined.crossJoin(F.broadcast(tot)).select(
+        F.round((p - q) * F.log(p / q) * 1000000000).cast("long").alias("ipsi")
+    )
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.round(F.sum("ipsi") / 1000000000.0, 6).alias("psi"),
+    )
