@@ -2950,3 +2950,80 @@ def q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+@register(
+    "autocorrelation_periodogram",
+    survey_ref="§2.6,§2.7,§2.8",
+    oracle="""
+WITH hourly AS (
+  SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) // 3600000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT k.k,
+         CAST(COUNT(*) AS BIGINT) AS p,
+         CAST(SUM(a.n * b.n) AS BIGINT) AS sxy,
+         CAST(SUM(a.n) AS BIGINT) AS sx,
+         CAST(SUM(b.n) AS BIGINT) AS sy,
+         CAST(SUM(a.n * a.n) AS BIGINT) AS sxx,
+         CAST(SUM(b.n * b.n) AS BIGINT) AS syy
+  FROM (SELECT unnest([1, 2, 3, 6, 12, 24]) AS k) k
+  JOIN hourly a ON TRUE
+  JOIN hourly b ON b.h = a.h + k.k
+  GROUP BY k.k
+)
+SELECT k AS lag_hours, p AS n_pairs,
+       CAST(FLOOR(CAST(p * sxy - sx * sy AS DOUBLE)
+             / SQRT(CAST(p * sxx - sx * sx AS DOUBLE)
+                  * CAST(p * syy - sy * sy AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         AS acf_micro
+FROM lagged
+ORDER BY lag_hours
+""",
+)
+def q_autocorrelation_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation periodogram of the hourly event-count series at
+    lags {1,2,3,6,12,24}h — the periodicity detector that tells a
+    pipeline whether traffic has a diurnal cycle worth modeling
+    (pairs with ``seasonal_hour_baseline``, which ASSUMES the 24h
+    period this query verifies).
+
+    Scale shape: the fact collapses to the time-bounded hourly series,
+    then six lag self-joins on the hour key run at series scale; per
+    lag, Pearson r comes from exact BIGINT sufficient statistics
+    (all products < 2^63 at any SF since counts are per-hour), one
+    float path per lag with explicit single conversions (the
+    embedding_drift lesson), FLOOR(x·1e6+0.5) fixed-point output."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(F.expr("unix_micros(date_trunc('hour', ts)) DIV 3600000000").alias("h"))
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ks = spark.createDataFrame([(k,) for k in (1, 2, 3, 6, 12, 24)], "k int")
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    lagged = (
+        F.broadcast(ks)
+        .crossJoin(a)
+        .join(b, F.col("b.h") == F.col("a.h") + F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("p"),
+            F.sum(F.col("a.n") * F.col("b.n")).alias("sxy"),
+            F.sum(F.col("a.n")).alias("sx"),
+            F.sum(F.col("b.n")).alias("sy"),
+            F.sum(F.col("a.n") * F.col("a.n")).alias("sxx"),
+            F.sum(F.col("b.n") * F.col("b.n")).alias("syy"),
+        )
+    )
+    num = (F.col("p") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    d1 = (F.col("p") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    d2 = (F.col("p") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return lagged.select(
+        F.col("k").alias("lag_hours"),
+        F.col("p").alias("n_pairs"),
+        F.floor(num / F.sqrt(d1 * d2) * 1000000 + 0.5).cast("long").alias("acf_micro"),
+    ).orderBy("lag_hours")
