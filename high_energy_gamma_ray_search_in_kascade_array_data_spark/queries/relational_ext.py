@@ -2373,3 +2373,131 @@ def q_write_conflict_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("first_conflict_key"),
     )
     return na.crossJoin(nb).crossJoin(conf)
+
+
+@register(
+    "robust_scaler_fit_apply",
+    survey_ref="A1,A2,§2.6,§2.8",
+    oracle="""
+WITH c AS (
+  SELECT event_id, event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+ordered AS (
+  SELECT event_type, cents,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM c
+),
+fit AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT) THEN cents END) AS q1,
+         MAX(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT) THEN cents END) AS med,
+         MAX(CASE WHEN rn = CAST(CEIL(0.75 * n) AS BIGINT) THEN cents END) AS q3
+  FROM ordered GROUP BY event_type
+)
+SELECT c.event_id, c.event_type, f.med, (f.q3 - f.q1) AS iqr,
+       CAST(FLOOR(CAST(c.cents - f.med AS DOUBLE)
+            / CAST(f.q3 - f.q1 AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS scaled_micro
+FROM c JOIN fit f USING (event_type)
+WHERE c.event_id % 997 = 0
+ORDER BY c.event_id
+""",
+)
+def q_robust_scaler_fit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RobustScaler fit + apply (the outlier-immune sibling of
+    ``scaler_fit``'s min-max and the StandardScaler pair): center on
+    the per-group MEDIAN, scale by the IQR — both located by the
+    two-phase order-statistic decomposition (coarse (type, cent-range)
+    histogram + bounded boundary rescan, exactly
+    ``grouped_percentile_report``'s shape, never a fact-scale
+    per-group row_number), then applied row-locally to a deterministic
+    event sample.
+
+    Scale shape: fit = two passes (histogram + boundary rescan) with
+    bounded windows; apply = broadcast of the per-group (median, IQR)
+    table onto the sampled scan. Scaled values are FLOOR(x·1e6+0.5)
+    fixed point on explicitly-cast doubles."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    coarse = c.groupBy("event_type", F.expr("cents DIV 100").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    hist = coarse.select(
+        "event_type",
+        "bucket",
+        "bn",
+        (F.sum("bn").over(wcum) - F.col("bn")).alias("below"),
+        F.sum("bn")
+        .over(
+            Window.partitionBy("event_type").orderBy("bucket").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    ranks = hist.select(
+        "event_type",
+        "bucket",
+        "below",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0.25).alias("p"), F.ceil(0.25 * F.col("n")).cast("bigint").alias("k")),
+                F.struct(F.lit(0.50).alias("p"), F.ceil(0.50 * F.col("n")).cast("bigint").alias("k")),
+                F.struct(F.lit(0.75).alias("p"), F.ceil(0.75 * F.col("n")).cast("bigint").alias("k")),
+            )
+        ).alias("t"),
+        F.col("bn"),
+    ).select("event_type", "bucket", "below", "bn", F.col("t.p").alias("p"), F.col("t.k").alias("k"))
+    target = ranks.filter(
+        (F.col("below") < F.col("k")) & (F.col("below") + F.col("bn") >= F.col("k"))
+    ).select("event_type", "p", "k", "bucket", "below")
+    tsel = target.select(
+        F.col("event_type").alias("et"), F.col("bucket").alias("tb")
+    ).distinct()
+    fine = c.join(
+        F.broadcast(tsel),
+        (F.col("event_type") == F.col("et")) & (F.expr("cents DIV 100") == F.col("tb")),
+    ).select("event_type", F.col("tb").alias("bucket"), "cents")
+    wb = Window.partitionBy("event_type", "bucket").orderBy("cents")
+    fine_rn = fine.select(
+        "event_type", "bucket", "cents", F.row_number().over(wb).alias("rib")
+    )
+    located = (
+        target.join(fine_rn, ["event_type", "bucket"])
+        .filter(F.col("below") + F.col("rib") == F.col("k"))
+        .select("event_type", "p", "cents")
+    )
+    fit = located.groupBy("event_type").agg(
+        F.max(F.when(F.col("p") == 0.25, F.col("cents"))).alias("q1"),
+        F.max(F.when(F.col("p") == 0.50, F.col("cents"))).alias("med"),
+        F.max(F.when(F.col("p") == 0.75, F.col("cents"))).alias("q3"),
+    )
+    sample = c.filter(F.col("event_id") % 997 == 0)
+    return (
+        sample.join(F.broadcast(fit), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "med",
+            (F.col("q3") - F.col("q1")).alias("iqr"),
+            F.floor(
+                (F.col("cents") - F.col("med")).cast("double")
+                / (F.col("q3") - F.col("q1")).cast("double")
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("scaled_micro"),
+        )
+        .orderBy("event_id")
+    )
