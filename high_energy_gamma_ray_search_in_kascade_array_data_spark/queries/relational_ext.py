@@ -2398,7 +2398,7 @@ fit AS (
 )
 SELECT c.event_id, c.event_type, f.med, (f.q3 - f.q1) AS iqr,
        CAST(FLOOR(CAST(c.cents - f.med AS DOUBLE)
-            / CAST(f.q3 - f.q1 AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS scaled_micro
+            / CAST(NULLIF(f.q3 - f.q1, 0) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS scaled_micro
 FROM c JOIN fit f USING (event_type)
 WHERE c.event_id % 997 = 0
 ORDER BY c.event_id
@@ -2490,9 +2490,11 @@ def q_robust_scaler_fit_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "med",
             (F.col("q3") - F.col("q1")).alias("iqr"),
+            # IQR = 0 (constant middle 50%) → NULL scaled value, never
+            # an inf/NaN that would abort the long cast under ANSI mode.
             F.floor(
                 (F.col("cents") - F.col("med")).cast("double")
-                / (F.col("q3") - F.col("q1")).cast("double")
+                / F.nullif(F.col("q3") - F.col("q1"), F.lit(0)).cast("double")
                 * 1000000
                 + 0.5
             )

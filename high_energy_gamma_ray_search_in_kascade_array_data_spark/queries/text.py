@@ -1340,8 +1340,12 @@ def q_ngram_novelty_by_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is what bounds the join fan-out for repetitive documents."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.split(F.col("text"), " ").alias("l"))
+    # docs with <5 tokens contribute no 5-grams; without this guard
+    # F.sequence(0, size-5) would emit a DESCENDING sequence and
+    # F.slice would throw INVALID_PARAMETER_VALUE.START.
     grams = (
-        toks.select(
+        toks.filter(F.size("l") >= 5)
+        .select(
             "doc_id",
             F.explode(
                 F.transform(
@@ -1375,8 +1379,9 @@ def cdc_chunk_stream(d: DataFrame) -> DataFrame:
     run as a vectorized Arrow kernel: Catalyst higher-order functions
     evaluate interpreted (ArrayFilter.eval, no codegen) and measured
     14.6 s at sf0.1, vs ~1 s for one np.frombuffer + 8 shifted
-    multiply-adds per batch — exact int64 (max term 127·8.06e8, 8-term
-    sum < 2^63), bit-identical to the per-position SQL oracle formula.
+    multiply-adds per batch — exact int64 (max term 0x10FFFF·8.06e8 ≈
+    8.9e14, 8-term sum < 2^63), bit-identical to the per-position SQL
+    oracle formula with full-Unicode codepoints.
     Works on batch AND streaming DataFrames (stateless projection)."""
     import numpy as np
     import pandas as pd
@@ -1388,7 +1393,11 @@ def cdc_chunk_stream(d: DataFrame) -> DataFrame:
         pows = np.array(_CDC_POW, dtype=np.int64)
         out = []
         for t in texts:
-            b = np.frombuffer(t.encode("latin-1", "replace"), dtype=np.uint8).astype(np.int64)
+            # utf-32-le gives one uint32 per character = the Unicode
+            # codepoint, matching the DuckDB oracle's ascii() and the
+            # pure-Python ord() test twin on non-Latin-1 text (latin-1
+            # 'replace' mapped everything above U+00FF to '?').
+            b = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
             n = len(b)
             if n < 9:
                 out.append(np.empty(0, dtype=np.int64))

@@ -563,7 +563,75 @@ def test_cdc_chunk_stream_matches_pure_python(spark):
         "".join(rng.choice("abcdef ghij") for _ in range(rng.randint(1, 300)))
         for _ in range(40)
     ]
+    # Non-Latin-1 text: the kernel hashes full Unicode codepoints
+    # (utf-32-le), matching ord() here and DuckDB's ascii() — a
+    # latin-1 'replace' encoding would collapse these to '?' (63).
+    texts += [
+        "šumava řeka čaj " * 12,
+        "γ-ray shower über café " * 10,
+        "日本語テキスト데이터중복제거 " * 8,
+        "mixed ascii и кириллица and 中文 " * 9,
+    ]
     df = spark.createDataFrame([(t,) for t in texts], "text string")
     got = sorted(r["chunk"] for r in cdc_chunk_stream(df).collect())
     want = sorted(c for t in texts for c in py_chunks(t))
     assert got == want
+
+
+def test_ngram_novelty_short_docs(spark, tmp_path):
+    """Documents with fewer than 5 tokens must contribute no 5-grams
+    (and no crash): F.sequence(0, size-5) on a 2-token doc would emit
+    a descending sequence and F.slice would throw
+    INVALID_PARAMETER_VALUE.START without the size guard."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.text import q_ngram_novelty_by_doc
+
+    sf = str(tmp_path)
+    docs = [
+        (1, "a b"),                      # 2 tokens -> no grams
+        (2, "one"),                      # 1 token  -> no grams
+        (3, "a b c d e"),                # exactly 5 -> 1 gram, novel
+        (4, "a b c d e f"),              # 2 grams, first one seen in doc 3
+    ]
+    spark.createDataFrame(docs, "doc_id long, text string").write.parquet(
+        f"{sf}/documents.parquet"
+    )
+    rows = {r["doc_id"]: r for r in q_ngram_novelty_by_doc(spark, sf).collect()}
+    assert set(rows) == {3, 4}
+    assert rows[3]["n_grams"] == 1 and rows[3]["n_novel"] == 1
+    assert rows[4]["n_grams"] == 2 and rows[4]["n_novel"] == 1
+
+
+def test_robust_scaler_iqr_zero(spark, tmp_path):
+    """A group whose middle 50% is constant (IQR = 0) must yield NULL
+    scaled values, not inf/NaN or an ANSI cast abort."""
+    import datetime
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.relational_ext import (
+        q_robust_scaler_fit_apply,
+    )
+
+    sf = str(tmp_path)
+    ts = datetime.datetime(2024, 1, 1)
+    # 'flat' group: all values identical -> q1 == q3. event_id 0 and 997
+    # survive the % 997 sample filter.
+    rows = [(i, "flat", 5.0, ts) for i in range(1000)] + [
+        (10000 + i, "spread", float(i % 40), ts) for i in range(1000)
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, value double, ts timestamp"
+    ).write.parquet(f"{sf}/events.parquet")
+    out = q_robust_scaler_fit_apply(spark, sf).collect()
+    flat = [r for r in out if r["event_type"] == "flat"]
+    spread = [r for r in out if r["event_type"] == "spread"]
+    assert flat and all(r["iqr"] == 0 and r["scaled_micro"] is None for r in flat)
+    assert spread and all(r["scaled_micro"] is not None for r in spread)
+
+
+def test_ndv_audit_in_plan_invariant(spark, sf_dir):
+    """The HLL-within-10% contract is an oracle-compared output column
+    (lazily evaluated in the plan), not a driver-side assert."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.approx_ops import q_ndv_estimate_audit
+
+    rows = q_ndv_estimate_audit(spark, sf_dir).collect()
+    assert [r["col"] for r in rows] == ["l_orderkey", "l_partkey", "l_suppkey"]
+    assert all(r["hll_within_10pct"] for r in rows)
