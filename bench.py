@@ -114,8 +114,32 @@ HEADLINE = [
 ]
 
 
+def _calibrate() -> dict:
+    """Run-environment telemetry so cross-round comparisons can be
+    normalized: load average, cpu count, and a 1-s single-thread spin
+    constant (iterations of a fixed integer loop — lower = busier or
+    slower box). r7's driver bench ran 35% slower than the same code
+    on a quiet box; this makes that attribution measurable instead of
+    inferential."""
+    t0 = time.perf_counter()
+    it = 0
+    x = 0
+    while time.perf_counter() - t0 < 1.0:
+        for _ in range(10000):
+            x = (x * 1103515245 + 12345) % 2147483648
+        it += 10000
+    la1, la5, la15 = os.getloadavg()
+    return {
+        "spin_iters_per_sec": it,
+        "loadavg_1m": round(la1, 2),
+        "loadavg_5m": round(la5, 2),
+        "cpus": os.cpu_count(),
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    calib = _calibrate()
     spark = get_spark("bench")
     reg = corpus()
     names = [n for n in HEADLINE if n in reg]
@@ -153,6 +177,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calib": calib,
             },
             fh,
             indent=1,
@@ -169,6 +194,7 @@ def main() -> int:
                 "queries": {k: v for k, v in compact.items() if v is not None},
                 "n_queries": len(timings),
                 "sf": sf,
+                "calib": calib,
                 "detail": "BENCH_DETAIL.json",
             }
         )

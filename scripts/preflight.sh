@@ -19,6 +19,9 @@ if [ ${#SFS[@]} -eq 0 ]; then
   SFS=(/root/testdata/sf0.001 /root/testdata/sf0.01)
 fi
 
+echo "== preflight: registry-count consistency (README/SCALE/COVERAGE/PLANS) =="
+python scripts/check_counts.py || { echo "PREFLIGHT FAIL: stale corpus count in docs"; exit 1; }
+
 echo "== preflight: pytest =="
 python -m pytest tests/ -x -q || { echo "PREFLIGHT FAIL: pytest"; exit 1; }
 
