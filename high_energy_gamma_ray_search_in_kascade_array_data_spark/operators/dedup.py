@@ -95,29 +95,101 @@ def token_vocab(toks: DataFrame) -> DataFrame:
     )
 
 
-# Persisted frames from the CURRENT pipeline invocation. Each new
-# invocation (entered via doc_token_ids / doc_token_ids_fast) releases
-# the previous invocation's caches — without this, long sweeps leaked
-# one cached exploded-token frame per near-dup call for the session
-# lifetime, relying on LRU eviction under memory pressure (r6 ADVICE).
-# Releasing a cache a caller still holds is safe: the frame silently
-# recomputes, correctness is unaffected.
-_LIVE_CACHES: list = []
+# Persisted frames from recent pipeline invocations. The cache
+# lifecycle is INVOCATION-KEYED (r7 VERDICT task 8): real curation
+# pipelines run near-dup → components → keep-best → histogram
+# back-to-back over the SAME corpus, and the r6 leak fix (release on
+# every entry) made each of those re-shingle from scratch (×1.4–1.9
+# family-wide bench regression). Now each entry point computes a
+# semantic corpus key (input files + exprId-normalized plan + params);
+# a call with a cached key reuses its memoized frames, and the slot
+# table holds at most _MAX_SLOTS invocations (2: the dict + xxhash64
+# variants of one corpus interleave in real sweeps), evicting the
+# least-recently-used slot's persisted frames — so memory stays
+# bounded, exactly the invariant the r6 fix established, without the
+# repeated-invocation penalty. A non-file-backed frame has no sound
+# key and flushes everything (a false cache hit would be a wrong
+# answer). ``release_caches()`` is the explicit flush. Releasing a
+# cache a caller still holds is safe: the frame silently recomputes,
+# correctness is unaffected.
+_MAX_SLOTS = 2
+_SLOTS: dict = {}  # key -> {"frames": [persisted DataFrames], "memo": {...}}
+_MEMO_KEY: str | None = None  # slot of the CURRENT invocation (None = no memo)
 
 
-def release_caches() -> None:
-    """Unpersist every frame cached by prior dedup-pipeline invocations."""
-    while _LIVE_CACHES:
+def _slot() -> dict:
+    return _SLOTS.setdefault(_MEMO_KEY, {"frames": [], "memo": {}})
+
+
+def _release_slot(slot: dict) -> None:
+    for df in slot["frames"]:
         try:
-            _LIVE_CACHES.pop().unpersist(blocking=False)
+            df.unpersist(blocking=False)
         except Exception:
             pass  # session already stopped — nothing to release
 
 
+def release_caches() -> None:
+    """Unpersist every frame cached by prior dedup-pipeline invocations
+    and drop all invocation memos."""
+    global _MEMO_KEY
+    _MEMO_KEY = None
+    while _SLOTS:
+        _release_slot(_SLOTS.pop(next(iter(_SLOTS))))
+
+
 def _persist_tracked(df: DataFrame) -> DataFrame:
     df.persist()
-    _LIVE_CACHES.append(df)
+    if _MEMO_KEY is not None:
+        _slot()["frames"].append(df)
+    else:
+        # no sound invocation key: track under a throwaway slot so the
+        # next keyed entry still releases it
+        _SLOTS.setdefault(None, {"frames": [], "memo": {}})["frames"].append(df)
     return df
+
+
+def _corpus_key(docs: DataFrame, *parts) -> str | None:
+    """Semantic fingerprint of (source files, logical plan, params) —
+    sound to reuse cached frames under when equal. Returns None (never
+    memoize) for frames not backed by files: two distinct in-memory
+    corpora can share schema + empty file list, and a false cache hit
+    would be a wrong answer, so only file-backed reads qualify. exprIds
+    (#123) differ across otherwise-identical reads and are stripped."""
+    import re as _re
+
+    try:
+        files = sorted(docs.inputFiles())
+        if not files:
+            return None
+        plan = docs._jdf.queryExecution().analyzed().toString()
+        plan = _re.sub(r"#\d+", "", plan)
+        return "\x00".join([plan, *files, *map(str, parts)])
+    except Exception:
+        return None
+
+
+def _memo_enter(key: str | None) -> bool:
+    """Start an invocation. A keyless (non-file-backed) entry flushes
+    everything; a keyed entry promotes its slot to most-recently-used
+    and evicts beyond _MAX_SLOTS. Returns True when memoized frames
+    may be (re)used."""
+    global _MEMO_KEY
+    if key is None:
+        release_caches()
+        return False
+    _MEMO_KEY = key
+    if key in _SLOTS:
+        _SLOTS[key] = _SLOTS.pop(key)  # move to MRU position
+    else:
+        _slot()
+        while len(_SLOTS) > _MAX_SLOTS:
+            _release_slot(_SLOTS.pop(next(iter(_SLOTS))))
+    return True
+
+
+def _memo() -> dict:
+    return _slot()["memo"] if _MEMO_KEY is not None else {}
 
 
 def doc_token_ids(
@@ -129,10 +201,16 @@ def doc_token_ids(
     # (measured 10% of the sf0.1 near-dup wall). MEMORY_AND_DISK
     # spills rather than OOMs; at 100 TB this cache is the standard
     # dictionary-path tradeoff the module docstring already notes.
-    release_caches()
+    memo = _memo_enter(_corpus_key(docs, "dict", text_col, id_col, shingle))
+    m = _memo()
+    if memo and "tid" in m:
+        return m["tid"]
     toks = _persist_tracked(doc_tokens(docs, text_col, id_col, shingle))
     vocab = token_vocab(toks)
-    return toks.join(F.broadcast(vocab), "tok").select(id_col, "tok_id")
+    tid = toks.join(F.broadcast(vocab), "tok").select(id_col, "tok_id")
+    if memo:
+        m["tid"] = tid
+    return tid
 
 
 def minhash_signatures(tid: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -244,10 +322,20 @@ def _near_duplicates_from_tid(tid: DataFrame, threshold: float, id_col: str) -> 
     bands → pairs, and both sides of the verify join) and Spark
     re-executes unshared subtrees per branch; the cached frame is
     O(docs) rows × one sorted id array — the natural unit to cache at
-    any scale (MEMORY_AND_DISK default spills rather than OOMs)."""
+    any scale (MEMORY_AND_DISK default spills rather than OOMs).
+
+    The pre-threshold verified-pair frame is memoized under the live
+    invocation key (threshold only filters it), so components /
+    keep-best / histogram reuse one verify join instead of three."""
+    m = _memo()
+    if "verified" in m:
+        return m["verified"].filter(F.col("jaccard") >= threshold)
     sets_df = _persist_tracked(token_sets(tid, id_col))
     pairs = lsh_candidate_pairs(signatures_from_sets(sets_df, id_col), id_col)
-    return jaccard_verify(pairs, sets_df, id_col).filter(F.col("jaccard") >= threshold)
+    verified = jaccard_verify(pairs, sets_df, id_col)
+    if _MEMO_KEY is not None:
+        m["verified"] = _persist_tracked(verified)
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 def minhash_near_duplicates(
@@ -265,9 +353,15 @@ def doc_token_ids_fast(
     broadcast join. This is the 100 TB path (the dictionary variant
     exists because DuckDB cannot reproduce xxhash64 for the oracle);
     ids are 64-bit so collisions are negligible at any corpus size."""
-    release_caches()
+    memo = _memo_enter(_corpus_key(docs, "fast", text_col, id_col, shingle))
+    m = _memo()
+    if memo and "tid" in m:
+        return m["tid"]
     toks = doc_tokens(docs, text_col, id_col, shingle)
-    return toks.select(id_col, F.xxhash64("tok").alias("tok_id"))
+    tid = toks.select(id_col, F.xxhash64("tok").alias("tok_id"))
+    if memo:
+        m["tid"] = tid
+    return tid
 
 
 def minhash_near_duplicates_fast(

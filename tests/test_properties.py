@@ -635,3 +635,62 @@ def test_ndv_audit_in_plan_invariant(spark, sf_dir):
     rows = q_ndv_estimate_audit(spark, sf_dir).collect()
     assert [r["col"] for r in rows] == ["l_orderkey", "l_partkey", "l_suppkey"]
     assert all(r["hll_within_10pct"] for r in rows)
+
+
+def test_dedup_cache_invocation_keyed(spark, tmp_path):
+    """Cache lifecycle (r7 VERDICT task 8): repeated pipeline calls on
+    the SAME file-backed corpus reuse memoized frames (no re-shingle);
+    a DIFFERENT corpus flushes them (memory stays bounded to one
+    invocation); in-memory frames never memoize (no sound key → a
+    false hit would be a wrong answer)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import dedup
+
+    sf_a, sf_b = str(tmp_path / "a"), str(tmp_path / "b")
+    docs_a = [(i, f"tok{i} alpha beta gamma delta epsilon zeta tok{i}") for i in range(30)]
+    docs_a += [(100 + i, docs_a[i][1]) for i in range(5)]  # 5 exact dups
+    docs_b = [
+        (i, " ".join(f"w{i}_{k}" for k in range(8)))  # fully disjoint vocab per doc
+        for i in range(30)
+    ]
+    spark.createDataFrame(docs_a, "doc_id long, text string").write.parquet(
+        f"{sf_a}/documents.parquet"
+    )
+    spark.createDataFrame(docs_b, "doc_id long, text string").write.parquet(
+        f"{sf_b}/documents.parquet"
+    )
+    ra = spark.read.parquet(f"{sf_a}/documents.parquet")
+    rb = spark.read.parquet(f"{sf_b}/documents.parquet")
+
+    dedup.release_caches()
+    out1 = sorted(map(tuple, dedup.minhash_near_duplicates(ra).select("doc_a", "doc_b").collect()))
+    assert out1  # the 5 planted dups must pair up
+    key_a = dedup._MEMO_KEY
+    assert key_a is not None and "verified" in dedup._SLOTS[key_a]["memo"]
+    n_frames = len(dedup._SLOTS[key_a]["frames"])
+
+    # same corpus read again (fresh read → fresh exprIds): key matches,
+    # slot is reused (no new persisted frames), result identical
+    ra2 = spark.read.parquet(f"{sf_a}/documents.parquet")
+    out2 = sorted(map(tuple, dedup.minhash_near_duplicates(ra2).select("doc_a", "doc_b").collect()))
+    assert out2 == out1
+    assert dedup._MEMO_KEY == key_a
+    assert len(dedup._SLOTS[key_a]["frames"]) == n_frames
+
+    # the fast variant of the same corpus gets its OWN slot; the dict
+    # slot survives (2-slot LRU — the bench interleaving pattern)
+    outf = dedup.minhash_near_duplicates_fast(ra).select("doc_a", "doc_b").collect()
+    assert key_a in dedup._SLOTS and len(dedup._SLOTS) == 2
+
+    # different corpus: evicts the LRU slot (dict of corpus A), bounded
+    # at 2 slots; genuinely-unique docs produce no pairs
+    out3 = dedup.minhash_near_duplicates(rb).select("doc_a", "doc_b").collect()
+    assert len(dedup._SLOTS) == 2 and key_a not in dedup._SLOTS
+    assert out3 == []
+
+    # in-memory frame: no memoization (full flush), no stale reuse
+    mem = spark.createDataFrame(docs_a, "doc_id long, text string")
+    out4 = sorted(map(tuple, dedup.minhash_near_duplicates(mem).select("doc_a", "doc_b").collect()))
+    assert dedup._MEMO_KEY is None
+    assert out4 == out1
+    dedup.release_caches()
+    assert not dedup._SLOTS
