@@ -109,6 +109,7 @@ HEADLINE = [
     "gini_activity_inequality",
     "trimmed_mean_robust",
     "colbert_maxsim_retrieval",
+    "colbert_two_stage",
     "dataset_datasheet_report",
     "zipf_exponent_fit",
 ]

@@ -14,7 +14,11 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "kascade_spark", shuffle_partitions: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "kascade_spark",
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = f"local[{cpus}]"
     # Python workers inherit the JVM's environment; putting the compat
@@ -62,6 +66,10 @@ def get_spark(app_name: str = "kascade_spark", shuffle_partitions: int | None = 
         # which vanilla Spark refuses — read as long, convert in catalog
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    # launch-time-only confs (event log, memory overrides) callers such
+    # as the skew probe need; no-ops when the session already exists
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
     try:
         spark = builder.getOrCreate()
     finally:

@@ -128,6 +128,14 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+# Per-sink-name microbatch progress of the most recent run_to_memory
+# drain (recentProgress JSON dicts: stateOperators[].numRowsTotal,
+# batchDuration, numInputRows ...). Scale probes read this to certify
+# state-store boundedness at 10× keys (r7 VERDICT task 4); correctness
+# paths never consult it.
+LAST_PROGRESS: dict[str, list] = {}
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,
@@ -165,6 +173,10 @@ def run_to_memory(
             .start()
         )
         q.awaitTermination()
+        try:
+            LAST_PROGRESS[name] = list(q.recentProgress)
+        except Exception:
+            LAST_PROGRESS[name] = []
         q.stop()
     finally:
         if state_partitions is not None:

@@ -79,3 +79,60 @@ def test_masks_match_forward_relu_regions():
         assert fw["cmask"][li].any()
     logit2 = cnn.cnn_forward(state, feats, grids)
     assert (fw["logit"] == logit2).all()
+
+
+def test_gd_training_tracks_float_semantics_within_ulp_budget(spark, sf_dir):
+    """Golden-output tolerance gate for M2 float fidelity (r7 VERDICT
+    task 5): the engine's training loops are exact fixed-point
+    analogues so they can be exact-hash gated cross-engine; this test
+    evidences that the SAME loop run in IEEE float64 — the reference's
+    semantics (train_classification.py:86-101: forward, loss,
+    grad, step) — stays within an explicit quantization budget of the
+    fixed-point trajectory, so the dyadic grid is a numerics choice,
+    not a semantic drift.
+
+    Budget derivation: each epoch's optimizer step floors every weight
+    onto the 2⁻¹⁶ grid (≤ 2⁻¹⁶ error/weight/epoch); a weight error δ
+    perturbs the next epoch's mean gradient by ≤ δ·E[x²]-ish ≈ δ·3e3
+    here, which the 2⁻¹³ lr scales back to ≤ δ·0.4 — geometric factor
+    < 1, so the accumulated gap is ≤ EPOCHS·2⁻¹⁶·(1/(1−0.4)) ≈ 7.6e-5.
+    We assert 8·EPOCHS·2⁻¹⁶ ≈ 3.7e-4 (≥4× slack); measured gap at
+    sf0.001 is 2.2e-5."""
+    import duckdb
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.ml import (
+        _GD_EPOCHS,
+        _GD_S,
+        _GD_SHIFT,
+        q_distributed_gd_training,
+    )
+
+    got = {r["epoch"]: r for r in q_distributed_gd_training(spark, sf_dir).collect()}
+    assert set(got) == set(range(1, _GD_EPOCHS + 1))
+
+    con = duckdb.connect()
+    d = con.execute(
+        f"""
+        SELECT CAST(event_id % 97 AS BIGINT) AS x1,
+               CAST(user_id % 89 AS BIGINT) AS x2,
+               CAST(3*(event_id % 97) - 2*(user_id % 89) + (event_id % 7) AS BIGINT) AS y
+        FROM '{sf_dir}/events.parquet'
+        """
+    ).fetchnumpy()
+    x1 = d["x1"].astype(np.float64)
+    x2 = d["x2"].astype(np.float64)
+    y = d["y"].astype(np.float64)
+    n = len(y)
+    lr = 1.0 / (n * (1 << _GD_SHIFT))
+    w = np.zeros(3)
+    budget = 8 * _GD_EPOCHS * 2.0 ** (-16)
+    for epoch in range(1, _GD_EPOCHS + 1):
+        r = w[0] + w[1] * x1 + w[2] * x2 - y
+        g = np.array([r.sum(), (r * x1).sum(), (r * x2).sum()])
+        sar = np.abs(r).sum()
+        w = w - lr * g
+        row = got[epoch]
+        w_fixed = np.array([row["w0"], row["w1"], row["w2"]], dtype=np.float64) / _GD_S
+        assert np.abs(w_fixed - w).max() <= budget, (epoch, w_fixed, w)
+        # epoch-start L1 loss: fixed-point residuals are y·2¹⁶-scaled
+        assert abs(row["sum_abs_resid"] / _GD_S - sar) <= 1e-3 * max(sar, 1.0), epoch

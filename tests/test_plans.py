@@ -409,3 +409,28 @@ def test_funnel_joins_stay_user_keyed(spark, sf_dir):
     joins = [l for l in tree.splitlines() if "Join" in l and "Broadcast" not in l]
     for l in joins:
         assert "user_id" in l, l
+
+
+def test_colbert_two_stage_matches_brute_force_top5(spark, sf_dir):
+    """The candidate-pruned pipeline must return the SAME top-5 docs
+    and scores as brute-force MaxSim over the whole corpus (r7 VERDICT
+    task 3's parity contract on the fixture)."""
+    brute = [tuple(r) for r in _q("colbert_maxsim_retrieval", spark, sf_dir).collect()]
+    two = [tuple(r) for r in _q("colbert_two_stage", spark, sf_dir).collect()]
+    assert two == brute
+
+
+def test_colbert_two_stage_prunes_before_scoring(spark, sf_dir):
+    """The plan must show the candidate prune upstream of the MaxSim
+    nested loop: the expensive scorer joins the corpus against a
+    broadcast candidate list (plus the broadcast query tokens), and
+    the stage-1 TakeOrdered keeps only 12 docs — never a global sort
+    of centroid scores."""
+    df = _q("colbert_two_stage", spark, sf_dir)
+    plan = physical_plan(df)
+    # the 12-candidate shortlist comes from TakeOrdered, not Sort+Limit
+    assert "TakeOrderedAndProject" in plan
+    # the scorer consumes the corpus AFTER a broadcast join with the
+    # candidate list: >= 2 broadcast exchanges (candidates + qtoks)
+    assert plan.count("BroadcastExchange") >= 2
+    assert_no_cartesian_product(df)
