@@ -71,7 +71,10 @@ def parse_task_spread(event_dir: str) -> list[dict]:
     """Per-stage task-duration spread from the Spark event log."""
     stages: dict[tuple, list[float]] = {}
     names: dict[tuple, str] = {}
-    for path in glob.glob(f"{event_dir}/*"):
+    # Spark 4 rolling event logs are DIRECTORIES (eventlog_v2_*/events_*)
+    for path in glob.glob(f"{event_dir}/**", recursive=True):
+        if os.path.isdir(path) or os.path.basename(path).startswith("appstatus"):
+            continue
         op = gzip.open if path.endswith(".gz") else open
         with op(path, "rt", errors="replace") as fh:
             for line in fh:
@@ -111,6 +114,9 @@ def parse_task_spread(event_dir: str) -> list[dict]:
 
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "SKEW_BAND_PROBE.txt"
+    import shutil
+
+    shutil.rmtree(EVENTDIR, ignore_errors=True)  # parse only THIS run
     os.makedirs(EVENTDIR, exist_ok=True)
     from high_energy_gamma_ray_search_in_kascade_array_data_spark import get_spark
 
@@ -119,6 +125,10 @@ def main() -> int:
         extra_confs={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{EVENTDIR}",
+            # plain single-file JSONL (no zstd, no rolling) so the
+            # stdlib can parse it
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
