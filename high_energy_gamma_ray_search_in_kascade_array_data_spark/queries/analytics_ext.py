@@ -3027,3 +3027,84 @@ def q_autocorrelation_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("p").alias("n_pairs"),
         F.floor(num / F.sqrt(d1 * d2) * 1000000 + 0.5).cast("long").alias("acf_micro"),
     ).orderBy("lag_hours")
+
+
+@register(
+    "calibration_reliability_bins",
+    survey_ref="A5,A7,§2.6",
+    oracle="""
+WITH scored AS (
+  SELECT LEAST(CAST(FLOOR(value * 2500 + 0.5) AS BIGINT), 1000000) AS conf_micro,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+binned AS (
+  SELECT LEAST(conf_micro // 100000, 9) AS bin, conf_micro, y FROM scored
+),
+per_bin AS (
+  SELECT bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(conf_micro) AS BIGINT) AS conf_sum,
+         CAST(ABS(1000000 * SUM(y) - SUM(conf_micro)) AS BIGINT) AS gap_n
+  FROM binned GROUP BY bin
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(gap_n) AS BIGINT) AS gsum FROM per_bin)
+SELECT bin, n, n_pos,
+       ROUND(conf_sum / (n * 1000000.0), 6) AS conf_avg,
+       ROUND(n_pos * 1.0 / n, 6) AS acc,
+       ROUND(gap_n / (n * 1000000.0), 6) AS gap,
+       ROUND(tot.gsum / (tot.nn * 1000000.0), 6) AS ece
+FROM per_bin, tot
+ORDER BY bin
+""",
+)
+def q_calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error — the eval
+    every learned quality/toxicity classifier in a data pipeline needs
+    before its scores gate documents: treat value/400 (clamped micro-
+    encoded) as the model's confidence that an event is a 'purchase',
+    bin into 10 confidence deciles, and compare per-bin mean
+    confidence against empirical accuracy; ECE = Σ (n_b/N)·|acc−conf|.
+
+    Exactness: confidence is integer micro-encoded at the row
+    (FLOOR(value·2500+0.5), one shared double expression), so per-bin
+    sums and the |n_pos·1e6 − Σconf| gaps are BIGINT in any
+    aggregation order; each output ratio does ONE final division.
+
+    Scale shape: a single map-side-combinable 10-group aggregate over
+    the fact plus a broadcastable 1-row total — the cheapest possible
+    shape; at 100 TB this is one pass."""
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.least(F.floor(F.col("value") * 2500 + 0.5).cast("bigint"), F.lit(1000000)).alias(
+            "conf_micro"
+        ),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    per_bin = (
+        scored.select(
+            F.least(F.expr("conf_micro DIV 100000"), F.lit(9)).alias("bin"), "conf_micro", "y"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("n_pos"),
+            F.sum("conf_micro").alias("conf_sum"),
+            F.abs(F.lit(1000000) * F.sum("y") - F.sum("conf_micro")).alias("gap_n"),
+        )
+    )
+    tot = per_bin.agg(F.sum("n").alias("nn"), F.sum("gap_n").alias("gsum"))
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(F.col("conf_sum") / (F.col("n") * 1000000.0), 6).alias("conf_avg"),
+            F.round(F.col("n_pos") * 1.0 / F.col("n"), 6).alias("acc"),
+            F.round(F.col("gap_n") / (F.col("n") * 1000000.0), 6).alias("gap"),
+            F.round(F.col("gsum") / (F.col("nn") * 1000000.0), 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )

@@ -542,3 +542,57 @@ def q_lsh_candidate_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "neardup_cross_source_matrix",
+    survey_ref="M5:dedup,§2.6,§2.7",
+    oracle=f"""
+WITH pairs AS ({_NEARDUP_ORACLE})
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(ROUND(p.jaccard * 1000000) AS BIGINT)) AS BIGINT) AS jaccard_micro_sum,
+       ROUND(SUM(CAST(ROUND(p.jaccard * 1000000) AS BIGINT)) / (COUNT(*) * 1000000.0), 6)
+         AS avg_jaccard
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+""",
+)
+def q_neardup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — the curation report that
+    decides which crawls/dumps to drop: near-dup pairs rolled up by
+    the (unordered) source pair, with pair counts and mean verified
+    jaccard. High off-diagonal mass means two sources mirror each
+    other; high diagonal mass means a source is internally redundant.
+
+    The mean is computed from micro-integer-encoded jaccards (already
+    6-dp rounded, so ·1e6 is exact) summed as BIGINT — aggregation-
+    order-proof — with ONE final division.
+
+    Scale shape: reuses the invocation-memoized verified-pair frame
+    (operators/dedup.py slot cache) when run after the near-dup
+    queries — zero re-shingling; the rollup joins pairs to the two
+    doc-metadata sides (broadcastable projections at any scale:
+    doc_id→source) and hash-aggregates on a |sources|² key space."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(d, threshold=0.5)
+    src = d.select("doc_id", "source")
+    jm = F.round(F.col("jaccard") * 1000000).cast("bigint")
+    return (
+        pairs.join(src.withColumnsRenamed({"doc_id": "doc_a", "source": "src_a"}), "doc_a")
+        .join(src.withColumnsRenamed({"doc_id": "doc_b", "source": "src_b"}), "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(jm).alias("jaccard_micro_sum"),
+            F.round(F.sum(jm) / (F.count(F.lit(1)) * 1000000.0), 6).alias("avg_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -1447,3 +1447,159 @@ def q_grouped_auc_by_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ------------------------------------ gradient compression (top-k + EF)
+
+_TKC_PRIMES = (97, 89, 83, 79, 73, 71, 67, 61)
+_TKC_K = 2        # coords each shard transmits per round
+_TKC_SHARDS = 8   # logical shards (user_id % 8 — deterministic, never
+#                   physical partitions, which no oracle could replay)
+_TKC_EPOCHS = 2
+
+
+def _tkc_feats_sql() -> list[str]:
+    return [f"CAST(event_id % {p} AS BIGINT)" for p in _TKC_PRIMES]
+
+
+def _tkc_oracle_sql() -> str:
+    """Unrolled 2-round top-k-compressed SGD in SQL: per-shard gradient
+    sums, per-shard rank by |g + error| (tie-break coord id), top-k
+    sent, error feedback carried to the next round — bit-exact vs the
+    Spark loop."""
+    fx = _tkc_feats_sql()
+    xs = ", ".join(f"{fx[j]} AS x{j}" for j in range(8))
+    lines = [
+        f"WITH d AS (SELECT CAST(user_id % {_TKC_SHARDS} AS BIGINT) AS s, {xs},",
+        "       CAST(3 * (event_id % 97) - 2 * (user_id % 89) + (event_id % 7) AS BIGINT) AS y",
+        "  FROM events),",
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),",
+        "coords AS (SELECT CAST(UNNEST(range(0, 8)) AS BIGINT) AS j),",
+        "w0 AS (SELECT " + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(8)) + "),",
+        "e0 AS (SELECT s.s, c.j, CAST(0 AS BIGINT) AS e"
+        f" FROM (SELECT DISTINCT s FROM d) s, coords c),",
+    ]
+    bexpr = f"n.n * {1 << _GD_SHIFT}"
+    for ep in range(1, _TKC_EPOCHS + 1):
+        wdot = " + ".join(f"w.w{j} * x{j}" for j in range(8))
+        gsums = ", ".join(f"CAST(SUM(r * x{j}) AS BIGINT) AS g{j}" for j in range(8))
+        gcase = " ".join(f"WHEN {j} THEN g{j}" for j in range(8))
+        lines += [
+            f"r{ep} AS (SELECT s, ({wdot}) - y * {_GD_S} AS r,"
+            + ", ".join(f"x{j}" for j in range(8))
+            + f" FROM d, w{ep-1} w),",
+            f"g{ep} AS (SELECT s, {gsums} FROM r{ep} GROUP BY s),",
+            f"a{ep} AS (SELECT g.s, c.j, (CASE c.j {gcase} END) + e.e AS a"
+            f" FROM g{ep} g, coords c JOIN e{ep-1} e ON e.s = g.s AND e.j = c.j),",
+            f"rk{ep} AS (SELECT s, j, a,"
+            f" ROW_NUMBER() OVER (PARTITION BY s ORDER BY ABS(a) DESC, j) AS rn FROM a{ep}),",
+            f"sent{ep} AS (SELECT s, j, rn,"
+            f" CASE WHEN rn <= {_TKC_K} THEN a ELSE 0 END AS sent,"
+            f" a - CASE WHEN rn <= {_TKC_K} THEN a ELSE 0 END AS enew FROM rk{ep}),",
+            f"e{ep} AS (SELECT s, j, CAST(enew AS BIGINT) AS e FROM sent{ep}),",
+            f"gh{ep} AS (SELECT j, CAST(SUM(sent) AS BIGINT) AS gh,"
+            f" CAST(SUM(CASE WHEN rn <= {_TKC_K} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_shards_sent FROM sent{ep} GROUP BY j),",
+            f"ghp{ep} AS (SELECT "
+            + ", ".join(f"MAX(CASE WHEN j = {j} THEN gh END) AS gh{j}" for j in range(8))
+            + f" FROM gh{ep}),",
+            f"w{ep} AS (SELECT "
+            + ", ".join(
+                f"CAST(w.w{j} - ({_gd_fdiv(f'g.gh{j}', bexpr)}) AS BIGINT) AS w{j}"
+                for j in range(8)
+            )
+            + f" FROM w{ep-1} w, ghp{ep} g, n),",
+        ]
+    lines[-1] = lines[-1].rstrip(",")
+    selects = [
+        f"SELECT CAST({ep} AS INTEGER) AS epoch, gh{ep}.j AS coord, "
+        + f"(CASE gh{ep}.j "
+        + " ".join(f"WHEN {j} THEN w{ep}.w{j}" for j in range(8))
+        + " END) AS w, "
+        + f"gh{ep}.gh AS ghat, gh{ep}.n_shards_sent FROM gh{ep}, w{ep}"
+        for ep in range(1, _TKC_EPOCHS + 1)
+    ]
+    return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY epoch, coord"
+
+
+@register(
+    "distributed_topk_grad_compression",
+    survey_ref="M2,§2.6,§2.12",
+    oracle=_tkc_oracle_sql(),
+)
+def q_distributed_topk_grad_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Communication-efficient data-parallel training: top-k gradient
+    sparsification with error feedback (the Deep Gradient Compression
+    recipe, Lin et al. 2018 — public) over the same exact fixed-point
+    GD decomposition as ``distributed_gd_training``. Each of 8 LOGICAL
+    shards (user_id % 8 — a deterministic key, never physical
+    partitions, which no oracle could replay) computes its full
+    8-coordinate gradient, transmits only its top-2 coordinates by
+    |gradient + accumulated error| (tie-break: lower coord id), and
+    carries the untransmitted remainder as error feedback into the
+    next round — the mechanism that keeps sparsified SGD convergent.
+    The server sums the sent values and applies the fixed-point step.
+
+    Exactness: gradients, error state, and steps are all BIGINT
+    (weights 2⁻¹⁶ grid, lr 2⁻¹³, floor-division step), so two rounds
+    hash-match an unrolled-SQL oracle bit for bit — compression
+    DECISIONS (which coords each shard sends) are part of the hash.
+
+    Scale shape: per round, ONE map-side-combinable aggregate keyed on
+    the shard id (8 groups × 8 sums — the AllReduce this op exists to
+    shrink: 16 of 64 coordinates cross the wire); the 8×8 error/selec-
+    tion state is driver-side optimizer state (the parameter-server
+    role), same bounded-collect license as the GD family's per-epoch
+    ``first()``. At real scale shards = workers and k/d is the
+    compression ratio; the plan shape is unchanged."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        (F.col("user_id") % _TKC_SHARDS).cast("bigint").alias("s"),
+        *[
+            (F.col("event_id") % p).cast("bigint").alias(f"x{j}")
+            for j, p in enumerate(_TKC_PRIMES)
+        ],
+        (
+            3 * (F.col("event_id") % 97)
+            - 2 * (F.col("user_id") % 89)
+            + F.col("event_id") % 7
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).cache()
+    try:
+        n = d.count()
+        b = n << _GD_SHIFT
+        w = [0] * 8
+        err: dict[int, list[int]] = {}
+        out = []
+        for epoch in range(1, _TKC_EPOCHS + 1):
+            r = sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(8)) - F.col("y") * _GD_S
+            rows = (
+                d.groupBy("s")
+                .agg(*[F.sum(r * F.col(f"x{j}")).alias(f"g{j}") for j in range(8)])
+                .collect()
+            )  # bounded: |shards| rows — parameter-server state, loop control
+            ghat = [0] * 8
+            nsent = [0] * 8
+            for row in rows:
+                s = int(row["s"])
+                e = err.setdefault(s, [0] * 8)
+                a = [int(row[f"g{j}"]) + e[j] for j in range(8)]
+                top = sorted(range(8), key=lambda j: (-abs(a[j]), j))[:_TKC_K]
+                for j in range(8):
+                    if j in top:
+                        ghat[j] += a[j]
+                        nsent[j] += 1
+                        e[j] = 0
+                    else:
+                        e[j] = a[j]
+            w = [w[j] - ghat[j] // b for j in range(8)]
+            out += [(epoch, j, w[j], ghat[j], nsent[j]) for j in range(8)]
+    finally:
+        d.unpersist()
+    return spark.createDataFrame(
+        out, "epoch int, coord long, w long, ghat long, n_shards_sent long"
+    ).orderBy("epoch", "coord")

@@ -352,3 +352,68 @@ def q_churn_label_builder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "dataset_mixture_temperature",
+    survey_ref="A9,§2.6,M5:text",
+    oracle="""
+WITH c AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+),
+r AS (
+  SELECT source, n,
+         CAST(FLOOR(SQRT(n) * 1000000 + 0.5) AS BIGINT) AS rt
+  FROM c
+),
+t AS (SELECT CAST(SUM(rt) AS BIGINT) AS srt, CAST(SUM(n) AS BIGINT) AS sn FROM r)
+SELECT source, n,
+       ROUND(rt * 1.0 / t.srt, 6) AS p_temp,
+       ROUND(n * 1.0 / t.sn, 6) AS p_nat,
+       ROUND((rt * 1.0 / t.srt) / (n * 1.0 / t.sn), 6) AS upsample_factor,
+       CAST((rt * 1000000) // t.srt AS BIGINT) AS docs_per_million
+FROM r, t
+ORDER BY source
+""",
+)
+def q_dataset_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled dataset mixing (the multi-source sampling
+    rule of multilingual/multi-corpus LLM training, T=0.5: sample
+    source s with p_s ∝ n_s^T — upweights small sources relative to
+    natural frequency without letting one giant crawl dominate):
+    per-source doc counts, temperature weight, natural weight, the
+    upsample factor small sources gain, and the integer docs-per-
+    million-samples budget (exact floor division; pair with
+    ``largest_remainder_allocation`` when the budget must sum exactly).
+
+    Float discipline: √n is integer-encoded at 1e-6 ticks per source
+    BEFORE the normalizing sum, so the total is an exact BIGINT in any
+    aggregation order (SQRT of a BIGINT is one correctly-rounded IEEE
+    op, identical cross-engine; a float Σ√n would be
+    partition-order-dependent).
+
+    Scale shape: one map-combinable count per source (the only
+    event-scale exchange) then arithmetic on a |sources|-row relation
+    — at 100 TB this is the metadata query that CONFIGURES the
+    sampler; the sampling itself composes with ``sample``/
+    ``epoch_shuffle_order``."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    r = c.select(
+        "source", "n", F.floor(F.sqrt(F.col("n")) * 1000000 + 0.5).cast("bigint").alias("rt")
+    )
+    t = r.agg(F.sum("rt").alias("srt"), F.sum("n").alias("sn"))
+    return (
+        r.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n",
+            F.round(F.col("rt") * 1.0 / F.col("srt"), 6).alias("p_temp"),
+            F.round(F.col("n") * 1.0 / F.col("sn"), 6).alias("p_nat"),
+            F.round(
+                (F.col("rt") * 1.0 / F.col("srt")) / (F.col("n") * 1.0 / F.col("sn")), 6
+            ).alias("upsample_factor"),
+            F.expr("(rt * 1000000) DIV srt").alias("docs_per_million"),
+        )
+        .orderBy("source")
+    )
