@@ -110,6 +110,11 @@ HEADLINE = [
     "trimmed_mean_robust",
     "colbert_maxsim_retrieval",
     "colbert_two_stage",
+    # round-8 additions: comms-efficient training, curation reporting
+    "distributed_topk_grad_compression",
+    "neardup_cross_source_matrix",
+    "dataset_mixture_temperature",
+    "calibration_reliability_bins",
     "dataset_datasheet_report",
     "zipf_exponent_fit",
 ]
