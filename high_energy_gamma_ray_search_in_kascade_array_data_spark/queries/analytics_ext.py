@@ -3066,6 +3066,9 @@ def q_calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFram
     encoded) as the model's confidence that an event is a 'purchase',
     bin into 10 confidence deciles, and compare per-bin mean
     confidence against empirical accuracy; ECE = Σ (n_b/N)·|acc−conf|.
+    Completes ``calibration_reliability_report`` (queries/ml.py), which
+    stops at the integer sufficient statistics: this query carries the
+    per-bin gap and the corpus ECE through to oracle-compared ratios.
 
     Exactness: confidence is integer micro-encoded at the row
     (FLOOR(value·2500+0.5), one shared double expression), so per-bin
