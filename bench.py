@@ -112,6 +112,8 @@ HEADLINE = [
     "colbert_two_stage",
     # round-8 additions: comms-efficient training, curation reporting
     "distributed_topk_grad_compression",
+    "distributed_signsgd_majority",
+    "stream_calibration_ece",
     "neardup_cross_source_matrix",
     "dataset_mixture_temperature",
     "calibration_reliability_bins",

@@ -3034,7 +3034,7 @@ def q_autocorrelation_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame
     survey_ref="A5,A7,§2.6",
     oracle="""
 WITH scored AS (
-  SELECT LEAST(CAST(FLOOR(value * 2500 + 0.5) AS BIGINT), 1000000) AS conf_micro,
+  SELECT GREATEST(LEAST(CAST(FLOOR(value * 2500 + 0.5) AS BIGINT), 1000000), 0) AS conf_micro,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
   FROM events
 ),
@@ -3079,10 +3079,14 @@ def q_calibration_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFram
     the fact plus a broadcastable 1-row total — the cheapest possible
     shape; at 100 TB this is one pass."""
     ev = load_table(spark, sf_dir, "events")
+    # clamp BOTH ends: confidence is a probability, and an unclamped
+    # negative conf_micro would hit the engines' integer-division sign
+    # split (Spark DIV truncates toward zero, DuckDB // floors)
     scored = ev.select(
-        F.least(F.floor(F.col("value") * 2500 + 0.5).cast("bigint"), F.lit(1000000)).alias(
-            "conf_micro"
-        ),
+        F.greatest(
+            F.least(F.floor(F.col("value") * 2500 + 0.5).cast("bigint"), F.lit(1000000)),
+            F.lit(0),
+        ).alias("conf_micro"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
     )
     per_bin = (

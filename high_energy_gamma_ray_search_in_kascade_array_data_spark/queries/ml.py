@@ -1603,3 +1603,124 @@ def q_distributed_topk_grad_compression(spark: SparkSession, sf_dir: str) -> Dat
     return spark.createDataFrame(
         out, "epoch int, coord long, w long, ghat long, n_shards_sent long"
     ).orderBy("epoch", "coord")
+
+
+_SSG_EPOCHS = 3
+_SSG_STEP = 256  # fixed step = 2^8 on the 2^-16 weight grid -> 2^-8 effective
+
+
+def _ssg_oracle_sql() -> str:
+    """Unrolled majority-vote signSGD: per-shard gradient signs,
+    coordinate-wise majority, fixed-magnitude step — every quantity a
+    small integer, bit-exact across engines (SIGN of a BIGINT is
+    exact; no division anywhere)."""
+    fx = _tkc_feats_sql()
+    xs = ", ".join(f"{fx[j]} AS x{j}" for j in range(8))
+    lines = [
+        f"WITH d AS (SELECT CAST(user_id % {_TKC_SHARDS} AS BIGINT) AS s, {xs},",
+        "       CAST(3 * (event_id % 97) - 2 * (user_id % 89) + (event_id % 7) AS BIGINT) AS y",
+        "  FROM events),",
+        "coords AS (SELECT CAST(UNNEST(range(0, 8)) AS BIGINT) AS j),",
+        "w0 AS (SELECT " + ", ".join(f"CAST(0 AS BIGINT) AS w{j}" for j in range(8)) + "),",
+    ]
+    for ep in range(1, _SSG_EPOCHS + 1):
+        wdot = " + ".join(f"w.w{j} * x{j}" for j in range(8))
+        gsums = ", ".join(f"CAST(SUM(r * x{j}) AS BIGINT) AS g{j}" for j in range(8))
+        gcase = " ".join(f"WHEN {j} THEN g{j}" for j in range(8))
+        lines += [
+            f"r{ep} AS (SELECT s, ({wdot}) - y * {_GD_S} AS r,"
+            + ", ".join(f"x{j}" for j in range(8))
+            + f" FROM d, w{ep-1} w),",
+            f"g{ep} AS (SELECT s, {gsums} FROM r{ep} GROUP BY s),",
+            f"v{ep} AS (SELECT c.j,"
+            f" CAST(SUM(CASE WHEN (CASE c.j {gcase} END) > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_pos,"
+            f" CAST(SUM(CASE WHEN (CASE c.j {gcase} END) < 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_neg"
+            f" FROM g{ep} g, coords c GROUP BY c.j),",
+            f"vt{ep} AS (SELECT j, n_pos, n_neg,"
+            f" CAST(SIGN(n_pos - n_neg) AS BIGINT) AS vote FROM v{ep}),",
+            f"vp{ep} AS (SELECT "
+            + ", ".join(f"MAX(CASE WHEN j = {j} THEN vote END) AS v{j}" for j in range(8))
+            + f" FROM vt{ep}),",
+            f"w{ep} AS (SELECT "
+            + ", ".join(
+                f"CAST(w.w{j} - {_SSG_STEP} * g.v{j} AS BIGINT) AS w{j}" for j in range(8)
+            )
+            + f" FROM w{ep-1} w, vp{ep} g),",
+        ]
+    lines[-1] = lines[-1].rstrip(",")
+    selects = [
+        f"SELECT CAST({ep} AS INTEGER) AS epoch, vt{ep}.j AS coord, "
+        + f"(CASE vt{ep}.j "
+        + " ".join(f"WHEN {j} THEN w{ep}.w{j}" for j in range(8))
+        + " END) AS w, "
+        + f"vt{ep}.vote, vt{ep}.n_pos AS n_pos_shards, vt{ep}.n_neg AS n_neg_shards"
+        + f" FROM vt{ep}, w{ep}"
+        for ep in range(1, _SSG_EPOCHS + 1)
+    ]
+    return "\n".join(lines) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY epoch, coord"
+
+
+@register(
+    "distributed_signsgd_majority",
+    survey_ref="M2,§2.6,§2.12",
+    oracle=_ssg_oracle_sql(),
+)
+def q_distributed_signsgd_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signSGD with majority vote (Bernstein et al. 2018 — public): the
+    1-bit-per-coordinate end of the gradient-compression spectrum
+    (``distributed_topk_grad_compression`` is the sparse end). Each of
+    8 logical shards transmits only the SIGN of each gradient
+    coordinate; the server takes the coordinate-wise majority and
+    applies a fixed-magnitude step. Every quantity is a small exact
+    integer — signs, vote tallies, the 2⁸-tick step — so three rounds
+    hash-match the unrolled-SQL oracle with no division at all, and
+    the byzantine-tolerance property the vote exists for (one corrupt
+    shard cannot flip a 6-2 majority) is visible in the
+    n_pos/n_neg_shards columns.
+
+    Scale shape: identical to the GD family — per round ONE
+    map-side-combinable shard-keyed aggregate (the 8×8 gradient
+    table), sign/vote arithmetic on 64 driver-side integers (the
+    parameter-server role, bounded-collect license), weights
+    re-broadcast in the next round's residual expression."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        (F.col("user_id") % _TKC_SHARDS).cast("bigint").alias("s"),
+        *[
+            (F.col("event_id") % p).cast("bigint").alias(f"x{j}")
+            for j, p in enumerate(_TKC_PRIMES)
+        ],
+        (
+            3 * (F.col("event_id") % 97)
+            - 2 * (F.col("user_id") % 89)
+            + F.col("event_id") % 7
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).cache()
+    try:
+        w = [0] * 8
+        out = []
+        for epoch in range(1, _SSG_EPOCHS + 1):
+            r = sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(8)) - F.col("y") * _GD_S
+            rows = (
+                d.groupBy("s")
+                .agg(*[F.sum(r * F.col(f"x{j}")).alias(f"g{j}") for j in range(8)])
+                .collect()
+            )  # bounded: |shards| rows — parameter-server state
+            for j in range(8):
+                n_pos = sum(1 for row in rows if int(row[f"g{j}"]) > 0)
+                n_neg = sum(1 for row in rows if int(row[f"g{j}"]) < 0)
+                vote = (n_pos > n_neg) - (n_pos < n_neg)
+                w[j] -= _SSG_STEP * vote
+                out.append((epoch, j, w[j], vote, n_pos, n_neg))
+    finally:
+        d.unpersist()
+    return spark.createDataFrame(
+        out,
+        "epoch int, coord long, w long, vote long, n_pos_shards long, n_neg_shards long",
+    ).orderBy("epoch", "coord")

@@ -992,3 +992,78 @@ def q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bins"),
         F.round(F.sum("ipsi") / 1000000000.0, 6).alias("psi"),
     )
+
+
+@register(
+    "stream_calibration_ece",
+    survey_ref="§2.11,A5,A7",
+    oracle="""
+WITH scored AS (
+  SELECT GREATEST(LEAST(CAST(FLOOR(value * 2500 + 0.5) AS BIGINT), 1000000), 0) AS conf_micro,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+per_bin AS (
+  SELECT LEAST(conf_micro // 100000, 9) AS bin,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(SUM(conf_micro) AS BIGINT) AS conf_sum
+  FROM scored GROUP BY 1
+),
+tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(ABS(1000000 * n_pos - conf_sum)) AS BIGINT) AS gsum
+  FROM per_bin
+)
+SELECT bin, n, n_pos,
+       ROUND(conf_sum / (n * 1000000.0), 6) AS conf_avg,
+       ROUND(n_pos * 1.0 / n, 6) AS acc,
+       ROUND(tot.gsum / (tot.nn * 1000000.0), 6) AS ece
+FROM per_bin, tot
+ORDER BY bin
+""",
+)
+def q_stream_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming calibration monitor — the production deployment of
+    ``calibration_reliability_bins``: the per-confidence-decile
+    integer sufficient statistics (n, positives, Σ confidence-micro)
+    are maintained by the streaming engine in update mode (state = 10
+    bins, bounded forever, exactly the flagship-histogram shape of
+    ``stream_survival_curve``), and the reliability diagram + ECE are
+    recomputed batch-side from those 10 rows after each drain — a
+    model-quality alarm that costs O(bins), not O(events), per
+    refresh. Must equal the batch computation — same integer
+    encoding, same oracle shape."""
+    ev = core.read_events_stream(spark, sf_dir)
+    scored = ev.select(
+        F.greatest(
+            F.least(F.floor(F.col("value") * 2500 + 0.5).cast("bigint"), F.lit(1000000)),
+            F.lit(0),
+        ).alias("conf_micro"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    per_bin = scored.groupBy(
+        F.least(F.expr("conf_micro DIV 100000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.sum("conf_micro").alias("conf_sum"),
+    )
+    core.run_to_memory(per_bin, "stream_calibration_sink", state_partitions=8)
+    hist = spark.table("stream_calibration_sink")
+    tot = hist.agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.abs(F.lit(1000000) * F.col("n_pos") - F.col("conf_sum"))).alias("gsum"),
+    )
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n",
+            "n_pos",
+            F.round(F.col("conf_sum") / (F.col("n") * 1000000.0), 6).alias("conf_avg"),
+            F.round(F.col("n_pos") * 1.0 / F.col("n"), 6).alias("acc"),
+            F.round(F.col("gsum") / (F.col("nn") * 1000000.0), 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )
