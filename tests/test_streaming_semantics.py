@@ -284,3 +284,18 @@ def test_late_data_conservation_from_engine_telemetry(spark, sf_dir):
     assert dropped > 0, "straggler construction degenerated: nothing was late"
     assert unflushed >= 0
     assert emitted + dropped + unflushed == total_in
+
+
+def test_stream_calibration_equals_batch(spark, sf_dir):
+    """The update-mode ECE monitor must equal the batch reliability
+    diagram on every shared column after an AvailableNow drain — the
+    stream==batch contract of the incremental engine."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
+
+    reg = corpus()
+    batch = {r["bin"]: r for r in reg["calibration_reliability_bins"].fn(spark, sf_dir).collect()}
+    stream = {r["bin"]: r for r in reg["stream_calibration_ece"].fn(spark, sf_dir).collect()}
+    assert set(batch) == set(stream)
+    for b in batch:
+        for col in ("n", "n_pos", "conf_avg", "acc", "ece"):
+            assert batch[b][col] == stream[b][col], (b, col)
