@@ -150,34 +150,70 @@ def _persist_tracked(df: DataFrame) -> DataFrame:
 
 
 def _corpus_key(docs: DataFrame, *parts) -> str | None:
-    """Semantic fingerprint of (source files, logical plan, params) —
-    sound to reuse cached frames under when equal. Returns None (never
-    memoize) for frames not backed by files: two distinct in-memory
-    corpora can share schema + empty file list, and a false cache hit
-    would be a wrong answer, so only file-backed reads qualify. exprIds
-    (#123) differ across otherwise-identical reads and are stripped."""
+    """Semantic fingerprint of (source files + their size/mtime,
+    logical plan, params) — sound to reuse cached frames under when
+    equal. Returns None (never memoize) for frames not backed by
+    files: two distinct in-memory corpora can share schema + empty
+    file list, and a false cache hit would be a wrong answer, so only
+    file-backed reads qualify. Each file's stat (size, mtime_ns) is
+    folded in so an overwrite that reproduces the same file names
+    (CSV/JSON sources, rewritten fixtures) changes the key instead of
+    serving stale frames; a non-local scheme or un-stattable path also
+    returns None — same never-memoize safety default. exprIds (#123)
+    differ across otherwise-identical reads and are stripped."""
+    import os as _os
     import re as _re
+    from urllib.parse import urlparse as _urlparse
 
     try:
         files = sorted(docs.inputFiles())
         if not files:
             return None
+        stamped = []
+        for f in files:
+            parsed = _urlparse(f)
+            if parsed.scheme not in ("", "file"):
+                return None  # remote store: no cheap local stat — never memoize
+            path = parsed.path or f
+            st = _os.stat(path)
+            stamped.append(f"{f}\x01{st.st_size}\x01{st.st_mtime_ns}")
         plan = docs._jdf.queryExecution().analyzed().toString()
         plan = _re.sub(r"#\d+", "", plan)
-        return "\x00".join([plan, *files, *map(str, parts)])
+        return "\x00".join([plan, *stamped, *map(str, parts)])
     except Exception:
         return None
+
+
+def _key_base(key: str) -> str:
+    """The stat-independent part of a corpus key (plan + file names,
+    sizes/mtimes stripped) — two keys with equal base name the same
+    files on disk, so at most one can reflect the current bytes."""
+    import re as _re
+
+    return _re.sub("\x01[^\x00]*", "", key)
 
 
 def _memo_enter(key: str | None) -> bool:
     """Start an invocation. A keyless (non-file-backed) entry flushes
     everything; a keyed entry promotes its slot to most-recently-used
     and evicts beyond _MAX_SLOTS. Returns True when memoized frames
-    may be (re)used."""
+    may be (re)used.
+
+    A STALE SIBLING — a slot whose key names the same files but with a
+    different size/mtime stamp (the data was rewritten in place) — is
+    released eagerly, not just left to LRU: its persisted frames live
+    in Spark's CacheManager keyed by canonicalized plan, and a fresh
+    read of the same path would plan-match and silently substitute the
+    stale cached bytes even though OUR memo missed. Unpersisting drops
+    them from the CacheManager so the recompute reads the new files."""
     global _MEMO_KEY
     if key is None:
         release_caches()
         return False
+    base = _key_base(key)
+    for k in list(_SLOTS):
+        if k is not None and k != key and _key_base(k) == base:
+            _release_slot(_SLOTS.pop(k))
     _MEMO_KEY = key
     if key in _SLOTS:
         _SLOTS[key] = _SLOTS.pop(key)  # move to MRU position

@@ -1462,6 +1462,40 @@ def _tkc_feats_sql() -> list[str]:
     return [f"CAST(event_id % {p} AS BIGINT)" for p in _TKC_PRIMES]
 
 
+def _tkc_shard_frame(ev: DataFrame) -> DataFrame:
+    """The (shard, x0..x7, y) training frame both comms-efficient
+    trainers scan: shard = user_id % SHARDS (deterministic logical
+    key), features = event_id mod small primes, label = an exact
+    integer linear target. Shared with the plan test so it asserts on
+    the real scan."""
+    return ev.select(
+        (F.col("user_id") % _TKC_SHARDS).cast("bigint").alias("s"),
+        *[
+            (F.col("event_id") % p).cast("bigint").alias(f"x{j}")
+            for j, p in enumerate(_TKC_PRIMES)
+        ],
+        (
+            3 * (F.col("event_id") % 97)
+            - 2 * (F.col("user_id") % 89)
+            + F.col("event_id") % 7
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+
+
+def _tkc_shard_gradients(d: DataFrame, w: list[int]) -> DataFrame:
+    """The per-epoch per-shard gradient aggregate BOTH trainers
+    execute: residual r = Σ wⱼxⱼ − y·S folded into groupBy(shard)
+    .agg(Σ r·xⱼ for each j) — one map-side-combinable exchange
+    carrying |shards|·|coords| partials, never the fact rows. Factored
+    out so tests/test_plans.py asserts partial aggregation on the
+    EXACT aggregate the training loops collect (including the residual
+    product columns), not a stand-in."""
+    r = sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(8)) - F.col("y") * _GD_S
+    return d.groupBy("s").agg(*[F.sum(r * F.col(f"x{j}")).alias(f"g{j}") for j in range(8)])
+
+
 def _tkc_oracle_sql() -> str:
     """Unrolled 2-round top-k-compressed SGD in SQL: per-shard gradient
     sums, per-shard rank by |g + error| (tie-break coord id), top-k
@@ -1555,20 +1589,7 @@ def q_distributed_topk_grad_compression(spark: SparkSession, sf_dir: str) -> Dat
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    d = ev.select(
-        (F.col("user_id") % _TKC_SHARDS).cast("bigint").alias("s"),
-        *[
-            (F.col("event_id") % p).cast("bigint").alias(f"x{j}")
-            for j, p in enumerate(_TKC_PRIMES)
-        ],
-        (
-            3 * (F.col("event_id") % 97)
-            - 2 * (F.col("user_id") % 89)
-            + F.col("event_id") % 7
-        )
-        .cast("bigint")
-        .alias("y"),
-    ).cache()
+    d = _tkc_shard_frame(ev).cache()
     try:
         n = d.count()
         b = n << _GD_SHIFT
@@ -1576,12 +1597,8 @@ def q_distributed_topk_grad_compression(spark: SparkSession, sf_dir: str) -> Dat
         err: dict[int, list[int]] = {}
         out = []
         for epoch in range(1, _TKC_EPOCHS + 1):
-            r = sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(8)) - F.col("y") * _GD_S
-            rows = (
-                d.groupBy("s")
-                .agg(*[F.sum(r * F.col(f"x{j}")).alias(f"g{j}") for j in range(8)])
-                .collect()
-            )  # bounded: |shards| rows — parameter-server state, loop control
+            rows = _tkc_shard_gradients(d, w).collect()
+            # bounded: |shards| rows — parameter-server state, loop control
             ghat = [0] * 8
             nsent = [0] * 8
             for row in rows:
@@ -1688,30 +1705,13 @@ def q_distributed_signsgd_majority(spark: SparkSession, sf_dir: str) -> DataFram
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    d = ev.select(
-        (F.col("user_id") % _TKC_SHARDS).cast("bigint").alias("s"),
-        *[
-            (F.col("event_id") % p).cast("bigint").alias(f"x{j}")
-            for j, p in enumerate(_TKC_PRIMES)
-        ],
-        (
-            3 * (F.col("event_id") % 97)
-            - 2 * (F.col("user_id") % 89)
-            + F.col("event_id") % 7
-        )
-        .cast("bigint")
-        .alias("y"),
-    ).cache()
+    d = _tkc_shard_frame(ev).cache()
     try:
         w = [0] * 8
         out = []
         for epoch in range(1, _SSG_EPOCHS + 1):
-            r = sum(F.lit(w[j]) * F.col(f"x{j}") for j in range(8)) - F.col("y") * _GD_S
-            rows = (
-                d.groupBy("s")
-                .agg(*[F.sum(r * F.col(f"x{j}")).alias(f"g{j}") for j in range(8)])
-                .collect()
-            )  # bounded: |shards| rows — parameter-server state
+            rows = _tkc_shard_gradients(d, w).collect()
+            # bounded: |shards| rows — parameter-server state
             for j in range(8):
                 n_pos = sum(1 for row in rows if int(row[f"g{j}"]) > 0)
                 n_neg = sum(1 for row in rows if int(row[f"g{j}"]) < 0)

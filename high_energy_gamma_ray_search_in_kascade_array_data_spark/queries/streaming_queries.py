@@ -1027,13 +1027,18 @@ def q_stream_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming calibration monitor — the production deployment of
     ``calibration_reliability_bins``: the per-confidence-decile
     integer sufficient statistics (n, positives, Σ confidence-micro)
-    are maintained by the streaming engine in update mode (state = 10
-    bins, bounded forever, exactly the flagship-histogram shape of
-    ``stream_survival_curve``), and the reliability diagram + ECE are
-    recomputed batch-side from those 10 rows after each drain — a
-    model-quality alarm that costs O(bins), not O(events), per
-    refresh. Must equal the batch computation — same integer
-    encoding, same oracle shape."""
+    are maintained by the streaming engine in COMPLETE output mode
+    (state = 10 bins, bounded forever, exactly the flagship-histogram
+    shape of ``stream_survival_curve``), and the reliability diagram +
+    ECE are recomputed batch-side from those 10 rows after each
+    drain — a model-quality alarm that costs O(bins), not O(events),
+    per refresh. Complete mode is load-bearing here: the memory sink
+    is replaced wholesale per microbatch, so the batch-side rollup
+    sees exactly one row per bin. Update mode would APPEND one row per
+    (bin, microbatch) to the memory sink and the rollup would
+    double-count — do not "align" this with update-mode deployments
+    without switching the sink to a keyed upsert. Must equal the batch
+    computation — same integer encoding, same oracle shape."""
     ev = core.read_events_stream(spark, sf_dir)
     scored = ev.select(
         F.greatest(
@@ -1049,7 +1054,11 @@ def q_stream_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").alias("n_pos"),
         F.sum("conf_micro").alias("conf_sum"),
     )
-    core.run_to_memory(per_bin, "stream_calibration_sink", state_partitions=8)
+    # complete mode is REQUIRED (see docstring): the memory sink must be
+    # replaced wholesale per microbatch so the rollup sees one row/bin.
+    core.run_to_memory(
+        per_bin, "stream_calibration_sink", output_mode="complete", state_partitions=8
+    )
     hist = spark.table("stream_calibration_sink")
     tot = hist.agg(
         F.sum("n").alias("nn"),

@@ -136,8 +136,23 @@ def main() -> int:
 
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import dedup
 
-    if not os.path.exists(f"{FIXTURE}/documents.parquet"):
+    # rebuild the fixture when the generating constants change — a
+    # stale fixture from an older constant set would make the probe
+    # measure the wrong workload. The constants are stamped in a
+    # sidecar file next to the parquet.
+    stamp_path = f"{FIXTURE}/constants.json"
+    stamp = json.dumps(
+        {"N_DOCS": N_DOCS, "HOT_FRAC": HOT_FRAC, "BOILER": BOILER, "TAIL": TAIL},
+        sort_keys=True,
+    )
+    have = None
+    if os.path.exists(stamp_path):
+        with open(stamp_path) as fh:
+            have = fh.read()
+    if have != stamp or not os.path.exists(f"{FIXTURE}/documents.parquet"):
         build_fixture(spark)
+        with open(stamp_path, "w") as fh:
+            fh.write(stamp)
     docs = spark.read.parquet(f"{FIXTURE}/documents.parquet")
 
     n_hot = int(N_DOCS * HOT_FRAC)
@@ -149,6 +164,15 @@ def main() -> int:
     # vacuous if the fixture failed to make the band hot
     expected = n_hot * (n_hot - 1) // 2
     hot_pairs = pairs.filter((F.col("doc_a") < n_hot) & (F.col("doc_b") < n_hot)).count()
+    # enforce, don't just print: a cold band means the probe measured
+    # nothing and "BOUNDED" would be vacuous
+    if hot_pairs != expected:
+        print(
+            f"FATAL: hot-family clique incomplete ({hot_pairs}/{expected}) — "
+            "fixture did not produce a hot band; probe is vacuous",
+            file=sys.stderr,
+        )
+        return 2
 
     t1 = time.monotonic()
     comp = dedup.connected_components_star(pairs.select("doc_a", "doc_b"))
@@ -158,7 +182,17 @@ def main() -> int:
     spark.stop()  # flush the event log
 
     rows = parse_task_spread(EVENTDIR)
-    worst = max((r["straggler"] for r in rows), default=0.0)
+    if not rows:
+        # an empty parse (event log disabled because a pre-existing
+        # session ignored the conf, a format change, or a truncated
+        # log) must FAIL, not print a vacuous "BOUNDED (< 4x)"
+        print(
+            "FATAL: event-log parse produced no heavy stages — the probe "
+            "measured nothing (conf ignored / format changed / empty log)",
+            file=sys.stderr,
+        )
+        return 2
+    worst = max(r["straggler"] for r in rows)
     lines = [
         "# Hot-band skew probe: LSH dedup under a boilerplate-dominated corpus",
         f"# fixture: {N_DOCS} docs, {n_hot} sharing a {BOILER}-token boilerplate"

@@ -439,24 +439,25 @@ def test_colbert_two_stage_prunes_before_scoring(spark, sf_dir):
 def test_gradient_compression_family_partial_agg(spark, sf_dir):
     """Both comms-efficient trainers' per-shard gradient aggregates
     must combine map-side (shuffle carries |shards|·|coords| partials,
-    not rows) and never cartesian-join the fact."""
+    not rows) and never cartesian-join the fact. Asserts on the EXACT
+    per-epoch aggregate the trainers collect — the shared helpers
+    `_tkc_shard_frame` / `_tkc_shard_gradients` are the same code path
+    the queries execute, residual product columns included — so a
+    regression in the real training aggregate's shape fails here."""
     for name in ("distributed_topk_grad_compression", "distributed_signsgd_majority"):
         df = _q(name, spark, sf_dir)
-        # the query runs its epochs eagerly; the returned frame is the
-        # small driver-built result — assert on the training scan shape
-        # via a fresh single-epoch aggregate instead
         assert df.count() > 0
-    from pyspark.sql import functions as F
-
-    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.ml import _TKC_PRIMES, _TKC_SHARDS
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.ml import (
+        _tkc_shard_frame,
+        _tkc_shard_gradients,
+    )
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    d = ev.select(
-        (F.col("user_id") % _TKC_SHARDS).cast("bigint").alias("s"),
-        *[(F.col("event_id") % p).cast("bigint").alias(f"x{j}") for j, p in enumerate(_TKC_PRIMES)],
-    )
-    agg = d.groupBy("s").agg(*[F.sum(F.col(f"x{j}")).alias(f"g{j}") for j in range(8)])
+    # a non-trivial weight vector so the residual expression r (and its
+    # product columns) is present in the plan exactly as in epoch >= 2
+    w = [3, -5, 7, 0, 11, -1, 2, 9]
+    agg = _tkc_shard_gradients(_tkc_shard_frame(ev), w)
     assert_partial_aggregation(agg)
     assert_no_cartesian_product(agg)
 

@@ -694,3 +694,52 @@ def test_dedup_cache_invocation_keyed(spark, tmp_path):
     assert out4 == out1
     dedup.release_caches()
     assert not dedup._SLOTS
+
+
+def test_dedup_cache_invalidated_on_rewrite(spark, tmp_path):
+    """r8 ADVICE (medium): the memo key folds each file's size+mtime,
+    so rewriting the data at the SAME path (stable file names) must
+    MISS the cache and return the new corpus's answer — a stale hit
+    would silently return the old near-dup pairs."""
+    import os
+    import shutil
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import dedup
+
+    path = str(tmp_path / "c")
+    docs_v1 = [(i, f"tok{i} alpha beta gamma delta epsilon zeta tok{i}") for i in range(20)]
+    docs_v1 += [(100 + i, docs_v1[i][1]) for i in range(4)]  # 4 planted dups
+    spark.createDataFrame(docs_v1, "doc_id long, text string").coalesce(1).write.parquet(
+        f"{path}/documents.parquet"
+    )
+    dedup.release_caches()
+    r1 = spark.read.parquet(f"{path}/documents.parquet")
+    out1 = sorted(map(tuple, dedup.minhash_near_duplicates(r1).select("doc_a", "doc_b").collect()))
+    assert out1  # the planted dups (plus shared-boilerplate pairs) must pair up
+    key1 = dedup._MEMO_KEY
+    assert key1 is not None
+
+    # rewrite the SAME path with a no-dup corpus, reproducing a stable
+    # single file name (the CSV/JSON/hand-fixture overwrite scenario)
+    stage = str(tmp_path / "stage")
+    docs_v2 = [(i, " ".join(f"w{i}_{k}" for k in range(8))) for i in range(20)]
+    spark.createDataFrame(docs_v2, "doc_id long, text string").coalesce(1).write.parquet(stage)
+    old_files = sorted(
+        f for f in os.listdir(f"{path}/documents.parquet") if f.endswith(".parquet")
+    )
+    new_files = sorted(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    assert len(old_files) == 1 and len(new_files) == 1
+    # force the byte-identical file NAME the old key was computed over;
+    # drop Hadoop's .crc sidecars, stale after the out-of-band rewrite
+    shutil.copy(f"{stage}/{new_files[0]}", f"{path}/documents.parquet/{old_files[0]}")
+    for crc in os.listdir(f"{path}/documents.parquet"):
+        if crc.endswith(".crc"):
+            os.remove(f"{path}/documents.parquet/{crc}")
+
+    r2 = spark.read.parquet(f"{path}/documents.parquet")
+    out2 = sorted(map(tuple, dedup.minhash_near_duplicates(r2).select("doc_a", "doc_b").collect()))
+    # the rewritten corpus has zero near-dups; a stale memo hit would
+    # have returned out1's 4 pairs
+    assert out2 == []
+    assert dedup._MEMO_KEY != key1
+    dedup.release_caches()
