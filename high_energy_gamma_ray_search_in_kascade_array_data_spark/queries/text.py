@@ -995,17 +995,28 @@ def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically → re-segment every word), returning the learned
     merge table (round, pair, merged symbol, frequency at adoption).
 
-    Loop layout follows the kmeans/Bellman-Ford family: per round ONE
-    map-side-combinable pair-count aggregate (group count = current
-    pair vocabulary, never the token stream) and a driver-held rule
-    (3 strings — metadata, same license as the kmeans centroids); the
-    merge application is a pure JVM array fold, and each round's
-    re-segmented corpus is lineage-truncated (``localCheckpoint``) so
-    round k never recomputes rounds 1..k-1 — at cluster scale that
-    checkpoint is a persisted intermediate table, the standard shape
-    for iterative corpus rewrites.  Counts are exact integers; the
-    tie-break is total, so the learned merge table is bit-stable at
-    any partitioning and identical in the unrolled DuckDB twin."""
+    Loop layout follows the kmeans/Bellman-Ford family, with the
+    pair-count table maintained INCREMENTALLY (the textbook BPE
+    trainer's delta structure, distributed): the full corpus-wide pair
+    count runs ONCE; after adopting merge (a,b)→m only words that
+    CONTAIN the bigram can change, so round r>1 recounts just that
+    affected subset before/after the fold and applies the signed delta
+    to the (small, checkpointed) counts table — per-merge cost is
+    proportional to the merged pair's occurrences, not the corpus,
+    which is what makes real training (thousands of merges, each
+    rarer than the last) O(Σ occurrences) instead of O(merges ×
+    corpus). The argmax each round reads the counts TABLE (pair
+    vocabulary, never the token stream); the adopted rule is a
+    driver-held 3-string value (same license as the kmeans
+    centroids); the merge application is a pure JVM array fold, and
+    each round's re-segmented corpus + counts are lineage-truncated
+    (``localCheckpoint``) so round k never recomputes rounds 1..k-1 —
+    at cluster scale those checkpoints are persisted intermediate
+    tables, the standard shape for iterative corpus rewrites. Counts
+    are exact integers; the tie-break is total, so the learned merge
+    table is bit-stable at any partitioning and identical in the
+    unrolled DuckDB twin (which recomputes from scratch each round —
+    the incremental delta is provably the same table)."""
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.analytics_ext import _loop_shuffle
 
     d = load_table(spark, sf_dir, "documents")
@@ -1022,33 +1033,73 @@ def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(8)
         .localCheckpoint(eager=True)
     )
+
+    def pair_structs(s):
+        return F.zip_with(
+            F.slice(s, 1, F.size(s) - 1),
+            F.slice(s, 2, F.size(s) - 1),
+            lambda p, q: F.struct(p.alias("a"), q.alias("b")),
+        )
+
+    def count_pairs(df):
+        return (
+            df.select(F.explode(pair_structs(F.col("s"))).alias("pr"))
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.count(F.lit(1)).alias("freq"))
+        )
+
     rules: list[tuple[int, str, str, str, int]] = []
     cur = words
-    for r in range(1, _BPE_ROUNDS + 1):
-        s = F.col("s")
-        pairs = cur.select(
-            F.explode(
-                F.zip_with(
-                    F.slice(s, 1, F.size(s) - 1),
-                    F.slice(s, 2, F.size(s) - 1),
-                    lambda p, q: F.struct(p.alias("a"), q.alias("b")),
-                )
-            ).alias("pr")
-        )
-        with _loop_shuffle(spark, 8):
+    with _loop_shuffle(spark, 8):
+        # the ONLY corpus-wide pair count — rounds 2..R maintain it by delta
+        counts = count_pairs(cur).localCheckpoint(eager=True)
+        for r in range(1, _BPE_ROUNDS + 1):
             top = (
-                pairs.groupBy("pr.a", "pr.b")
-                .agg(F.count(F.lit(1)).alias("freq"))
-                .orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
-                .limit(1)
-                .collect()
+                counts.orderBy(F.desc("freq"), F.asc("a"), F.asc("b")).limit(1).collect()
             )[0]
-        a, b, freq = top["a"], top["b"], int(top["freq"])
-        rules.append((r, a, b, a + b, freq))
-        if r < _BPE_ROUNDS:
-            cur = cur.select(_bpe_merge_fold(s, a, b).alias("s")).localCheckpoint(
-                eager=True
-            )
+            a, b, freq = top["a"], top["b"], int(top["freq"])
+            rules.append((r, a, b, a + b, freq))
+            if r < _BPE_ROUNDS:
+                # words containing the adopted bigram are EXACTLY the
+                # ones whose pair multiset changes under the fold —
+                # recount old/new pairs on that subset only and apply
+                # the signed delta (new − old) to the counts table
+                has = F.exists(
+                    pair_structs(F.col("s")),
+                    lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)),
+                )
+                affected = cur.filter(has).localCheckpoint(eager=True)
+                folded_aff = affected.select(
+                    _bpe_merge_fold(F.col("s"), a, b).alias("s")
+                ).localCheckpoint(eager=True)
+                delta = (
+                    count_pairs(affected)
+                    .select("a", "b", (-F.col("freq")).alias("d"))
+                    .unionByName(
+                        count_pairs(folded_aff).select("a", "b", F.col("freq").alias("d"))
+                    )
+                    .groupBy("a", "b")
+                    .agg(F.sum("d").alias("d"))
+                )
+                counts = (
+                    counts.join(delta, ["a", "b"], "full_outer")
+                    .select(
+                        "a",
+                        "b",
+                        (
+                            F.coalesce(F.col("freq"), F.lit(0))
+                            + F.coalesce(F.col("d"), F.lit(0))
+                        ).alias("freq"),
+                    )
+                    .filter(F.col("freq") > 0)
+                    .localCheckpoint(eager=True)
+                )
+                # re-segment: unaffected words pass through verbatim,
+                # already-folded affected words union back in — the
+                # corpus rewrite touches only the rows that changed
+                cur = (
+                    cur.filter(~has).unionByName(folded_aff).localCheckpoint(eager=True)
+                )
     return spark.createDataFrame(
         rules, "round int, sym_a string, sym_b string, merged string, freq bigint"
     )

@@ -462,6 +462,20 @@ def test_gradient_compression_family_partial_agg(spark, sf_dir):
     assert_no_cartesian_product(agg)
 
 
+def test_pq_adc_is_map_only_lookup(spark, sf_dir):
+    """ADC must be a literal table LOOKUP per row: the query→centroid
+    distance table is folded in at plan time (driver-side 1-row
+    collect), so the plan has NO join of any kind — one scan, one
+    projection, one TakeOrdered. The r7/r8 bench regression was a
+    broadcast crossJoin re-evaluating the row-invariant query table
+    per fact row."""
+    df = _q("pq_adc_topk", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    for bad in ("BroadcastNestedLoopJoin", "CartesianProduct", "BroadcastHashJoin", "SortMergeJoin"):
+        assert bad not in plan, f"{bad} in pq_adc_topk plan — query table not folded"
+
+
 def test_calibration_bins_single_pass(spark, sf_dir):
     """The reliability diagram is ONE map-side-combinable 10-group
     aggregate over the fact plus a broadcast total — no sort of the
