@@ -299,3 +299,130 @@ def test_stream_calibration_equals_batch(spark, sf_dir):
     for b in batch:
         for col in ("n", "n_pos", "conf_avg", "acc", "ece"):
             assert batch[b][col] == stream[b][col], (b, col)
+
+
+def test_midbatch_failure_recovery_exactly_once(spark):
+    """Exactly-once under the failure mode clusters actually have: the
+    query dies MID-BATCH — after the sink has already emitted a
+    partial, non-transactional write for the in-flight batch, but
+    before the batch commits. A clean-boundary restart test (above)
+    cannot catch a sink that double-counts replayed data or an engine
+    that skips the uncommitted batch.
+
+    Injection is deterministic: a foreachBatch writer that, on its
+    FIRST attempt at batch 1, writes half the batch's rows to the
+    output directory and raises (the executor-OOM / node-loss moment).
+    The restarted query must re-plan the SAME uncommitted batch from
+    the checkpoint WAL, and the idempotent batch_id-keyed overwrite —
+    the documented foreachBatch exactly-once recipe — must replace the
+    partial output. Final reconstructed state must equal the batch
+    twin: nothing dropped, nothing double-counted."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = os.path.join(SCRATCH, "midbatch_src")
+    ckpt = os.path.join(SCRATCH, "midbatch_ckpt")
+    out = os.path.join(SCRATCH, "midbatch_out")
+    for p in (src, ckpt, out):
+        shutil.rmtree(p, ignore_errors=True)
+    os.makedirs(src)
+    d = lambda h, m: datetime(2024, 3, 1, h, m)  # noqa: E731
+    # batch 0 opens window 12:00; batch 1 UPDATES it and opens 13:00
+    # (cross-batch state is in flight when the failure hits); batch 2
+    # updates 13:00 and opens 14:00
+    _write_events_file(
+        os.path.join(src, "f1.parquet"),
+        [(1, d(12, 0), 1.0), (2, d(12, 10), 2.0)],
+        mtime=1_000_000.0,
+    )
+    _write_events_file(
+        os.path.join(src, "f2.parquet"),
+        [(3, d(12, 20), 4.0), (4, d(13, 5), 8.0)],
+        mtime=2_000_000.0,
+    )
+    _write_events_file(
+        os.path.join(src, "f3.parquet"),
+        [(5, d(13, 30), 16.0), (6, d(14, 0), 32.0)],
+        mtime=3_000_000.0,
+    )
+    schema = spark.read.parquet(os.path.join(src, "f1.parquet")).schema
+
+    injected = {"armed": True, "partial_rows": None}
+
+    def writer(df, batch_id):
+        path = os.path.join(out, f"batch_id={batch_id}")
+        if batch_id == 1 and injected["armed"]:
+            injected["armed"] = False
+            # the mid-batch death: a PARTIAL, NON-ATOMIC emission hits
+            # the sink, then the query dies before the batch commits
+            df.limit(1).write.mode("overwrite").parquet(path)
+            injected["partial_rows"] = 1
+            raise RuntimeError("injected mid-batch failure")
+        # idempotent recipe: overwrite keyed by batch_id, so a replayed
+        # batch REPLACES any partial output instead of appending to it
+        df.write.mode("overwrite").parquet(path)
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .select(F.col("w.start").alias("wstart"), "n", "s")
+        )
+        return (
+            agg.writeStream.foreachBatch(writer)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = start()
+        with pytest.raises(StreamingQueryException, match="injected mid-batch failure"):
+            q.awaitTermination()
+        # the failure really was mid-batch: partial output is on disk
+        assert injected["partial_rows"] == 1
+        partial = spark.read.parquet(os.path.join(out, "batch_id=1")).collect()
+        assert len(partial) == 1, "injection should have left a partial batch on disk"
+
+        q2 = start()  # NEW query object, SAME checkpoint — the restart
+        q2.awaitTermination()
+        q2.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    # the replayed batch REPLACED the partial output (update-mode batch
+    # 1 touches windows 12:00 and 13:00 → 2 rows, not 1, not 3)
+    replayed = spark.read.parquet(os.path.join(out, "batch_id=1")).collect()
+    assert len(replayed) == 2, f"partial output not replaced: {replayed}"
+
+    # reconstruct the sink's final state: per window, the row from the
+    # highest batch_id (update-mode contract), and compare to the batch
+    # twin over the SAME files — nothing dropped, nothing double-counted
+    allrows = spark.read.parquet(out)  # partition discovery adds batch_id
+    final = {}
+    for r in allrows.collect():
+        k = r["wstart"]
+        if k not in final or r["batch_id"] > final[k][0]:
+            final[k] = (r["batch_id"], r["n"], r["s"])
+    got = {k: v[1:] for k, v in final.items()}
+    twin = {
+        r["wstart"]: (r["n"], r["s"])
+        for r in (
+            spark.read.parquet(src)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+            .select(F.col("w.start").alias("wstart"), "n", "s")
+            .collect()
+        )
+    }
+    assert got == twin, f"stream after mid-batch failure != batch twin: {got} vs {twin}"
