@@ -22,6 +22,11 @@ fi
 echo "== preflight: registry-count consistency (README/SCALE/COVERAGE/PLANS) =="
 python scripts/check_counts.py || { echo "PREFLIGHT FAIL: stale corpus count in docs"; exit 1; }
 
+echo "== preflight: calib-normalized bench regressions vs previous BENCH_DETAIL =="
+# advisory (bench noise must not block a snapshot) — the round close
+# cites this table; pass --strict manually to gate on it
+python scripts/check_bench_regression.py || true
+
 echo "== preflight: pytest =="
 python -m pytest tests/ -x -q || { echo "PREFLIGHT FAIL: pytest"; exit 1; }
 
