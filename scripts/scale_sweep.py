@@ -1,15 +1,20 @@
 #!/usr/bin/env python
-"""Corpus-wide exact-hash oracle sweep at the 10x replicated fixture.
+"""Corpus-wide exact-hash oracle sweep at a replicated higher-SF fixture.
 
 Round-4's 10x probe (``scale_probe.py``) *timed* 11 queries and caught
-an int64 overflow; this script answers the stronger question for ALL
-264: does every corpus query still hash-match its DuckDB twin when the
-data is 10x the driver's largest fixture (~sf1: lineitem 6M rows,
-events 1M)?  It is the executable approximation of "would this survive
-100x" — the bug classes it targets (integer overflow of sufficient
-statistics, float summation-order divergence that only appears at
-higher partition counts, fixture-shape assumptions baked into oracle
-constants) are exactly the ones that correctness at sf0.1 cannot see.
+an int64 overflow; this script answers the stronger question for the
+ENTIRE registered corpus: does every query still hash-match its DuckDB
+twin when the data is 10x the driver's largest fixture (sf1.0:
+lineitem 6M rows, events 1M)?  It is the executable approximation of
+"would this survive 100x" — the bug classes it targets (integer
+overflow of sufficient statistics, float summation-order divergence
+that only appears at higher partition counts, fixture-shape
+assumptions baked into oracle constants) are exactly the ones that
+correctness at sf0.1 cannot see.  The fixture tier is parameterized:
+``SPARK_GRAFT_SCALE_DST``/``SPARK_GRAFT_SCALE_REPLICAS`` pick the
+destination and replication factor (see ``scale_probe.py``); the r9
+sf1.0 sweep ran with DST=/tmp/sf1 REPLICAS=10 and is committed as
+``SWEEP_SF1.jsonl`` + ``SWEEP_SF1.log``.
 
 The comparison is byte-identical to the driver's CORRECTNESS gate
 (``tests/oracle_utils.exact_hash_problems``) on the SAME parquet for
