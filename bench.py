@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_neardup",
     "minhash_lsh_neardup_fast",
+    "embedding_near_dup_scaled",
     "neardup_components",
     "resample_ffill",
     "ngram_jaccard_adjacent",

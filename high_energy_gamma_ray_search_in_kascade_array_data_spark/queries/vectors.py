@@ -352,6 +352,69 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_near_dup_scaled",
+    survey_ref="M5:dedup,M5:similarity",
+    oracle=f"""
+WITH p AS (
+  SELECT LEAST(16, GREATEST(4,
+           LENGTH(BIN(GREATEST(CAST(CEIL(COUNT(*) / 64.0) AS BIGINT) - 1, 1))))) AS nbits
+  FROM embeddings
+),
+b AS (
+  SELECT vec_id, embedding,
+         list_sum(list_transform(range(1, p.nbits + 1),
+                  i -> CASE WHEN embedding[i] >= 0
+                            THEN CAST(2 ** (i - 1) AS BIGINT) ELSE 0 END)) AS bucket
+  FROM embeddings, p
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       ROUND({_DOT_SQL.format(a="x.embedding", b="y.embedding")}
+             / ({_NORM_SQL.format(a="x.embedding")} * {_NORM_SQL.format(a="y.embedding")}), 6) AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE ROUND({_DOT_SQL.format(a="x.embedding", b="y.embedding")}
+            / ({_NORM_SQL.format(a="x.embedding")} * {_NORM_SQL.format(a="y.embedding")}), 6) >= 0.4
+""",
+)
+def q_embedding_near_dup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`embedding_near_dup` with the LSH bit count derived from the
+    corpus size instead of fixed at 4: nbits = the smallest k with
+    2^k ≥ ceil(n/64) (target ~64 vectors per bucket), clamped to
+    [4, 16]. With a FIXED bucket count, within-bucket candidate pairs
+    grow quadratically as the corpus grows (the sf1.0 sweep measured
+    exactly that: the fixed-bucket twin is its slowest entry at 10×);
+    scaling the bits keeps expected pairs ≈ n·target/2 — linear — which
+    is how a 100 TB deployment actually tunes sign-LSH. Both engines
+    derive nbits from COUNT(*) with integer-only arithmetic
+    (ceil-divide then bit-length) so no libm log2 ulp can diverge; the
+    one-value count is control-plane, like an iterative trainer's
+    epoch counter. Candidate generation stays a bucket equi-join —
+    never all-pairs — and recall clamps to the fixed-bucket twin's at
+    driver fixture sizes (n ≤ 1024 → nbits = 4, bit-identical output)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    nbits = min(16, max(4, (max((n + 63) // 64 - 1, 1)).bit_length()))
+    bucket = sum(
+        F.when(F.element_at(F.col("embedding"), i + 1) >= 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(nbits)
+    )
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    x = b.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket")
+    y = b.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    pair = x.join(y, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+    cosine = F.round(
+        _dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(_sq_norm(F.col("ea"))) * F.sqrt(_sq_norm(F.col("eb")))),
+        6,
+    )
+    return (
+        pair.select("vec_a", "vec_b", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.4)
+    )
+
+
+@register(
     "ann_int8_quantized_topk",
     survey_ref="M5:similarity",
     oracle="""
