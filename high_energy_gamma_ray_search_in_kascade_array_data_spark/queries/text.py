@@ -2558,3 +2558,277 @@ def q_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in branches[1:]:
         out = out.unionAll(b)
     return out.orderBy("epoch", "pos")
+
+
+# ---------------------------------------------------------------------------
+# Exact substring deduplication (suffix-adjacency / LCP family).
+#
+# The canonical LLM-data operator from Lee et al. 2022 ("Deduplicating
+# Training Data Makes Language Models Better", arXiv:2107.06499): find
+# every maximal text span of >= L tokens that occurs more than once in
+# the corpus, report/remove it. The paper builds a monolithic suffix
+# array and scans adjacent suffixes for long common prefixes; the
+# Spark-first rendering below is equivalent for a fixed threshold L:
+# a span of length m >= L is duplicated iff every L-token gram inside
+# it is duplicated, so (1) explode each doc into its L-token grams
+# (pure column ops — sequence + slice, no UDF), (2) one hash exchange
+# keyed by the gram marks duplicated start positions (COUNT(*) OVER
+# gram > 1 — this exchange is the event x doclen-scale shuffle every
+# exact-substring dedup pays; the paper pays it as a global suffix
+# SORT, a hash exchange is strictly cheaper), (3) a per-doc interval
+# merge (running-max window over co-partitioned doc_id) recovers the
+# MAXIMAL duplicated spans. No all-pairs join anywhere; the gram
+# table is the one big intermediate (~L x token stream) and at 100 TB
+# a production variant would carry xxhash64(gram) as the exchange key
+# instead of the string (collisions only ever mark a FALSE duplicate
+# span candidate, which re-verification removes) — the oracle-paired
+# queries keep the string key so DuckDB reproduces them bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SUB_L = 8  # duplicate-substring threshold, in tokens (paper: 50 BPE tokens)
+
+# Shared oracle CTEs: token arrays -> L-gram start positions -> dup
+# positions -> maximal merged spans (gaps-and-islands via running max).
+_SUBSTR_SPAN_CTE = f"""
+tarr AS (
+  SELECT doc_id, string_split(text, ' ') AS t,
+         LEN(string_split(text, ' ')) AS n
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, i AS p,
+         array_to_string(list_slice(t, i, i + {_SUB_L - 1}), ' ') AS gram
+  FROM tarr, UNNEST(range(1, n - {_SUB_L} + 2)) AS r(i)
+  WHERE n >= {_SUB_L}
+),
+dup AS (
+  SELECT doc_id, p, p + {_SUB_L - 1} AS e
+  FROM (SELECT doc_id, p,
+               COUNT(*) OVER (PARTITION BY gram) AS cnt
+        FROM grams) g
+  WHERE cnt > 1
+),
+isl AS (
+  SELECT doc_id, p, e,
+         CASE WHEN p > COALESCE(MAX(e) OVER (
+                PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM dup
+),
+spans AS (
+  SELECT doc_id, island,
+         MIN(p) AS span_start, MAX(e) AS span_end
+  FROM (SELECT doc_id, p, e,
+               SUM(ni) OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        FROM isl) x
+  GROUP BY doc_id, island
+)"""
+
+
+def _substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans (doc_id, span_start, span_end) — the
+    shared Spark plan behind the substring-dedup corpus queries."""
+    d = load_table(spark, sf_dir, "documents")
+    L = _SUB_L
+    toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
+        F.size("t") >= L
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("t") - L + 1)).alias("p"),
+        "t",
+    ).select(
+        "doc_id",
+        "p",
+        F.concat_ws(" ", F.slice(F.col("t"), F.col("p"), F.lit(L))).alias("gram"),
+    )
+    wg = Window.partitionBy("gram")
+    dup = (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(wg))
+        .filter(F.col("cnt") > 1)
+        .select("doc_id", "p", (F.col("p") + L - 1).alias("e"))
+    )
+    wo = Window.partitionBy("doc_id").orderBy("p")
+    prev_max_end = F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
+    isl = dup.withColumn(
+        "ni",
+        F.when(F.col("p") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "island", F.sum("ni").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("p").alias("span_start"), F.max("e").alias("span_end")
+    )
+
+
+@register(
+    "substring_dedup_lcp",
+    survey_ref="M5:dedup",
+    oracle=f"""
+WITH {_SUBSTR_SPAN_CTE}
+SELECT s.doc_id,
+       CAST(ANY_VALUE(tarr.n) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+       CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens,
+       CAST(MAX(span_end - span_start + 1) AS BIGINT) AS longest_span,
+       ROUND(SUM(span_end - span_start + 1) * 1.0 / ANY_VALUE(tarr.n), 6)
+         AS dup_fraction
+FROM spans s JOIN tarr USING (doc_id)
+GROUP BY s.doc_id
+""",
+)
+def q_substring_dedup_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-dedup audit (Lee et al. 2022 semantics at
+    threshold L=8 tokens): per document, the number of MAXIMAL spans
+    of >= L tokens that occur elsewhere in the corpus (or again in the
+    same document), total duplicated tokens, the longest span, and the
+    duplicated-token fraction — the number a curation pipeline
+    thresholds on before training.
+
+    Scale shape: one hash exchange keyed by the L-gram (the inherent
+    substring-dedup shuffle; cf. the suffix-array SORT in the paper —
+    hash partitioning is cheaper and skew-tolerant under AQE), then
+    doc_id-co-partitioned windows for the interval merge and a final
+    per-doc aggregate. Fact-scale data never meets a sort or an
+    all-pairs join."""
+    spans = _substring_dup_spans(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    span_len = F.col("span_end") - F.col("span_start") + 1
+    stats = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(span_len).cast("long").alias("dup_tokens"),
+        F.max(span_len).cast("long").alias("longest_span"),
+    )
+    return stats.join(n_tok, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "n_dup_spans",
+        "dup_tokens",
+        "longest_span",
+        F.round(F.col("dup_tokens") * 1.0 / F.col("n_tokens"), 6).alias(
+            "dup_fraction"
+        ),
+    )
+
+
+@register(
+    "substring_dup_extract",
+    survey_ref="M5:dedup",
+    oracle=f"""
+WITH {_SUBSTR_SPAN_CTE}
+SELECT s.doc_id,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(span_end - span_start + 1 AS BIGINT) AS span_len,
+       array_to_string(list_slice(tarr.t, span_start, span_end), ' ')
+         AS span_text
+FROM spans s JOIN tarr USING (doc_id)
+ORDER BY span_len DESC, doc_id, span_start
+LIMIT 20
+""",
+)
+def q_substring_dup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 longest duplicated substrings with their text — the
+    audit view a curator eyeballs before committing a removal pass
+    (boilerplate, licence blocks, navigation chrome surface here).
+
+    Scale shape: spans (already tiny relative to the corpus) re-join
+    the token arrays on doc_id to materialize the span text, then a
+    TakeOrderedAndProject top-k — no global sort of the span table."""
+    spans = _substring_dup_spans(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    tarr = d.select("doc_id", F.split("text", " ").alias("t"))
+    span_len = (F.col("span_end") - F.col("span_start") + 1).cast("long")
+    return (
+        spans.join(tarr, "doc_id")
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            span_len.alias("span_len"),
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("t"),
+                    F.col("span_start"),
+                    F.col("span_end") - F.col("span_start") + 1,
+                ),
+            ).alias("span_text"),
+        )
+        .orderBy(F.desc("span_len"), F.asc("doc_id"), F.asc("span_start"))
+        .limit(20)
+    )
+
+
+@register(
+    "substring_dedup_clean",
+    survey_ref="M5:dedup",
+    oracle=f"""
+WITH {_SUBSTR_SPAN_CTE},
+covered AS (
+  SELECT DISTINCT doc_id, j AS pos
+  FROM spans, UNNEST(range(span_start, span_end + 1)) AS r(j)
+),
+tokpos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM tarr, UNNEST(range(1, n + 1)) AS r(i)
+)
+SELECT tp.doc_id,
+       COALESCE(STRING_AGG(CASE WHEN c.pos IS NULL THEN tp.tok END, ' '
+                           ORDER BY tp.pos), '') AS clean_text,
+       CAST(SUM(CASE WHEN c.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_removed
+FROM tokpos tp
+LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+GROUP BY tp.doc_id
+""",
+)
+def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal pass: re-emit every document with all duplicated
+    >=L-token spans excised (policy: drop EVERY occurrence — the
+    conservative curation variant; keep-first needs only a global
+    rank over the gram exchange) plus the removed-token count.
+
+    Scale shape: duplicated spans explode into covered positions
+    (bounded by dup_tokens, not corpus size), left-join the token
+    stream on (doc_id, pos) — both sides hash-partition on doc_id —
+    and re-assemble with an order-stable aggregate (array_sort over
+    (pos, tok) structs, so no sort shuffle; DuckDB mirrors it with
+    STRING_AGG ... ORDER BY)."""
+    spans = _substring_dup_spans(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    covered = spans.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    ).distinct()
+    tokpos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    joined = tokpos.join(
+        covered.withColumn("is_cov", F.lit(1)), ["doc_id", "pos"], "left"
+    )
+    kept_struct = F.when(
+        F.col("is_cov").isNull(), F.struct(F.col("pos"), F.col("tok"))
+    )
+    return joined.groupBy("doc_id").agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("is_cov").isNull(), 0).otherwise(1))
+        .cast("long")
+        .alias("n_removed"),
+    )
