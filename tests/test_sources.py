@@ -189,9 +189,15 @@ def test_npz_stream_reader_incremental_pickup(spark, sf_dir):
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.sources_multimodal import SCRATCH
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.npz_datasource import NpzDataSource
 
-    drop = os.path.join(SCRATCH, "npz_stream_drop")
-    ckpt = os.path.join(SCRATCH, "npz_stream_ckpt")
-    sink = os.path.join(SCRATCH, "npz_stream_sink")
+    # dirs are TEST-private: the corpus query npz_stream_datasource
+    # writes its own a1/a2.npz into SCRATCH/npz_stream_drop, and a
+    # concurrent harness run (plan generator, oracle sweep) executing
+    # it mid-test would poison a shared drop directory (round-9 race:
+    # gen_plans.py wrote a 100-row gamma a2.npz between this test's
+    # two drains)
+    drop = os.path.join(SCRATCH, "npz_streamtest_drop")
+    ckpt = os.path.join(SCRATCH, "npz_streamtest_ckpt")
+    sink = os.path.join(SCRATCH, "npz_streamtest_sink")
     for p in (drop, ckpt, sink):
         shutil.rmtree(p, ignore_errors=True)
     os.makedirs(drop)
