@@ -120,6 +120,9 @@ HEADLINE = [
     "calibration_reliability_bins",
     "dataset_datasheet_report",
     "zipf_exponent_fit",
+    # round-9 additions: exact substring dedup (Lee et al. 2022 shape)
+    "substring_dedup_lcp",
+    "substring_dedup_clean",
 ]
 
 
