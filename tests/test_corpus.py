@@ -4,6 +4,8 @@ driver's CORRECTNESS gate."""
 
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
@@ -36,3 +38,86 @@ def test_query_matches_oracle(name, spark, sf_dir, con):
     hash_problems = exact_hash_problems(spark_pdf, oracle_pdf)
     assert not hash_problems, f"{name}: {hash_problems}"
     assert len(spark_pdf) > 0, f"{name}: empty result — weak test, widen the filter"
+
+
+# ---------------------------------------------------------------------------
+# Hand-verified semantics for the exact substring-dedup family: the
+# oracle gate proves Spark == DuckDB; this fixture proves both equal
+# the PAPER's semantics (Lee et al. 2022, threshold L=8 tokens) on a
+# corpus small enough to check by hand.
+# ---------------------------------------------------------------------------
+
+
+def _substring_fixture_dir(spark, tmp_path_factory) -> str:
+    """4 hand-built docs: a 12-token span shared by A and B, a 10-token
+    block repeated twice inside C, and a short no-dup doc D."""
+    span = " ".join(f"s{i}" for i in range(1, 13))  # 12 shared tokens
+    block = " ".join(f"x{i}" for i in range(1, 11))  # 10-token repeat
+    doc_a = " ".join(f"a{i}" for i in range(1, 5)) + " " + span + " " + " ".join(
+        f"b{i}" for i in range(1, 5)
+    )  # span occupies positions 5..16 of 20
+    doc_b = span + " " + " ".join(f"c{i}" for i in range(1, 9))  # positions 1..12 of 20
+    doc_c = (
+        " ".join(f"f{i}" for i in range(1, 4))
+        + " " + block + " "
+        + " ".join(f"g{i}" for i in range(1, 5))
+        + " " + block + " "
+        + " ".join(f"h{i}" for i in range(1, 4))
+    )  # blocks at 4..13 and 18..27 of 30
+    doc_d = "lone tokens only here"  # 4 tokens < L: never in gram table
+    rows = [
+        (0, doc_a), (1, doc_b), (2, doc_c), (3, doc_d),
+    ]
+    out = str(tmp_path_factory.mktemp("substr_fixture"))
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out, "documents.parquet"))
+    return out
+
+
+def test_substring_dedup_hand_semantics(spark, tmp_path_factory):
+    d = _substring_fixture_dir(spark, tmp_path_factory)
+    reg = corpus()
+
+    stats = {
+        r["doc_id"]: r
+        for r in reg["substring_dedup_lcp"].fn(spark, d).collect()
+    }
+    # A and B: one maximal span of exactly the shared 12 tokens
+    assert stats[0]["n_dup_spans"] == 1 and stats[0]["dup_tokens"] == 12
+    assert stats[1]["n_dup_spans"] == 1 and stats[1]["longest_span"] == 12
+    # C: the repeated 10-token block yields TWO spans (both occurrences),
+    # not merged across the unique gap
+    assert stats[2]["n_dup_spans"] == 2
+    assert stats[2]["dup_tokens"] == 20 and stats[2]["longest_span"] == 10
+    assert abs(stats[2]["dup_fraction"] - round(20 / 30, 6)) < 1e-9
+    # D: too short for any gram — absent from the audit
+    assert 3 not in stats
+
+    spans = reg["substring_dup_extract"].fn(spark, d).collect()
+    # longest spans first: the two 12-token occurrences, then two 10s
+    assert [r["span_len"] for r in spans] == [12, 12, 10, 10]
+    span_text = " ".join(f"s{i}" for i in range(1, 13))
+    assert spans[0]["span_text"] == span_text and spans[1]["span_text"] == span_text
+    # A's occurrence sits at positions 5..16, B's at 1..12
+    assert (spans[0]["doc_id"], spans[0]["span_start"]) == (0, 5)
+    assert (spans[1]["doc_id"], spans[1]["span_start"]) == (1, 1)
+
+    clean = {
+        r["doc_id"]: r
+        for r in reg["substring_dedup_clean"].fn(spark, d).collect()
+    }
+    # every doc comes back; removal excises exactly the spans
+    assert clean[0]["n_removed"] == 12
+    assert clean[0]["clean_text"] == " ".join(
+        [f"a{i}" for i in range(1, 5)] + [f"b{i}" for i in range(1, 5)]
+    )
+    assert clean[1]["clean_text"] == " ".join(f"c{i}" for i in range(1, 9))
+    assert clean[2]["n_removed"] == 20
+    assert clean[2]["clean_text"] == " ".join(
+        [f"f{i}" for i in range(1, 4)]
+        + [f"g{i}" for i in range(1, 5)]
+        + [f"h{i}" for i in range(1, 4)]
+    )
+    assert clean[3]["clean_text"] == "lone tokens only here"
+    assert clean[3]["n_removed"] == 0

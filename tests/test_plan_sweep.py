@@ -51,7 +51,11 @@ def test_no_cartesian_no_row_python(name, spark, sf_dir):
 # Dedup runs over the corpus-scale documents table: no stage may
 # funnel through one partition (r1's token_vocab global window planned
 # an Exchange SinglePartition — the dictionary sorted on one task).
-_DEDUP_QUERIES = [n for n in _NAMES if "minhash" in n or "simhash" in n or "neardup" in n]
+_DEDUP_QUERIES = [
+    n
+    for n in _NAMES
+    if "minhash" in n or "simhash" in n or "neardup" in n or n.startswith("substring_")
+]
 
 
 @pytest.mark.parametrize("name", _DEDUP_QUERIES)
