@@ -2832,3 +2832,100 @@ def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_removed"),
     )
+
+
+@register(
+    "substring_dedup_keep_first",
+    survey_ref="M5:dedup",
+    oracle=f"""
+WITH {_SUBSTR_SPAN_CTE},
+stext AS (
+  SELECT s.doc_id, span_start, span_end,
+         array_to_string(list_slice(tarr.t, span_start, span_end), ' ')
+           AS span_text
+  FROM spans s JOIN tarr USING (doc_id)
+),
+ranked AS (
+  SELECT doc_id, span_start, span_end,
+         ROW_NUMBER() OVER (PARTITION BY span_text
+                            ORDER BY doc_id, span_start) AS rk
+  FROM stext
+),
+covered AS (
+  SELECT DISTINCT doc_id, j AS pos
+  FROM ranked, UNNEST(range(span_start, span_end + 1)) AS r(j)
+  WHERE rk > 1
+),
+tokpos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM tarr, UNNEST(range(1, n + 1)) AS r(i)
+)
+SELECT tp.doc_id,
+       COALESCE(STRING_AGG(CASE WHEN c.pos IS NULL THEN tp.tok END, ' '
+                           ORDER BY tp.pos), '') AS clean_text,
+       CAST(SUM(CASE WHEN c.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_removed
+FROM tokpos tp
+LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+GROUP BY tp.doc_id
+""",
+)
+def q_substring_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PAPER's removal policy (Lee et al. 2022 §3: drop all but one
+    occurrence of each duplicated substring): maximal spans cluster by
+    their exact text, the globally-first occurrence (ORDER BY doc_id,
+    span_start) survives, every later occurrence is excised. One copy
+    of boilerplate stays in the training set; the rest disappears.
+
+    Scale shape: one extra hash exchange keyed by span_text (span
+    table only — already tiny vs the corpus) for the keep-rank window,
+    then the same bounded covered-position explode + doc_id-
+    co-partitioned re-assembly as substring_dedup_clean."""
+    spans = _substring_dup_spans(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    tarr = d.select("doc_id", F.split("text", " ").alias("t"))
+    stext = spans.join(tarr, "doc_id").select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("t"),
+                F.col("span_start"),
+                F.col("span_end") - F.col("span_start") + 1,
+            ),
+        ).alias("span_text"),
+    )
+    wk = Window.partitionBy("span_text").orderBy("doc_id", "span_start")
+    removed = stext.withColumn("rk", F.row_number().over(wk)).filter(
+        F.col("rk") > 1
+    )
+    covered = removed.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias("pos"),
+    ).distinct()
+    tokpos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    joined = tokpos.join(
+        covered.withColumn("is_cov", F.lit(1)), ["doc_id", "pos"], "left"
+    )
+    kept_struct = F.when(
+        F.col("is_cov").isNull(), F.struct(F.col("pos"), F.col("tok"))
+    )
+    return joined.groupBy("doc_id").agg(
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("is_cov").isNull(), 0).otherwise(1))
+        .cast("long")
+        .alias("n_removed"),
+    )

@@ -121,3 +121,18 @@ def test_substring_dedup_hand_semantics(spark, tmp_path_factory):
     )
     assert clean[3]["clean_text"] == "lone tokens only here"
     assert clean[3]["n_removed"] == 0
+
+    # keep-first (the paper's policy): A's occurrence survives (lowest
+    # doc_id), B's is excised; C keeps the FIRST block occurrence and
+    # loses the second
+    kf = {
+        r["doc_id"]: r
+        for r in reg["substring_dedup_keep_first"].fn(spark, d).collect()
+    }
+    assert kf[0]["n_removed"] == 0  # first occurrence kept intact
+    assert span_text in kf[0]["clean_text"]
+    assert kf[1]["n_removed"] == 12 and span_text not in kf[1]["clean_text"]
+    assert kf[2]["n_removed"] == 10
+    block = " ".join(f"x{i}" for i in range(1, 11))
+    assert kf[2]["clean_text"].count(block) == 1
+    assert kf[3]["n_removed"] == 0
