@@ -2627,15 +2627,15 @@ spans AS (
 )"""
 
 
-def _substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Maximal duplicated spans (doc_id, span_start, span_end) — the
-    shared Spark plan behind the substring-dedup corpus queries."""
+def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, p, gram): every L-token gram start position — pure
+    column ops (sequence + slice), map-side, no exchange."""
     d = load_table(spark, sf_dir, "documents")
     L = _SUB_L
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= L
     )
-    grams = toks.select(
+    return toks.select(
         "doc_id",
         F.explode(F.sequence(F.lit(1), F.size("t") - L + 1)).alias("p"),
         "t",
@@ -2644,12 +2644,11 @@ def _substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         F.concat_ws(" ", F.slice(F.col("t"), F.col("p"), F.lit(L))).alias("gram"),
     )
-    wg = Window.partitionBy("gram")
-    dup = (
-        grams.withColumn("cnt", F.count(F.lit(1)).over(wg))
-        .filter(F.col("cnt") > 1)
-        .select("doc_id", "p", (F.col("p") + L - 1).alias("e"))
-    )
+
+
+def _merge_spans(dup: DataFrame) -> DataFrame:
+    """Maximal spans from duplicated start positions (doc_id, p, e):
+    gaps-and-islands interval merge, co-partitioned on doc_id."""
     wo = Window.partitionBy("doc_id").orderBy("p")
     prev_max_end = F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
     isl = dup.withColumn(
@@ -2663,10 +2662,20 @@ def _substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "substring_dedup_lcp",
-    survey_ref="M5:dedup",
-    oracle=f"""
+def _substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated spans (doc_id, span_start, span_end) — the
+    shared Spark plan behind the substring-dedup corpus queries."""
+    grams = _doc_grams(spark, sf_dir)
+    wg = Window.partitionBy("gram")
+    dup = (
+        grams.withColumn("cnt", F.count(F.lit(1)).over(wg))
+        .filter(F.col("cnt") > 1)
+        .select("doc_id", "p", (F.col("p") + _SUB_L - 1).alias("e"))
+    )
+    return _merge_spans(dup)
+
+
+_SUBSTR_LCP_ORACLE = f"""
 WITH {_SUBSTR_SPAN_CTE}
 SELECT s.doc_id,
        CAST(ANY_VALUE(tarr.n) AS BIGINT) AS n_tokens,
@@ -2677,27 +2686,12 @@ SELECT s.doc_id,
          AS dup_fraction
 FROM spans s JOIN tarr USING (doc_id)
 GROUP BY s.doc_id
-""",
-)
-def q_substring_dedup_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact substring-dedup audit (Lee et al. 2022 semantics at
-    threshold L=8 tokens): per document, the number of MAXIMAL spans
-    of >= L tokens that occur elsewhere in the corpus (or again in the
-    same document), total duplicated tokens, the longest span, and the
-    duplicated-token fraction — the number a curation pipeline
-    thresholds on before training.
+"""
 
-    Scale shape: one hash exchange keyed by the L-gram (the inherent
-    substring-dedup shuffle; cf. the suffix-array SORT in the paper —
-    hash partitioning is cheaper and skew-tolerant under AQE), then
-    doc_id-co-partitioned windows for the interval merge and a final
-    per-doc aggregate. Fact-scale data never meets a sort or an
-    all-pairs join."""
-    spans = _substring_dup_spans(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents")
-    n_tok = d.select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
-    )
+
+def _lcp_stats(spans: DataFrame, d: DataFrame) -> DataFrame:
+    """Per-doc span statistics shared by the exact and fast variants."""
+    n_tok = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
     span_len = F.col("span_end") - F.col("span_start") + 1
     stats = spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
@@ -2714,6 +2708,70 @@ def q_substring_dedup_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_fraction"
         ),
     )
+
+
+@register(
+    "substring_dedup_lcp",
+    survey_ref="M5:dedup",
+    oracle=_SUBSTR_LCP_ORACLE,
+)
+def q_substring_dedup_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-dedup audit (Lee et al. 2022 semantics at
+    threshold L=8 tokens): per document, the number of MAXIMAL spans
+    of >= L tokens that occur elsewhere in the corpus (or again in the
+    same document), total duplicated tokens, the longest span, and the
+    duplicated-token fraction — the number a curation pipeline
+    thresholds on before training.
+
+    Scale shape: one hash exchange keyed by the L-gram (the inherent
+    substring-dedup shuffle; cf. the suffix-array SORT in the paper —
+    hash partitioning is cheaper and skew-tolerant under AQE), then
+    doc_id-co-partitioned windows for the interval merge and a final
+    per-doc aggregate. Fact-scale data never meets a sort or an
+    all-pairs join."""
+    spans = _substring_dup_spans(spark, sf_dir)
+    return _lcp_stats(spans, load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "substring_dedup_lcp_fast",
+    survey_ref="M5:dedup",
+    oracle=_SUBSTR_LCP_ORACLE,
+)
+def q_substring_dedup_lcp_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer as substring_dedup_lcp (same oracle, exact-hash),
+    with the 100 TB shuffle-volume shape: the EVENT-SCALE exchange
+    carries only the 64-bit xxhash64 gram fingerprint as a groupBy key
+    (ints, map-side combinable to one row per distinct fingerprint per
+    partition) instead of the ~10x-heavier gram string. Candidate
+    positions — those whose fingerprint occurs more than once — join
+    back against the (much smaller) duplicated-fingerprint list, and
+    only THAT candidate subset pays a string-keyed recount, which
+    removes any xxhash64 collision before it can fabricate a span.
+
+    The dup-fingerprint join is left UNHINTED on purpose (the
+    queries/tpch_ext.py mid-size-relation policy): at fixture scales
+    the planner broadcasts it; on a boilerplate-heavy 100 TB corpus
+    where the list outgrows broadcast, it shuffles on the 8-byte key —
+    or degrades to the stored-bloom semijoin pattern
+    (bloom_semijoin_reduction) if even that list is awkward."""
+    grams = _doc_grams(spark, sf_dir)
+    h = F.xxhash64("gram")
+    dup_h = (
+        grams.groupBy(h.alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .select("h")
+    )
+    cand = grams.withColumn("h", h).join(dup_h, "h")
+    wg = Window.partitionBy("gram")
+    dup = (
+        cand.withColumn("cnt2", F.count(F.lit(1)).over(wg))
+        .filter(F.col("cnt2") > 1)
+        .select("doc_id", "p", (F.col("p") + _SUB_L - 1).alias("e"))
+    )
+    spans = _merge_spans(dup)
+    return _lcp_stats(spans, load_table(spark, sf_dir, "documents"))
 
 
 @register(

@@ -13,7 +13,8 @@ assumptions baked into oracle constants) are exactly the ones that
 correctness at sf0.1 cannot see.  The fixture tier is parameterized:
 ``SPARK_GRAFT_SCALE_DST``/``SPARK_GRAFT_SCALE_REPLICAS`` pick the
 destination and replication factor (see ``scale_probe.py``); the r9
-sf1.0 sweep ran with DST=/tmp/sf1 REPLICAS=10 and is committed as
+sf1.0 sweeps ran at REPLICAS=10 (DST=/tmp/sf1, then /tmp/scale10x
+after the corpus grew to 368) and are committed as
 ``SWEEP_SF1.jsonl`` + ``SWEEP_SF1.log``.
 
 The comparison is byte-identical to the driver's CORRECTNESS gate

@@ -94,6 +94,15 @@ def test_substring_dedup_hand_semantics(spark, tmp_path_factory):
     # D: too short for any gram — absent from the audit
     assert 3 not in stats
 
+    # the fingerprint-keyed fast variant must agree row-for-row
+    fast = {
+        r["doc_id"]: r
+        for r in reg["substring_dedup_lcp_fast"].fn(spark, d).collect()
+    }
+    assert {k: tuple(v) for k, v in stats.items()} == {
+        k: tuple(v) for k, v in fast.items()
+    }
+
     spans = reg["substring_dup_extract"].fn(spark, d).collect()
     # longest spans first: the two 12-token occurrences, then two 10s
     assert [r["span_len"] for r in spans] == [12, 12, 10, 10]
