@@ -122,6 +122,7 @@ HEADLINE = [
     "zipf_exponent_fit",
     # round-9 additions: exact substring dedup (Lee et al. 2022 shape)
     "substring_dedup_lcp",
+    "substring_dedup_lcp_fast",
     "substring_dedup_clean",
 ]
 

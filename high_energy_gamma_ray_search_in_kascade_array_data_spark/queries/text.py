@@ -2587,9 +2587,8 @@ def q_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SUB_L = 8  # duplicate-substring threshold, in tokens (paper: 50 BPE tokens)
 
-# Shared oracle CTEs: token arrays -> L-gram start positions -> dup
-# positions -> maximal merged spans (gaps-and-islands via running max).
-_SUBSTR_SPAN_CTE = f"""
+# Shared oracle CTEs: token arrays -> L-gram start positions.
+_SUBSTR_GRAM_CTE = f"""
 tarr AS (
   SELECT doc_id, string_split(text, ' ') AS t,
          LEN(string_split(text, ' ')) AS n
@@ -2600,21 +2599,20 @@ grams AS (
          array_to_string(list_slice(t, i, i + {_SUB_L - 1}), ' ') AS gram
   FROM tarr, UNNEST(range(1, n - {_SUB_L} + 2)) AS r(i)
   WHERE n >= {_SUB_L}
-),
-dup AS (
-  SELECT doc_id, p, p + {_SUB_L - 1} AS e
-  FROM (SELECT doc_id, p,
-               COUNT(*) OVER (PARTITION BY gram) AS cnt
-        FROM grams) g
-  WHERE cnt > 1
-),
+)"""
+
+
+def _sql_islands(src: str) -> str:
+    """isl+spans CTE text: gaps-and-islands interval merge (running
+    max) over a (doc_id, p, e) source CTE — shared by every oracle."""
+    return f"""
 isl AS (
   SELECT doc_id, p, e,
          CASE WHEN p > COALESCE(MAX(e) OVER (
                 PARTITION BY doc_id ORDER BY p
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
               THEN 1 ELSE 0 END AS ni
-  FROM dup
+  FROM {src}
 ),
 spans AS (
   SELECT doc_id, island,
@@ -2625,6 +2623,37 @@ spans AS (
         FROM isl) x
   GROUP BY doc_id, island
 )"""
+
+
+# grams -> duplicated start positions -> maximal merged spans.
+_SUBSTR_SPAN_CTE = f"""{_SUBSTR_GRAM_CTE},
+dup AS (
+  SELECT doc_id, p, p + {_SUB_L - 1} AS e
+  FROM (SELECT doc_id, p,
+               COUNT(*) OVER (PARTITION BY gram) AS cnt
+        FROM grams) g
+  WHERE cnt > 1
+),{_sql_islands("dup")}"""
+
+# Excise CTE tail shared by the removal-policy oracles: positions
+# covered by (per-doc disjoint) spans are dropped, survivors re-join.
+_SQL_EXCISE_TAIL = """
+covered AS (
+  SELECT doc_id, j AS pos
+  FROM spans, UNNEST(range(span_start, span_end + 1)) AS r(j)
+),
+tokpos AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM tarr, UNNEST(range(1, n + 1)) AS r(i)
+)
+SELECT tp.doc_id,
+       COALESCE(STRING_AGG(CASE WHEN c.pos IS NULL THEN tp.tok END, ' '
+                           ORDER BY tp.pos), '') AS clean_text,
+       CAST(SUM(CASE WHEN c.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_removed
+FROM tokpos tp
+LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+GROUP BY tp.doc_id"""
 
 
 def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2717,11 +2746,12 @@ def _lcp_stats(spans: DataFrame, d: DataFrame) -> DataFrame:
 )
 def q_substring_dedup_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring-dedup audit (Lee et al. 2022 semantics at
-    threshold L=8 tokens): per document, the number of MAXIMAL spans
-    of >= L tokens that occur elsewhere in the corpus (or again in the
-    same document), total duplicated tokens, the longest span, and the
-    duplicated-token fraction — the number a curation pipeline
-    thresholds on before training.
+    threshold L=8 tokens): per document, the number of MAXIMAL
+    duplicated regions (merged runs of L-token windows each of which
+    occurs elsewhere in the corpus, or again in the same document),
+    total duplicated tokens, the longest region, and the duplicated-
+    token fraction — the number a curation pipeline thresholds on
+    before training.
 
     Scale shape: one hash exchange keyed by the L-gram (the inherent
     substring-dedup shuffle; cf. the suffix-array SORT in the paper —
@@ -2791,9 +2821,14 @@ LIMIT 20
 """,
 )
 def q_substring_dup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 longest duplicated substrings with their text — the
-    audit view a curator eyeballs before committing a removal pass
+    """Top-20 longest duplicated REGIONS with their text — the audit
+    view a curator eyeballs before committing a removal pass
     (boilerplate, licence blocks, navigation chrome surface here).
+    A region is a maximal merged run of duplicated L-gram windows:
+    every L-token window inside it occurs elsewhere, but when
+    overlapping duplicate families have different extents the merged
+    region's FULL text need not repeat verbatim anywhere — it marks
+    removable ground, not necessarily one repeated string.
 
     Scale shape: spans (already tiny relative to the corpus) re-join
     the token arrays on doc_id to materialize the span text, then a
@@ -2823,55 +2858,27 @@ def q_substring_dup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "substring_dedup_clean",
-    survey_ref="M5:dedup",
-    oracle=f"""
-WITH {_SUBSTR_SPAN_CTE},
-covered AS (
-  SELECT DISTINCT doc_id, j AS pos
-  FROM spans, UNNEST(range(span_start, span_end + 1)) AS r(j)
-),
-tokpos AS (
-  SELECT doc_id, i AS pos, t[i] AS tok
-  FROM tarr, UNNEST(range(1, n + 1)) AS r(i)
-)
-SELECT tp.doc_id,
-       COALESCE(STRING_AGG(CASE WHEN c.pos IS NULL THEN tp.tok END, ' '
-                           ORDER BY tp.pos), '') AS clean_text,
-       CAST(SUM(CASE WHEN c.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-         AS n_removed
-FROM tokpos tp
-LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
-GROUP BY tp.doc_id
-""",
-)
-def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The removal pass: re-emit every document with all duplicated
-    >=L-token spans excised (policy: drop EVERY occurrence — the
-    conservative curation variant; keep-first needs only a global
-    rank over the gram exchange) plus the removed-token count.
+def _excise_covered(d: DataFrame, spans: DataFrame) -> DataFrame:
+    """Re-emit every document with the token positions covered by
+    ``spans`` removed, plus the removed count. ``spans`` must be
+    per-doc DISJOINT (the _merge_spans invariant: a new island starts
+    only past the running max end), so the exploded (doc_id, pos)
+    rows are already unique — no distinct, no extra exchange.
 
-    Scale shape: duplicated spans explode into covered positions
-    (bounded by dup_tokens, not corpus size), left-join the token
-    stream on (doc_id, pos) — both sides hash-partition on doc_id —
-    and re-assemble with an order-stable aggregate (array_sort over
-    (pos, tok) structs, so no sort shuffle; DuckDB mirrors it with
-    STRING_AGG ... ORDER BY)."""
-    spans = _substring_dup_spans(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents")
+    Scale shape: covered positions are bounded by removed tokens (not
+    corpus size), the left join against the token stream hash-
+    partitions both sides on doc_id, and re-assembly is an order-
+    stable aggregate (array_sort over (pos, tok) structs — no sort
+    shuffle; DuckDB mirrors it with STRING_AGG ... ORDER BY)."""
     covered = spans.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.col("span_start"), F.col("span_end"))
-        ).alias("pos"),
-    ).distinct()
+        F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias("pos"),
+        F.lit(1).alias("is_cov"),
+    )
     tokpos = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    joined = tokpos.join(
-        covered.withColumn("is_cov", F.lit(1)), ["doc_id", "pos"], "left"
-    )
+    joined = tokpos.join(covered, ["doc_id", "pos"], "left")
     kept_struct = F.when(
         F.col("is_cov").isNull(), F.struct(F.col("pos"), F.col("tok"))
     )
@@ -2890,100 +2897,65 @@ def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_removed"),
     )
+
+
+@register(
+    "substring_dedup_clean",
+    survey_ref="M5:dedup",
+    oracle=f"""
+WITH {_SUBSTR_SPAN_CTE},{_SQL_EXCISE_TAIL}
+""",
+)
+def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conservative removal pass: re-emit every document with ALL
+    duplicated >=L-token regions excised (every occurrence goes — the
+    policy for contamination scrubbing, where no copy may survive)
+    plus the removed-token count. The keep-one variant is
+    substring_dedup_keep_first."""
+    spans = _substring_dup_spans(spark, sf_dir)
+    return _excise_covered(load_table(spark, sf_dir, "documents"), spans)
 
 
 @register(
     "substring_dedup_keep_first",
     survey_ref="M5:dedup",
     oracle=f"""
-WITH {_SUBSTR_SPAN_CTE},
-stext AS (
-  SELECT s.doc_id, span_start, span_end,
-         array_to_string(list_slice(tarr.t, span_start, span_end), ' ')
-           AS span_text
-  FROM spans s JOIN tarr USING (doc_id)
-),
-ranked AS (
-  SELECT doc_id, span_start, span_end,
-         ROW_NUMBER() OVER (PARTITION BY span_text
-                            ORDER BY doc_id, span_start) AS rk
-  FROM stext
-),
-covered AS (
-  SELECT DISTINCT doc_id, j AS pos
-  FROM ranked, UNNEST(range(span_start, span_end + 1)) AS r(j)
+WITH {_SUBSTR_GRAM_CTE},
+rem AS (
+  SELECT doc_id, p, p + {_SUB_L - 1} AS e
+  FROM (SELECT doc_id, p,
+               ROW_NUMBER() OVER (PARTITION BY gram
+                                  ORDER BY doc_id, p) AS rk
+        FROM grams) g
   WHERE rk > 1
-),
-tokpos AS (
-  SELECT doc_id, i AS pos, t[i] AS tok
-  FROM tarr, UNNEST(range(1, n + 1)) AS r(i)
-)
-SELECT tp.doc_id,
-       COALESCE(STRING_AGG(CASE WHEN c.pos IS NULL THEN tp.tok END, ' '
-                           ORDER BY tp.pos), '') AS clean_text,
-       CAST(SUM(CASE WHEN c.pos IS NULL THEN 0 ELSE 1 END) AS BIGINT)
-         AS n_removed
-FROM tokpos tp
-LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
-GROUP BY tp.doc_id
+),{_sql_islands("rem")},{_SQL_EXCISE_TAIL}
 """,
 )
 def q_substring_dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The PAPER's removal policy (Lee et al. 2022 §3: drop all but one
-    occurrence of each duplicated substring): maximal spans cluster by
-    their exact text, the globally-first occurrence (ORDER BY doc_id,
-    span_start) survives, every later occurrence is excised. One copy
-    of boilerplate stays in the training set; the rest disappears.
+    """The PAPER's removal policy (Lee et al. 2022 §3, drop all but
+    one occurrence), applied at gram granularity: a token position is
+    excised iff it is covered by an L-gram window whose gram has an
+    EARLIER occurrence in corpus order (doc_id, p). The first
+    occurrence of every duplicated gram stays in place — a document
+    consisting of first occurrences is untouched, later copies of
+    boilerplate disappear. Where shifted duplicate families overlap,
+    the union of later-occurrence windows is excised (the same
+    span-union behavior as the paper's range removal); granularity at
+    the gram rather than the merged-span level is what makes the
+    policy well-defined when occurrences have different maximal
+    extents in different documents.
 
-    Scale shape: one extra hash exchange keyed by span_text (span
-    table only — already tiny vs the corpus) for the keep-rank window,
-    then the same bounded covered-position explode + doc_id-
-    co-partitioned re-assembly as substring_dedup_clean."""
-    spans = _substring_dup_spans(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents")
-    tarr = d.select("doc_id", F.split("text", " ").alias("t"))
-    stext = spans.join(tarr, "doc_id").select(
-        "doc_id",
-        "span_start",
-        "span_end",
-        F.concat_ws(
-            " ",
-            F.slice(
-                F.col("t"),
-                F.col("span_start"),
-                F.col("span_end") - F.col("span_start") + 1,
-            ),
-        ).alias("span_text"),
+    Scale shape: identical to the audit queries — one gram-keyed hash
+    exchange (row_number instead of count over the same window), the
+    doc_id-co-partitioned interval merge, and the bounded excise
+    re-assembly shared with substring_dedup_clean."""
+    grams = _doc_grams(spark, sf_dir)
+    wk = Window.partitionBy("gram").orderBy("doc_id", "p")
+    rem = (
+        grams.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") > 1)
+        .select("doc_id", "p", (F.col("p") + _SUB_L - 1).alias("e"))
     )
-    wk = Window.partitionBy("span_text").orderBy("doc_id", "span_start")
-    removed = stext.withColumn("rk", F.row_number().over(wk)).filter(
-        F.col("rk") > 1
-    )
-    covered = removed.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("span_start"), F.col("span_end"))).alias("pos"),
-    ).distinct()
-    tokpos = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    joined = tokpos.join(
-        covered.withColumn("is_cov", F.lit(1)), ["doc_id", "pos"], "left"
-    )
-    kept_struct = F.when(
-        F.col("is_cov").isNull(), F.struct(F.col("pos"), F.col("tok"))
-    )
-    return joined.groupBy("doc_id").agg(
-        F.coalesce(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda s: s["tok"],
-                ),
-                " ",
-            ),
-            F.lit(""),
-        ).alias("clean_text"),
-        F.sum(F.when(F.col("is_cov").isNull(), 0).otherwise(1))
-        .cast("long")
-        .alias("n_removed"),
+    return _excise_covered(
+        load_table(spark, sf_dir, "documents"), _merge_spans(rem)
     )

@@ -108,7 +108,7 @@ def main() -> int:
     os.makedirs(EVENTDIR, exist_ok=True)
 
     # Starve the unified pool BEFORE the JVM exists. fraction=0.05 of
-    # (4g - 300m reserved) ≈ 190 MB execution+storage shared by all
+    # (1200m - 300m reserved) ≈ 45 MB execution+storage shared by all
     # concurrent tasks — far below the working set of the probed
     # aggregations at sf0.1, so hash aggregates and sorts must spill.
     os.environ["SPARK_DRIVER_MEMORY"] = os.environ.get("SPILL_PROBE_DRIVER_MEM", "1200m")
@@ -137,7 +137,7 @@ def main() -> int:
             # unified pool, not change plan shapes
         },
     )
-    frac = spark.conf.get("spark.memory.fraction")
+    frac = spark.conf.get("spark.memory.fraction", None)
     if frac != "0.05":
         print(f"FATAL: session pre-existed (memory.fraction={frac}); run in a fresh process")
         return 2

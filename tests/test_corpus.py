@@ -145,3 +145,44 @@ def test_substring_dedup_hand_semantics(spark, tmp_path_factory):
     block = " ".join(f"x{i}" for i in range(1, 11))
     assert kf[2]["clean_text"].count(block) == 1
     assert kf[3]["n_removed"] == 0
+
+
+def test_substring_dedup_overlapping_families(spark, tmp_path_factory):
+    """Duplicate families with DIFFERENT maximal extents (the case
+    where span-text clustering would under-remove): doc10 holds
+    'w p1..p8'; doc11 repeats only 'p1..p8'; doc12 only 'w p1..p7'.
+    doc10's merged region (9 tokens) occurs verbatim NOWHERE — it is
+    removable ground, not one repeated string — and gram-level
+    keep-first must still excise the later copies in doc11/doc12
+    while leaving doc10 (all first occurrences) untouched."""
+    p = " ".join(f"p{i}" for i in range(1, 9))  # 8 tokens
+    rows = [
+        (10, "w " + p),  # grams: 'w p1..p7'@1, 'p1..p8'@2
+        (11, p),  # gram 'p1..p8'@1 — later copy (doc_id 11 > 10)
+        (12, "w " + " ".join(f"p{i}" for i in range(1, 8))),  # 'w p1..p7'
+    ]
+    d = str(tmp_path_factory.mktemp("substr_overlap"))
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    reg = corpus()
+
+    stats = {r["doc_id"]: r for r in reg["substring_dedup_lcp"].fn(spark, d).collect()}
+    # doc10: dup starts 1 and 2 merge into ONE 9-token region
+    assert stats[10]["n_dup_spans"] == 1 and stats[10]["dup_tokens"] == 9
+    assert stats[11]["dup_tokens"] == 8 and stats[12]["dup_tokens"] == 8
+
+    kf = {
+        r["doc_id"]: r
+        for r in reg["substring_dedup_keep_first"].fn(spark, d).collect()
+    }
+    assert kf[10]["n_removed"] == 0  # both grams are first occurrences
+    assert kf[11]["n_removed"] == 8 and kf[11]["clean_text"] == ""
+    assert kf[12]["n_removed"] == 8 and kf[12]["clean_text"] == ""
+
+    # remove-ALL policy empties every copy, including doc10's region
+    clean = {
+        r["doc_id"]: r
+        for r in reg["substring_dedup_clean"].fn(spark, d).collect()
+    }
+    assert clean[10]["n_removed"] == 9 and clean[10]["clean_text"] == ""
