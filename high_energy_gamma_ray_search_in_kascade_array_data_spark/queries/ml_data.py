@@ -417,3 +417,81 @@ def q_dataset_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mutual_information_features",
+    survey_ref="M5:text,§2.6",
+    oracle="""
+WITH b AS (
+  SELECT d.i - 1 AS dim,
+         CASE WHEN e.embedding[d.i] >= 0 THEN 1 ELSE 0 END AS bin,
+         e.label
+  FROM embeddings e, UNNEST(range(1, 9)) AS d(i)
+),
+jc AS (
+  SELECT dim, bin, label, COUNT(*) AS c_bl FROM b GROUP BY 1, 2, 3
+),
+mc AS (
+  SELECT dim, bin, SUM(c_bl) AS c_b FROM jc GROUP BY 1, 2
+),
+lc AS (
+  SELECT dim, label, SUM(c_bl) AS c_l FROM jc GROUP BY 1, 2
+),
+n AS (
+  SELECT dim, SUM(c_bl) AS n FROM jc GROUP BY 1
+)
+SELECT jc.dim,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(SUM(c_bl * LN(n.n * c_bl * 1.0 / (mc.c_b * lc.c_l))) / ANY_VALUE(n.n), 6)
+         AS mi_nats
+FROM jc
+JOIN mc USING (dim, bin)
+JOIN lc ON lc.dim = jc.dim AND lc.label = jc.label
+JOIN n ON n.dim = jc.dim
+GROUP BY jc.dim
+""",
+)
+def q_mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-relevance screening: mutual information (nats) between
+    the class label and each of the first 8 embedding dimensions,
+    sign-binned — the filter-method ranking a pipeline uses to spot
+    label-leaking or dead features before training. Sign binning keeps
+    the contingency table integer-exact in both engines; only the
+    final LN is transcendental, so the result rounds to 6 decimals
+    (the corpus libm rule).
+
+    Scale shape: one posexplode (x8, bounded by the dim constant) into
+    a (dim, bin, label) hash aggregate — map-side combinable to at
+    most dims x 2 x classes rows per partition; marginals and the MI
+    reduction are window-free re-aggregations of that tiny contingency
+    table. Nothing downstream of the first aggregate is event-scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    b = e.select(
+        F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "v"),
+        "label",
+    ).select("dim", F.when(F.col("v") >= 0, 1).otherwise(0).alias("bin"), "label")
+    jc = b.groupBy("dim", "bin", "label").agg(F.count(F.lit(1)).alias("c_bl"))
+    mc = jc.groupBy("dim", "bin").agg(F.sum("c_bl").alias("c_b"))
+    lc = jc.groupBy("dim", "label").agg(F.sum("c_bl").alias("c_l"))
+    n = jc.groupBy("dim").agg(F.sum("c_bl").alias("n"))
+    return (
+        jc.join(mc, ["dim", "bin"])
+        .join(lc, ["dim", "label"])
+        .join(n, "dim")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.round(
+                F.sum(
+                    F.col("c_bl")
+                    * F.log(
+                        F.col("n") * F.col("c_bl") * 1.0
+                        / (F.col("c_b") * F.col("c_l"))
+                    )
+                )
+                / F.first("n"),
+                6,
+            ).alias("mi_nats"),
+        )
+    )
