@@ -1076,3 +1076,57 @@ def q_stream_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.text import (  # noqa: E402
+    _SUBSTR_GRAM_CTE,
+)
+
+
+@register(
+    "stream_substring_dup_rate",
+    survey_ref="§2.11,M5:dedup",
+    oracle=f"""
+WITH {_SUBSTR_GRAM_CTE},
+per AS (
+  SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY 1
+)
+SELECT CAST(SUM(cnt) AS BIGINT) AS total_positions,
+       CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+       CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+         AS dup_positions,
+       ROUND(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0 / SUM(cnt), 6)
+         AS dup_rate
+FROM per
+""",
+)
+def q_stream_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING substring-duplication monitor: documents arrive as a
+    stream, the stateless L-gram projection (gram_project, shared with
+    the batch substring-dedup family) explodes them in-flight, and the
+    engine maintains the per-gram occurrence count incrementally
+    (complete-mode aggregate — the gram table IS the duplication index
+    the batch family keys its one big exchange on). The final
+    accounting — duplicated-position rate at threshold L — rolls up
+    the result table batch-side after the drain, replay-equivalent to
+    the batch corpus numbers by the DuckDB oracle.
+
+    Scale: streaming state is one row per DISTINCT gram (content-
+    bounded, the same growth law the 10x state probe measured for CDC
+    chunks: state = answer set exactly); the projection is stateless,
+    so the only stateful operator is the keyed count."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.text import gram_project
+
+    docs = core.read_documents_stream(spark, sf_dir)
+    per_gram = gram_project(docs).groupBy("gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    core.run_to_memory(per_gram, "stream_substring_gram_sink", state_partitions=8)
+    sink = spark.table("stream_substring_gram_sink")
+    dup = F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)
+    return sink.agg(
+        F.sum("cnt").cast("long").alias("total_positions"),
+        F.count(F.lit(1)).cast("long").alias("distinct_grams"),
+        F.sum(dup).cast("long").alias("dup_positions"),
+        F.round(F.sum(dup) * 1.0 / F.sum("cnt"), 6).alias("dup_rate"),
+    )

@@ -2656,10 +2656,11 @@ LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
 GROUP BY tp.doc_id"""
 
 
-def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+def gram_project(d: DataFrame) -> DataFrame:
     """(doc_id, p, gram): every L-token gram start position — pure
-    column ops (sequence + slice), map-side, no exchange."""
-    d = load_table(spark, sf_dir, "documents")
+    column ops (sequence + slice), map-side, no exchange. Stateless,
+    so it applies unchanged to a STREAMING documents frame (see
+    stream_substring_dup_rate)."""
     L = _SUB_L
     toks = d.select("doc_id", F.split("text", " ").alias("t")).filter(
         F.size("t") >= L
@@ -2673,6 +2674,10 @@ def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         F.concat_ws(" ", F.slice(F.col("t"), F.col("p"), F.lit(L))).alias("gram"),
     )
+
+
+def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gram_project(load_table(spark, sf_dir, "documents"))
 
 
 def _merge_spans(dup: DataFrame) -> DataFrame:
