@@ -120,10 +120,14 @@ HEADLINE = [
     "calibration_reliability_bins",
     "dataset_datasheet_report",
     "zipf_exponent_fit",
-    # round-9 additions: exact substring dedup (Lee et al. 2022 shape)
+    # round-9 additions: exact substring dedup (Lee et al. 2022 shape),
+    # streaming dup-rate, MI feature relevance, pigeonhole linkage
     "substring_dedup_lcp",
     "substring_dedup_lcp_fast",
     "substring_dedup_clean",
+    "stream_substring_dup_rate",
+    "mutual_information_features",
+    "fuzzy_blocked_linkage",
 ]
 
 
