@@ -2517,20 +2517,10 @@ s AS (
   SELECT s_suppkey, s_nationkey AS nation, split_part(s_name, '#', 2) AS suf
   FROM supplier
 ),
-cb AS (
-  SELECT c_custkey, nation, suf, g.i AS seg,
-         substring(suf, g.i * 3 + 1, 3) AS seg_val
-  FROM c, UNNEST(range(0, 3)) AS g(i)
-),
-sb AS (
-  SELECT s_suppkey, nation, suf, g.i AS seg,
-         substring(suf, g.i * 3 + 1, 3) AS seg_val
-  FROM s, UNNEST(range(0, 3)) AS g(i)
-),
 cand AS (
-  SELECT DISTINCT s_suppkey, c_custkey, sb.nation,
-                  sb.suf AS s_suf, cb.suf AS c_suf
-  FROM sb JOIN cb USING (nation, seg, seg_val)
+  SELECT s_suppkey, c_custkey, s.nation,
+         s.suf AS s_suf, c.suf AS c_suf
+  FROM s JOIN c USING (nation)
 ),
 verified AS (
   SELECT s_suppkey, c_custkey, nation,
@@ -2560,22 +2550,33 @@ FROM ranked WHERE rk = 1
 """,
 )
 def q_fuzzy_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Record linkage with PIGEONHOLE blocking (the PassJoin family):
-    match each supplier to its closest customer by substitution
-    distance <= 2 over the fixed-width 9-digit name suffix, inside the
-    nation. A pair within 2 substitutions must agree EXACTLY on one of
-    three 3-char segments at the same offset, so each side emits 3
-    (nation, segment-index, segment-value) block keys, candidates come
-    from an equality join on that HIGH-cardinality composite key
-    (never the 25-value nation alone — the few-key fact-join
-    anti-pattern the plan sweep bans), and only candidates pay the
-    exact 9-position distance verification + per-supplier top-1
-    window. This is the edit-distance analogue of the LSH band trick:
-    recall 100% by pigeonhole, candidate set ~|match set|, no
-    quadratic block.
+    """Record linkage with WILDCARD-NEIGHBORHOOD blocking: match each
+    supplier to its closest customer by substitution distance <= 2
+    over the fixed-width 9-digit name suffix, inside the nation. Each
+    side emits one block key per 2-position mask — the suffix with
+    positions (i, j) replaced by '*', all C(9,2)=36 masks — and a pair
+    within 2 substitutions MUST collide on the mask covering its
+    differing positions (dist-1 pairs collide on 8 masks, dist-0 on
+    all 36): recall is 100% by construction, and only candidates pay
+    the exact 9-position distance verification + per-supplier top-1
+    window.
 
-    Spark side keeps every comparison in codegen (9 fixed substring
-    equality terms — no UDF); DuckDB mirrors it bit-for-bit."""
+    Why not classic PassJoin segment blocking: a pair within 2
+    substitutions also agrees on one of three contiguous 3-char
+    segments, but on zero-padded identifiers the LEADING segment is
+    the constant '000' for every row, so that block key degenerates to
+    nation-only and the candidate set goes quadratic — the 100x probe
+    measured 32x wall for 10x data before this rewrite. The wildcard
+    key keeps the 7 unmasked characters in the join key, so low-
+    entropy positions only ever make the key MORE selective, never
+    less — block sizes are bounded by near-match density, not by
+    value skew (SCALE.md round-9 close).
+
+    Spark side keeps everything in codegen (mask construction and the
+    9 substring-equality verification terms — no UDF); the DuckDB
+    oracle states the SEMANTICS directly (nation join + exact
+    distance), so the blocking rewrite is hash-checked against an
+    implementation-independent ground truth."""
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
         F.col("c_nationkey").alias("nation"),
@@ -2587,35 +2588,55 @@ def q_fuzzy_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring_index("s_name", "#", -1).alias("s_suf"),
     )
 
-    def blocks(df: DataFrame, suf: str) -> DataFrame:
-        seg = F.explode(F.sequence(F.lit(0), F.lit(2))).alias("seg")
-        out = df.select("*", seg)
-        return out.withColumn(
-            "seg_val", F.expr(f"substring({suf}, seg * 3 + 1, 3)")
-        )
-
-    cand = (
-        blocks(s, "s_suf")
-        .join(blocks(c, "c_suf"), ["nation", "seg", "seg_val"])
-        .select("s_suppkey", "c_custkey", "nation", "s_suf", "c_suf")
-        .distinct()
+    masks = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+            for i in range(1, 10)
+            for j in range(i + 1, 10)
+        ]
     )
+
+    def blocks(df: DataFrame, suf: str) -> DataFrame:
+        out = df.select("*", F.explode(masks).alias("m")).select(
+            "*", F.col("m.i").alias("i"), F.col("m.j").alias("j")
+        )
+        return out.withColumn(
+            "mask_val",
+            F.expr(
+                f"concat(substring({suf}, 1, i - 1), '*',"
+                f" substring({suf}, i + 1, j - i - 1), '*',"
+                f" substring({suf}, j + 1, 9 - j))"
+            ),
+        ).drop("m")
+
+    cand = blocks(s, "s_suf").join(
+        blocks(c, "c_suf"), ["nation", "i", "j", "mask_val"]
+    ).select("s_suppkey", "c_custkey", "nation", "s_suf", "c_suf")
     dist = sum(
         F.when(
             F.expr(f"substring(s_suf, {i}, 1)") != F.expr(f"substring(c_suf, {i}, 1)"),
             1,
         ).otherwise(0)
-        for i in range(1, 10)
+    for i in range(1, 10)
     )
     verified = cand.withColumn("dist", dist).filter(F.col("dist") <= 2)
-    wk = Window.partitionBy("s_suppkey").orderBy("dist", "c_custkey")
-    return (
-        verified.withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") == 1)
-        .select(
-            "s_suppkey",
-            F.col("c_custkey").alias("matched_custkey"),
-            F.col("nation").cast("long").alias("nation"),
-            F.col("dist").cast("long").alias("dist"),
-        )
+    # top-1 per supplier as a map-side-combinable MIN over
+    # (dist, custkey) structs — NOT a distinct + row_number window:
+    # with dense id spaces the candidate set is match-density-bounded
+    # (hundreds of true near-matches per entity), and a partial agg
+    # reduces each partition to one row per supplier before the
+    # exchange, where a window would shuffle and sort every candidate.
+    # Duplicate candidate rows (a pair colliding on several masks) are
+    # identical tuples, so the MIN is unaffected — the distinct that
+    # would dedup them is pure overhead. Tie-break matches the
+    # oracle's ORDER BY dist, c_custkey (struct compare is
+    # lexicographic; c_custkey determines nation).
+    best = verified.groupBy("s_suppkey").agg(
+        F.min(F.struct("dist", "c_custkey", "nation")).alias("b")
+    )
+    return best.select(
+        "s_suppkey",
+        F.col("b.c_custkey").alias("matched_custkey"),
+        F.col("b.nation").cast("long").alias("nation"),
+        F.col("b.dist").cast("long").alias("dist"),
     )
