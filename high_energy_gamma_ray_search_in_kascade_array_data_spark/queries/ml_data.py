@@ -443,7 +443,8 @@ n AS (
 )
 SELECT jc.dim,
        CAST(COUNT(*) AS BIGINT) AS n_cells,
-       ROUND(SUM(c_bl * LN(n.n * c_bl * 1.0 / (mc.c_b * lc.c_l))) / ANY_VALUE(n.n), 6)
+       ROUND(SUM(c_bl * LN(CAST(n.n AS DOUBLE) * c_bl
+                           / (CAST(mc.c_b AS DOUBLE) * lc.c_l))) / ANY_VALUE(n.n), 6)
          AS mi_nats
 FROM jc
 JOIN mc USING (dim, bin)
@@ -465,7 +466,11 @@ def q_mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame
     a (dim, bin, label) hash aggregate — map-side combinable to at
     most dims x 2 x classes rows per partition; marginals and the MI
     reduction are window-free re-aggregations of that tiny contingency
-    table. Nothing downstream of the first aggregate is event-scale."""
+    table. Nothing downstream of the first aggregate is event-scale.
+    The n*c_bl and c_b*c_l products are promoted to DOUBLE before the
+    multiply (both engines): Spark wraps int64 silently in non-ANSI
+    mode while DuckDB promotes SUM to HUGEINT, so at row counts past
+    ~3e9 a long*long product would diverge between the engines."""
     e = load_table(spark, sf_dir, "embeddings")
     b = e.select(
         F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "v"),
@@ -486,8 +491,8 @@ def q_mutual_information_features(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.sum(
                     F.col("c_bl")
                     * F.log(
-                        F.col("n") * F.col("c_bl") * 1.0
-                        / (F.col("c_b") * F.col("c_l"))
+                        F.col("n").cast("double") * F.col("c_bl")
+                        / (F.col("c_b").cast("double") * F.col("c_l"))
                     )
                 )
                 / F.first("n"),

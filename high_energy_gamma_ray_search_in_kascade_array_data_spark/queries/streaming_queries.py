@@ -10,6 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.text import (
+    SUBSTR_GRAM_CTE,
+    gram_project,
+)
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.streaming import core
 
@@ -1078,16 +1082,11 @@ def q_stream_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.text import (  # noqa: E402
-    _SUBSTR_GRAM_CTE,
-)
-
-
 @register(
     "stream_substring_dup_rate",
     survey_ref="§2.11,M5:dedup",
     oracle=f"""
-WITH {_SUBSTR_GRAM_CTE},
+WITH {SUBSTR_GRAM_CTE},
 per AS (
   SELECT gram, COUNT(*) AS cnt FROM grams GROUP BY 1
 )
@@ -1114,9 +1113,16 @@ def q_stream_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: streaming state is one row per DISTINCT gram (content-
     bounded, the same growth law the 10x state probe measured for CDC
     chunks: state = answer set exactly); the projection is stateless,
-    so the only stateful operator is the keyed count."""
-    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.text import gram_project
+    so the only stateful operator is the keyed count.
 
+    Sink note: the in-memory sink here is a FIXTURE-SCALE harness
+    stand-in — it materializes the gram table on the driver, which is
+    fine at test scale but NOT the production shape. At 100 TB the
+    complete-mode aggregate writes to a distributed sink (Delta/
+    parquet via foreachBatch, or a key-value store), and the 4-row
+    dup-rate rollup below runs as a batch query over that sink; the
+    executor-side state store already holds the gram counts
+    incrementally either way, so only the drain target changes."""
     docs = core.read_documents_stream(spark, sf_dir)
     per_gram = gram_project(docs).groupBy("gram").agg(
         F.count(F.lit(1)).alias("cnt")

@@ -2588,7 +2588,7 @@ def q_epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SUB_L = 8  # duplicate-substring threshold, in tokens (paper: 50 BPE tokens)
 
 # Shared oracle CTEs: token arrays -> L-gram start positions.
-_SUBSTR_GRAM_CTE = f"""
+SUBSTR_GRAM_CTE = f"""
 tarr AS (
   SELECT doc_id, string_split(text, ' ') AS t,
          LEN(string_split(text, ' ')) AS n
@@ -2610,7 +2610,7 @@ isl AS (
   SELECT doc_id, p, e,
          CASE WHEN p > COALESCE(MAX(e) OVER (
                 PARTITION BY doc_id ORDER BY p
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
               THEN 1 ELSE 0 END AS ni
   FROM {src}
 ),
@@ -2626,7 +2626,10 @@ spans AS (
 
 
 # grams -> duplicated start positions -> maximal merged spans.
-_SUBSTR_SPAN_CTE = f"""{_SUBSTR_GRAM_CTE},
+# Public: shared with streaming_queries.stream_substring_dup_rate.
+_SUBSTR_GRAM_CTE = SUBSTR_GRAM_CTE  # deprecated private alias
+
+_SUBSTR_SPAN_CTE = f"""{SUBSTR_GRAM_CTE},
 dup AS (
   SELECT doc_id, p, p + {_SUB_L - 1} AS e
   FROM (SELECT doc_id, p,
@@ -2682,12 +2685,21 @@ def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _merge_spans(dup: DataFrame) -> DataFrame:
     """Maximal spans from duplicated start positions (doc_id, p, e):
-    gaps-and-islands interval merge, co-partitioned on doc_id."""
+    gaps-and-islands interval merge, co-partitioned on doc_id.
+
+    Contiguity rule: COVERAGE contiguity — a new island starts only
+    when p > prev_max_end + 1, so two duplicated windows whose covered
+    token ranges abut exactly (start gap == L) merge into ONE maximal
+    region, matching the strict 'maximal contiguous duplicated region'
+    reading of the corpus docstrings. The DuckDB oracle CTE
+    (_sql_islands) mirrors the same rule."""
     wo = Window.partitionBy("doc_id").orderBy("p")
     prev_max_end = F.max("e").over(wo.rowsBetween(Window.unboundedPreceding, -1))
     isl = dup.withColumn(
         "ni",
-        F.when(F.col("p") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+        F.when(
+            F.col("p") > F.coalesce(prev_max_end, F.lit(-2)) + 1, 1
+        ).otherwise(0),
     ).withColumn(
         "island", F.sum("ni").over(wo.rowsBetween(Window.unboundedPreceding, 0))
     )
@@ -2925,7 +2937,7 @@ def q_substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     "substring_dedup_keep_first",
     survey_ref="M5:dedup",
     oracle=f"""
-WITH {_SUBSTR_GRAM_CTE},
+WITH {SUBSTR_GRAM_CTE},
 rem AS (
   SELECT doc_id, p, p + {_SUB_L - 1} AS e
   FROM (SELECT doc_id, p,

@@ -186,3 +186,50 @@ def test_substring_dedup_overlapping_families(spark, tmp_path_factory):
         for r in reg["substring_dedup_clean"].fn(spark, d).collect()
     }
     assert clean[10]["n_removed"] == 9 and clean[10]["clean_text"] == ""
+
+
+def test_substring_dedup_abutting_coverage_merges(spark, tmp_path_factory):
+    """Coverage-contiguity rule (ADVICE r9): two duplicated L-token
+    windows whose covered ranges abut EXACTLY (start gap == L, no
+    duplicated gram spanning the junction) are ONE maximal contiguous
+    duplicated region, not two. doc20 holds G1 (8 tokens, repeated in
+    doc21) immediately followed by G2 (8 tokens, repeated in doc22);
+    every junction-spanning gram of doc20 is corpus-unique, so the
+    duplicated start positions are exactly {4, 12} with coverage
+    4..11 and 12..19 — contiguous but non-overlapping."""
+    g1 = " ".join(f"y{i}" for i in range(1, 9))
+    g2 = " ".join(f"z{i}" for i in range(1, 9))
+    rows = [
+        (20, "e1 e2 e3 " + g1 + " " + g2 + " e4 e5 e6"),
+        (21, "m1 m2 " + g1 + " m3 m4 m5 m6 m7"),
+        (22, "k1 k2 " + g2 + " k3 k4 k5 k6 k7"),
+    ]
+    d = str(tmp_path_factory.mktemp("substr_abut"))
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "documents.parquet"))
+    reg = corpus()
+
+    stats = {r["doc_id"]: r for r in reg["substring_dedup_lcp"].fn(spark, d).collect()}
+    # doc20: ONE merged 16-token region (4..19), not two 8s
+    assert stats[20]["n_dup_spans"] == 1
+    assert stats[20]["dup_tokens"] == 16 and stats[20]["longest_span"] == 16
+    assert stats[21]["n_dup_spans"] == 1 and stats[21]["dup_tokens"] == 8
+    assert stats[22]["n_dup_spans"] == 1 and stats[22]["dup_tokens"] == 8
+
+    # the fast (fingerprint-keyed) variant agrees
+    fast = {
+        r["doc_id"]: r
+        for r in reg["substring_dedup_lcp_fast"].fn(spark, d).collect()
+    }
+    assert {k: tuple(v) for k, v in stats.items()} == {
+        k: tuple(v) for k, v in fast.items()
+    }
+
+    # excision still removes exactly the covered 16 tokens of doc20
+    clean = {
+        r["doc_id"]: r
+        for r in reg["substring_dedup_clean"].fn(spark, d).collect()
+    }
+    assert clean[20]["n_removed"] == 16
+    assert clean[20]["clean_text"] == "e1 e2 e3 e4 e5 e6"
