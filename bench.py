@@ -56,6 +56,7 @@ HEADLINE = [
     "ivf_probe_topk",
     "ann_int8_quantized_topk",
     "text_token_stats",
+    "bpe_merge_training",
     "doc_fingerprint",
     "multimodal_decode_features",
     "multimodal_resize",

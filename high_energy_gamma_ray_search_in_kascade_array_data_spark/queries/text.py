@@ -982,6 +982,150 @@ w{r} AS MATERIALIZED (
     return "WITH " + ",\n".join(parts) + "\n" + union
 
 
+def bpe_train(
+    spark: SparkSession, docs: DataFrame, rounds: int, on_round=None
+) -> list[tuple[int, str, str, str, int]]:
+    """Distributed BPE merge-training loop over a documents frame.
+
+    Representation: the WEIGHTED DISTINCT-WORD table (Sennrich et al.
+    2016 reference trainer) — tokens are grouped once (`groupBy(tok)`,
+    the ONLY token-scale pass, map-side combinable to vocab-size rows
+    per partition) and every subsequent round operates on (symbol
+    array, weight) rows at VOCABULARY scale. At 100 TB of text the
+    token stream is ~10^4-10^6x the distinct-word vocabulary, so this
+    is the difference between an O(corpus) and an O(vocab) round.
+
+    Incremental pair counts: the corpus-wide weighted pair count runs
+    once; after adopting merge (a,b)->m only words CONTAINING the
+    bigram change, so each round applies the signed weighted pair
+    delta (folded minus unfolded, affected rows only) to the counts
+    table via a union + re-aggregate — ONE exchange, no join. The
+    argmax reads the counts table (pair vocabulary, never the token
+    stream); the adopted rule is a driver-held 3-string value (same
+    license as the kmeans centroids).
+
+    Round shape (the r9 perf fix — the old loop paid ~5 eager
+    corpus-scale localCheckpoints and a measured 13.4 s cold at
+    sf0.1): ONE tagged vocab pass per round computes hit-flag, folded
+    symbols, and the pre-fold copy of affected rows side by side and
+    eagerly localCheckpoints it, so every plan Catalyst compiles is
+    flat (scan-of-RDD + project) — the per-round driver-side compile
+    cost, which profiling showed dominated the old loop, stays
+    constant across thousands of merges. The counts update is a LAZY
+    localCheckpoint materialized inside the next round's argmax job,
+    so a steady-state round is two short actions. The vocab rewrite is
+    O(vocab) with a tiny constant (pure column ops, no explode); the
+    delta explode is O(affected occurrences) exactly. Duplicate symbol
+    arrays that a fold may create are left un-grouped deliberately —
+    pair counts SUM weights and filters/folds act row-wise, so
+    spending an exchange to re-group them buys nothing.
+
+    The learned merge table is identical to the token-multiset
+    trainer's: frequencies are exact weighted integer sums and the
+    (freq DESC, a, b) tie-break is total, so the result is bit-stable
+    at any partitioning. ``scripts/bpe_curve.py`` records the
+    per-round marginal cost at rounds=50 (BPE_CURVE.md)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.analytics_ext import _loop_shuffle
+
+    dp = spark.sparkContext.defaultParallelism
+    words = (
+        # fixture documents arrive as one parquet file = one scan
+        # task; spread the token-scale explode across cores first (a
+        # real corpus is already multi-split, making this a no-op)
+        docs.repartition(dp)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        # Spark's split('', -1) keeps a trailing empty string where
+        # DuckDB's string_split does not — filter to the real chars.
+        .select(
+            F.filter(F.split(F.col("tok"), ""), lambda c: c != "").alias("s"),
+            "w",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def pair_structs(s):
+        return F.zip_with(
+            F.slice(s, 1, F.size(s) - 1),
+            F.slice(s, 2, F.size(s) - 1),
+            lambda p, q: F.struct(p.alias("a"), q.alias("b")),
+        )
+
+    def signed_pairs(col: str, sign: int):
+        return F.transform(
+            pair_structs(F.col(col)),
+            lambda p: F.struct(
+                p["a"].alias("a"),
+                p["b"].alias("b"),
+                (sign * F.col("w")).alias("freq"),
+            ),
+        )
+
+    rules: list[tuple[int, str, str, str, int]] = []
+    cur = words
+    with _loop_shuffle(spark, 8):
+        # the ONLY corpus-wide pair count — rounds 2..R maintain it by delta
+        counts = (
+            words.select(F.explode(pair_structs(F.col("s"))).alias("pr"), "w")
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("w").alias("freq"))
+            .localCheckpoint(eager=False)
+        )
+        for r in range(1, rounds + 1):
+            top = (
+                counts.orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )[0]
+            a, b, freq = top["a"], top["b"], int(top["freq"])
+            rules.append((r, a, b, a + b, freq))
+            if r < rounds:
+                # one tagged vocab pass: fold affected rows, keep the
+                # pre-fold copy beside them for the delta recount
+                has = F.exists(
+                    pair_structs(F.col("s")),
+                    lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)),
+                )
+                tagged = (
+                    cur.select("s", "w", has.alias("hit"))
+                    .select(
+                        F.when(
+                            F.col("hit"), _bpe_merge_fold(F.col("s"), a, b)
+                        )
+                        .otherwise(F.col("s"))
+                        .alias("s"),
+                        F.when(F.col("hit"), F.col("s")).alias("s_pre"),
+                        "w",
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                delta = (
+                    tagged.filter(F.col("s_pre").isNotNull())
+                    .select(
+                        F.explode(
+                            F.concat(
+                                signed_pairs("s_pre", -1), signed_pairs("s", 1)
+                            )
+                        ).alias("pr")
+                    )
+                    .select("pr.a", "pr.b", F.col("pr.freq").alias("freq"))
+                )
+                counts = (
+                    counts.unionByName(delta)
+                    .groupBy("a", "b")
+                    .agg(F.sum("freq").alias("freq"))
+                    .filter(F.col("freq") > 0)
+                    .localCheckpoint(eager=False)
+                )
+                cur = tagged.select("s", "w")
+            if on_round is not None:
+                # marginal-cost instrumentation hook (scripts/bpe_curve.py)
+                on_round(r)
+    return rules
+
+
 @register(
     "bpe_merge_training",
     survey_ref="M5:text,§2.6",
@@ -995,111 +1139,16 @@ def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexicographically → re-segment every word), returning the learned
     merge table (round, pair, merged symbol, frequency at adoption).
 
-    Loop layout follows the kmeans/Bellman-Ford family, with the
-    pair-count table maintained INCREMENTALLY (the textbook BPE
-    trainer's delta structure, distributed): the full corpus-wide pair
-    count runs ONCE; after adopting merge (a,b)→m only words that
-    CONTAIN the bigram can change, so round r>1 recounts just that
-    affected subset before/after the fold and applies the signed delta
-    to the (small, checkpointed) counts table — per-merge cost is
-    proportional to the merged pair's occurrences, not the corpus,
-    which is what makes real training (thousands of merges, each
-    rarer than the last) O(Σ occurrences) instead of O(merges ×
-    corpus). The argmax each round reads the counts TABLE (pair
-    vocabulary, never the token stream); the adopted rule is a
-    driver-held 3-string value (same license as the kmeans
-    centroids); the merge application is a pure JVM array fold, and
-    each round's re-segmented corpus + counts are lineage-truncated
-    (``localCheckpoint``) so round k never recomputes rounds 1..k-1 —
-    at cluster scale those checkpoints are persisted intermediate
-    tables, the standard shape for iterative corpus rewrites. Counts
-    are exact integers; the tie-break is total, so the learned merge
-    table is bit-stable at any partitioning and identical in the
-    unrolled DuckDB twin (which recomputes from scratch each round —
-    the incremental delta is provably the same table)."""
-    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.analytics_ext import _loop_shuffle
-
-    d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
-        .filter(F.length("tok") >= 2)
-        # Spark's split('', -1) keeps a trailing empty string where
-        # DuckDB's string_split does not — filter to the real chars.
-        .select(F.filter(F.split(F.col("tok"), ""), lambda c: c != "").alias("s"))
-        # The fixture is one parquet file = one input partition; the
-        # per-round folds would otherwise run on a single task. A real
-        # corpus arrives pre-partitioned — here the one-off spread is
-        # part of the checkpoint write it shares a pass with.
-        .repartition(8)
-        .localCheckpoint(eager=True)
-    )
-
-    def pair_structs(s):
-        return F.zip_with(
-            F.slice(s, 1, F.size(s) - 1),
-            F.slice(s, 2, F.size(s) - 1),
-            lambda p, q: F.struct(p.alias("a"), q.alias("b")),
-        )
-
-    def count_pairs(df):
-        return (
-            df.select(F.explode(pair_structs(F.col("s"))).alias("pr"))
-            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
-            .agg(F.count(F.lit(1)).alias("freq"))
-        )
-
-    rules: list[tuple[int, str, str, str, int]] = []
-    cur = words
-    with _loop_shuffle(spark, 8):
-        # the ONLY corpus-wide pair count — rounds 2..R maintain it by delta
-        counts = count_pairs(cur).localCheckpoint(eager=True)
-        for r in range(1, _BPE_ROUNDS + 1):
-            top = (
-                counts.orderBy(F.desc("freq"), F.asc("a"), F.asc("b")).limit(1).collect()
-            )[0]
-            a, b, freq = top["a"], top["b"], int(top["freq"])
-            rules.append((r, a, b, a + b, freq))
-            if r < _BPE_ROUNDS:
-                # words containing the adopted bigram are EXACTLY the
-                # ones whose pair multiset changes under the fold —
-                # recount old/new pairs on that subset only and apply
-                # the signed delta (new − old) to the counts table
-                has = F.exists(
-                    pair_structs(F.col("s")),
-                    lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)),
-                )
-                affected = cur.filter(has).localCheckpoint(eager=True)
-                folded_aff = affected.select(
-                    _bpe_merge_fold(F.col("s"), a, b).alias("s")
-                ).localCheckpoint(eager=True)
-                delta = (
-                    count_pairs(affected)
-                    .select("a", "b", (-F.col("freq")).alias("d"))
-                    .unionByName(
-                        count_pairs(folded_aff).select("a", "b", F.col("freq").alias("d"))
-                    )
-                    .groupBy("a", "b")
-                    .agg(F.sum("d").alias("d"))
-                )
-                counts = (
-                    counts.join(delta, ["a", "b"], "full_outer")
-                    .select(
-                        "a",
-                        "b",
-                        (
-                            F.coalesce(F.col("freq"), F.lit(0))
-                            + F.coalesce(F.col("d"), F.lit(0))
-                        ).alias("freq"),
-                    )
-                    .filter(F.col("freq") > 0)
-                    .localCheckpoint(eager=True)
-                )
-                # re-segment: unaffected words pass through verbatim,
-                # already-folded affected words union back in — the
-                # corpus rewrite touches only the rows that changed
-                cur = (
-                    cur.filter(~has).unionByName(folded_aff).localCheckpoint(eager=True)
-                )
+    The loop lives in ``bpe_train`` (weighted distinct-word
+    representation, incremental pair counts, lazy per-round
+    checkpoints — see its docstring for the scale argument); the
+    DuckDB twin recomputes each round from scratch over the raw token
+    multiset, proving the weighted incremental trainer learns the
+    identical merge table. ``scripts/bpe_curve.py`` runs the same
+    loop at rounds=50 and records the per-round marginal cost curve
+    (BPE_CURVE.md) — real training is thousands of merges, so flat
+    marginal cost is the design claim."""
+    rules = bpe_train(spark, load_table(spark, sf_dir, "documents"), _BPE_ROUNDS)
     return spark.createDataFrame(
         rules, "round int, sym_a string, sym_b string, merged string, freq bigint"
     )

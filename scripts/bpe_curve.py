@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Per-round marginal-cost curve for the BPE merge-training loop
+(VERDICT r9 task 1): run ``bpe_train`` at rounds=50 on sf0.1 and
+record per-round wall time — real BPE training is thousands of
+merges, so the claim the incremental weighted-vocabulary design
+exists to make is FLAT marginal cost per round (no lineage growth,
+no plan growth, no corpus-scale work after round 0).
+
+Writes BPE_CURVE.md. A calibration query (survival_curve) runs first
+so session warmup is not booked to round 1, and its wall is recorded
+so readers can normalize ambient box noise.
+
+Usage: python scripts/bpe_curve.py [sf_dir] [rounds]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark import get_spark  # noqa: E402
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.text import bpe_train, load_table  # noqa: E402
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+
+    spark = get_spark()
+    t0 = time.time()
+    corpus()["survival_curve"].fn(spark, sf_dir).collect()
+    calib = time.time() - t0
+
+    docs = load_table(spark, sf_dir, "documents")
+    walls: list[float] = []
+    last = time.time()
+
+    def on_round(r: int) -> None:
+        nonlocal last
+        now = time.time()
+        walls.append(now - last)
+        last = now
+
+    t0 = time.time()
+    rules = bpe_train(spark, docs, rounds, on_round=on_round)
+    total = time.time() - t0
+    assert len(rules) == rounds
+
+    early = walls[1:10]
+    late = walls[-10:]
+    mean = lambda xs: sum(xs) / len(xs)  # noqa: E731
+
+    lines = [
+        "# BPE merge-training marginal-cost curve",
+        "",
+        f"`bpe_train` at rounds={rounds}, sf_dir={sf_dir}, "
+        f"local[{spark.sparkContext.defaultParallelism}].",
+        "",
+        f"- session-warmup calibration (survival_curve first run): {calib:.2f} s",
+        f"- total loop wall ({rounds} rounds): {total:.2f} s",
+        f"- round 1 (includes one-time codegen of the loop shapes): {walls[0]:.2f} s",
+        f"- mean marginal cost rounds 2-10: {mean(early):.3f} s/round",
+        f"- mean marginal cost rounds {rounds-9}-{rounds}: {mean(late):.3f} s/round",
+        f"- late/early marginal ratio: {mean(late)/mean(early):.2f}x "
+        "(flat == ~1.0; lineage/plan growth would trend upward)",
+        "",
+        "Design: weighted distinct-word vocabulary (token-scale work is the",
+        "one groupBy in round 0), incremental signed pair-count deltas",
+        "(union + re-aggregate, no join), and a flat eager localCheckpoint",
+        "of the tagged vocab each round so Catalyst compiles constant-size",
+        "plans at every round — see `bpe_train`'s docstring.",
+        "",
+        "## Per-round wall (s)",
+        "",
+        "| round | wall |",
+        "|---|---|",
+    ]
+    lines += [f"| {i+1} | {w:.3f} |" for i, w in enumerate(walls)]
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BPE_CURVE.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote {out}")
+    print(f"calib={calib:.2f}s total={total:.2f}s r1={walls[0]:.2f}s "
+          f"early={mean(early):.3f} late={mean(late):.3f} ratio={mean(late)/mean(early):.2f}")
+    ratio = mean(late) / mean(early)
+    if ratio > 1.5:
+        print("FAIL: marginal cost is not flat")
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
