@@ -72,3 +72,43 @@ def test_salt_src_spreads_exact_duplicate_rows(spark, sf_dir):
     row = out.collect()[0]
     n = ev.count()
     assert (row["key"], row["n"], row["sum_value"]) == ("hot", n, float(n))
+
+
+def test_memo_stat_key_invalidates_on_inplace_overwrite(spark, tmp_path):
+    """Regression for the r8-ADVICE memo defect: the dedup-pipeline
+    memo key must fold each source file's (size, mtime_ns) so an
+    IN-PLACE overwrite that reproduces the same file name serves
+    fresh results, not the previous corpus's cached frames. Under the
+    pre-fix key (analyzed plan + file names only) the second read
+    below hits the first corpus's persisted `verified` frame and
+    reports a near-dup pair that no longer exists."""
+    import time
+
+    import pandas as pd
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import dedup
+
+    p = str(tmp_path / "documents.parquet")
+    dup_text = "alpha beta gamma delta epsilon zeta eta theta"
+    pd.DataFrame(
+        {"doc_id": [0, 1], "text": [dup_text, dup_text]}
+    ).to_parquet(p, index=False)
+
+    first = dedup.minhash_near_duplicates(spark.read.parquet(p)).collect()
+    assert len(first) == 1  # identical docs: one verified pair
+
+    # overwrite IN PLACE: same file name, different rows (no dups).
+    # ext4 mtime_ns is fine-grained, but guard against coarse clocks.
+    time.sleep(0.05)
+    pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "one two three four five six seven eight",
+                "red orange yellow green blue indigo violet umber",
+            ],
+        }
+    ).to_parquet(p, index=False)
+
+    second = dedup.minhash_near_duplicates(spark.read.parquet(p)).collect()
+    assert second == []  # stale memo would replay the old pair
