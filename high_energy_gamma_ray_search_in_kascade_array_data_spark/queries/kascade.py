@@ -7,6 +7,7 @@ with a DuckDB oracle twin. Reference citations inline per query.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -421,6 +422,50 @@ def q_rotate_grid_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         * m,
     )
     return ev.select("event_id", checksum.alias("checksum"))
+
+
+@register(
+    "rotate_grid_wide_vec",
+    survey_ref="T1,T6,§2.12",
+    oracle="""
+SELECT event_id,
+       CAST(list_sum(list_transform(range(0, 256),
+            m -> ((event_id * (((15 - (m % 16)) * 16 + (m // 16)) + 7)) % 100) * m
+       )) AS BIGINT) AS checksum
+FROM events
+""",
+)
+def q_rotate_grid_wide_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized sibling of ``rotate_grid_wide`` — identical
+    semantics (same oracle), different physical strategy: the 256-
+    element rotated-checksum kernel runs as a ``pandas_udf`` over a
+    NumPy (rows × 256) broadcasted multiply instead of Spark's
+    higher-order ``aggregate`` (which is ``CodegenFallback`` —
+    interpreted, ~73M lambda-ops/s measured). At a 1M-event sf1
+    replica the vectorized kernel is ~5x the HOF (0.65 s vs 3.3 s
+    compute; PLANS.md 'rotate_grid_wide audit'). This is the
+    documented escape hatch when per-row dense-tensor arithmetic ever
+    dominates a wide-form plan: keep the plan shape (scan → project,
+    no shuffle), swap the kernel to Arrow batches."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    rot_c = np.array(
+        [(15 - m % 16) * 16 + m // 16 + 7 for m in range(256)], dtype=np.int64
+    )
+    pos = np.arange(256, dtype=np.int64)
+
+    @pandas_udf("long")
+    def checksum(ids: pd.Series) -> pd.Series:
+        a = ids.to_numpy()[:, None] * rot_c[None, :]
+        return pd.Series((a % 100 * pos).sum(axis=1))
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return ev.select("event_id", checksum(F.col("event_id")).alias("checksum"))
 
 
 # ------------------------------------------------------- stratified split
