@@ -2928,8 +2928,9 @@ def _excise_covered(d: DataFrame, spans: DataFrame) -> DataFrame:
     """Re-emit every document with the token positions covered by
     ``spans`` removed, plus the removed count. ``spans`` must be
     per-doc DISJOINT (the _merge_spans invariant: a new island starts
-    only past the running max end), so the exploded (doc_id, pos)
-    rows are already unique — no distinct, no extra exchange.
+    only past the running max end + 1 — coverage contiguity), so the
+    exploded (doc_id, pos) rows are already unique — no distinct, no
+    extra exchange.
 
     Scale shape: covered positions are bounded by removed tokens (not
     corpus size), the left join against the token stream hash-

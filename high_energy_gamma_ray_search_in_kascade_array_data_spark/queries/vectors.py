@@ -675,33 +675,39 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the codebook is a broadcast constant and assignment is
     map-only; only the final top-k reduces."""
     e = load_table(spark, sf_dir, "embeddings")
-    emb = F.col("embedding")
 
-    def sub_dist(col, s, c):
+    # All expressions below are built as SQL STRINGS (one F.expr/
+    # selectExpr round-trip each) rather than composed Column objects:
+    # the 8 subspaces x 4 centroids x (slice + zip_with + aggregate)
+    # tree costs hundreds of Py4J calls the Column way — ~2 s of
+    # driver-side build per invocation, and the r10 concurrency probe
+    # showed that driver-side build SERIALIZES across concurrent
+    # streams (GIL + Py4J), making this query the worst contention
+    # case (9.4x). String-built expressions parse JVM-side: build
+    # dropped 2.05 s -> 0.36 s warm, identical analyzed plan, exact
+    # same result hash.
+    def sub_dist_sql(s: int, c: int) -> str:
         # slice + zip_with + left-fold keeps the expression tree ~4×
         # smaller than unrolling 8 quantize/subtract/square terms (the
         # 32 sub-distances otherwise cost several seconds of Janino
         # codegen on first execution); every value is exact, so the
         # fold order is irrelevant to the result
-        sub = F.slice(col, s * 8 + 1, 8)
-        cents = F.array(*[F.lit(_pq_cent(s, c, d)) for d in range(8)])
-        diffs = F.zip_with(
-            sub, cents, lambda x, m: F.floor(x.cast("double") * 64) / 64 - m
+        cents = ",".join(f"{_pq_cent(s, c, d)!r}D" for d in range(8))
+        return (
+            f"aggregate(zip_with(slice(embedding, {s * 8 + 1}, 8), array({cents}),"
+            f" (x, m) -> floor(cast(x as double) * 64) / 64 - m),"
+            f" 0.0D, (acc, t) -> acc + t * t)"
         )
-        return F.aggregate(diffs, F.lit(0.0), lambda acc, t: acc + t * t)
 
     # per-row code per subspace: argmin over centroids (struct min
     # orders by dist then centroid id — deterministic tie-break)
-    code_cols = []
+    code_exprs = []
     for s in range(_PQ_SUB):
-        structs = F.array(
-            *[
-                F.struct(sub_dist(emb, s, c).alias("d"), F.lit(c).alias("c"))
-                for c in range(_PQ_K)
-            ]
+        structs = ",".join(
+            f"struct({sub_dist_sql(s, c)} as d, {c} as c)" for c in range(_PQ_K)
         )
-        code_cols.append(F.array_min(structs).getField("c").alias(f"code_{s}"))
-    coded = e.filter(F.col("vec_id") != 0).select("vec_id", "label", *code_cols)
+        code_exprs.append(f"array_min(array({structs})).c as code_{s}")
+    coded = e.filter(F.col("vec_id") != 0).selectExpr("vec_id", "label", *code_exprs)
 
     # The query→centroid distance table is a PLAN-TIME CONSTANT: the
     # query vector is one bounded row (the same control-plane license
@@ -724,13 +730,13 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc += t * t
         return acc
 
-    adc = None
-    for s in range(_PQ_SUB):
-        table = F.array(*[F.lit(py_sub_dist(s, c)) for c in range(_PQ_K)])
-        term = F.element_at(table, F.col(f"code_{s}").cast("int") + 1)
-        adc = term if adc is None else adc + term
+    adc = " + ".join(
+        f"element_at(array({','.join(f'{py_sub_dist(s, c)!r}D' for c in range(_PQ_K))}),"
+        f" cast(code_{s} as int) + 1)"
+        for s in range(_PQ_SUB)
+    )
     return (
-        coded.select("vec_id", "label", F.round(adc, 6).alias("adc_dist"))
+        coded.selectExpr("vec_id", "label", f"round({adc}, 6) as adc_dist")
         .orderBy(F.asc("adc_dist"), F.asc("vec_id"))
         .limit(10)
     )

@@ -24,6 +24,13 @@ Audits the N largest (by oracle row count at sf0.01) never-sampled
 queries. Usage:
 
     python scripts/order_audit.py [N] [out.md]
+    python scripts/order_audit.py --all-cheap [out.md]
+
+``--all-cheap`` (r9 VERDICT task 5) runs the cheap check pair — (b)
+column-permutation and (c) row-shuffle, plus the free (a) baseline —
+over the ENTIRE never-driver-sampled pool (one Spark execution per
+query, no conf-200 re-run) and APPENDS the results to the output file
+as an appendix, so the full blind pool is covered once.
 
 Writes ORDER_AUDIT.md by default; exit 1 on any finding.
 """
@@ -53,8 +60,13 @@ def driver_sampled() -> set[str]:
 
 
 def main() -> int:
-    n_audit = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-    out_path = sys.argv[2] if len(sys.argv) > 2 else "ORDER_AUDIT.md"
+    all_cheap = len(sys.argv) > 1 and sys.argv[1] == "--all-cheap"
+    if all_cheap:
+        n_audit = 10**9
+        out_path = sys.argv[2] if len(sys.argv) > 2 else "ORDER_AUDIT.md"
+    else:
+        n_audit = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+        out_path = sys.argv[2] if len(sys.argv) > 2 else "ORDER_AUDIT.md"
 
     from high_energy_gamma_ray_search_in_kascade_array_data_spark import get_spark
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
@@ -73,24 +85,37 @@ def main() -> int:
         except Exception:
             sizes[name] = -1  # oracle error would be caught by the sweep
     targets = sorted((n for n in never if sizes[n] >= 0), key=lambda n: -sizes[n])[:n_audit]
+    if all_cheap:
+        targets = [n for n in never if sizes[n] >= 0]
 
     spark = get_spark("order_audit")
     spark.sparkContext.setLogLevel("ERROR")
     rng = random.Random(42)
     findings: list[str] = []
+    hdr = (
+        "# APPENDIX (r10): cheap-pair audit over the FULL never-sampled pool"
+        if all_cheap
+        else "# ORDER_AUDIT — driver-sample blind-spot audit"
+    )
+    cols = (
+        "| query | oracle rows | a:baseline | b:col-perm | c:row-shuf |"
+        if all_cheap
+        else "| query | oracle rows | a:baseline | b:col-perm | c:row-shuf | d:conf-200 |"
+    )
+    seps = "|---|---|---|---|---|" if all_cheap else "|---|---|---|---|---|---|"
     lines = [
-        "# ORDER_AUDIT — driver-sample blind-spot audit",
+        hdr,
         "",
         f"date: {datetime.now(timezone.utc).strftime('%Y-%m-%dT%H:%MZ')}  "
         f"fixture: {SF_DIR}  never-driver-sampled pool: {len(never)}  audited: {len(targets)}",
         "",
         "Checks per query: (a) baseline exact-hash vs oracle; (b) Spark frame",
         "column order randomly permuted; (c) both frames' rows independently",
-        "shuffled; (d) query re-run under spark.sql.shuffle.partitions=200",
-        "(the driver-session perturbation — float summation order changes).",
+        "shuffled" + ("." if all_cheap else "; (d) query re-run under spark.sql.shuffle.partitions=200"),
+        "" if all_cheap else "(the driver-session perturbation — float summation order changes).",
         "",
-        "| query | oracle rows | a:baseline | b:col-perm | c:row-shuf | d:conf-200 |",
-        "|---|---|---|---|---|---|",
+        cols,
+        seps,
     ]
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     for name in targets:
@@ -108,29 +133,37 @@ def main() -> int:
             oracle_pdf.sample(frac=1.0, random_state=rng.randint(0, 2**31)),
         )
 
-        try:
-            spark.conf.set("spark.sql.shuffle.partitions", "200")
-            d = exact_hash_problems(q.fn(spark, SF_DIR).toPandas(), oracle_pdf)
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
-
         def mark(p: list[str], tag: str) -> str:
             if p:
                 findings.append(f"{name} [{tag}]: {p[0][:300]}")
                 return "FAIL"
             return "ok"
 
-        lines.append(
-            f"| {name} | {sizes[name]} | {mark(a,'baseline')} | {mark(b,'col-perm')} "
-            f"| {mark(c,'row-shuf')} | {mark(d,'conf-200')} |"
-        )
+        if all_cheap:
+            lines.append(
+                f"| {name} | {sizes[name]} | {mark(a,'baseline')} | {mark(b,'col-perm')} "
+                f"| {mark(c,'row-shuf')} |"
+            )
+        else:
+            try:
+                spark.conf.set("spark.sql.shuffle.partitions", "200")
+                d = exact_hash_problems(q.fn(spark, SF_DIR).toPandas(), oracle_pdf)
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+            lines.append(
+                f"| {name} | {sizes[name]} | {mark(a,'baseline')} | {mark(b,'col-perm')} "
+                f"| {mark(c,'row-shuf')} | {mark(d,'conf-200')} |"
+            )
         print(lines[-1], flush=True)
 
     lines += ["", f"## Findings: {len(findings)}", ""]
     lines += [f"- {f}" for f in findings] or ["None — no audited query depends on incidental "
                                               "column/row order or on the harness session's "
                                               "shuffle-partition count."]
-    with open(out_path, "w") as fh:
+    mode = "a" if all_cheap and os.path.exists(out_path) else "w"
+    with open(out_path, mode) as fh:
+        if mode == "a":
+            fh.write("\n\n")
         fh.write("\n".join(lines) + "\n")
     print(f"\n{len(findings)} findings → {out_path}")
     return 1 if findings else 0
