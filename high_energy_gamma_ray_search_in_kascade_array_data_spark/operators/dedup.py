@@ -114,11 +114,29 @@ def token_vocab(toks: DataFrame) -> DataFrame:
 # correctness is unaffected.
 _MAX_SLOTS = 2
 _SLOTS: dict = {}  # key -> {"frames": [persisted DataFrames], "memo": {...}}
-_MEMO_KEY: str | None = None  # slot of the CURRENT invocation (None = no memo)
+
+# The CURRENT invocation key is THREAD-LOCAL (r10 hardening, found by
+# the concurrency probe): concurrent sessions run pipeline entry
+# points from multiple driver threads (FAIR pools), and a global
+# current-key would let thread A's _memo() read the slot thread B
+# just entered — a cross-corpus cache hit, i.e. a wrong answer. The
+# slot TABLE stays shared (two threads on the SAME corpus key reuse
+# one cache — that is the point); its structural mutations take
+# _SLOTS_LOCK. Eviction may drop a slot another thread still reads —
+# safe: persisted frames silently recompute, correctness unaffected.
+import threading as _threading
+
+_SLOTS_LOCK = _threading.RLock()
+_TLS = _threading.local()
+
+
+def _cur_key() -> str | None:
+    return getattr(_TLS, "key", None)
 
 
 def _slot() -> dict:
-    return _SLOTS.setdefault(_MEMO_KEY, {"frames": [], "memo": {}})
+    with _SLOTS_LOCK:
+        return _SLOTS.setdefault(_cur_key(), {"frames": [], "memo": {}})
 
 
 def _release_slot(slot: dict) -> None:
@@ -132,20 +150,21 @@ def _release_slot(slot: dict) -> None:
 def release_caches() -> None:
     """Unpersist every frame cached by prior dedup-pipeline invocations
     and drop all invocation memos."""
-    global _MEMO_KEY
-    _MEMO_KEY = None
-    while _SLOTS:
-        _release_slot(_SLOTS.pop(next(iter(_SLOTS))))
+    _TLS.key = None
+    with _SLOTS_LOCK:
+        while _SLOTS:
+            _release_slot(_SLOTS.pop(next(iter(_SLOTS))))
 
 
 def _persist_tracked(df: DataFrame) -> DataFrame:
     df.persist()
-    if _MEMO_KEY is not None:
-        _slot()["frames"].append(df)
-    else:
-        # no sound invocation key: track under a throwaway slot so the
-        # next keyed entry still releases it
-        _SLOTS.setdefault(None, {"frames": [], "memo": {}})["frames"].append(df)
+    with _SLOTS_LOCK:
+        if _cur_key() is not None:
+            _slot()["frames"].append(df)
+        else:
+            # no sound invocation key: track under a throwaway slot so
+            # the next keyed entry still releases it
+            _SLOTS.setdefault(None, {"frames": [], "memo": {}})["frames"].append(df)
     return df
 
 
@@ -206,26 +225,26 @@ def _memo_enter(key: str | None) -> bool:
     read of the same path would plan-match and silently substitute the
     stale cached bytes even though OUR memo missed. Unpersisting drops
     them from the CacheManager so the recompute reads the new files."""
-    global _MEMO_KEY
     if key is None:
         release_caches()
         return False
-    base = _key_base(key)
-    for k in list(_SLOTS):
-        if k is not None and k != key and _key_base(k) == base:
-            _release_slot(_SLOTS.pop(k))
-    _MEMO_KEY = key
-    if key in _SLOTS:
-        _SLOTS[key] = _SLOTS.pop(key)  # move to MRU position
-    else:
-        _slot()
-        while len(_SLOTS) > _MAX_SLOTS:
-            _release_slot(_SLOTS.pop(next(iter(_SLOTS))))
+    with _SLOTS_LOCK:
+        base = _key_base(key)
+        for k in list(_SLOTS):
+            if k is not None and k != key and _key_base(k) == base:
+                _release_slot(_SLOTS.pop(k))
+        _TLS.key = key
+        if key in _SLOTS:
+            _SLOTS[key] = _SLOTS.pop(key)  # move to MRU position
+        else:
+            _slot()
+            while len(_SLOTS) > _MAX_SLOTS:
+                _release_slot(_SLOTS.pop(next(iter(_SLOTS))))
     return True
 
 
 def _memo() -> dict:
-    return _slot()["memo"] if _MEMO_KEY is not None else {}
+    return _slot()["memo"] if _cur_key() is not None else {}
 
 
 def doc_token_ids(
@@ -369,7 +388,7 @@ def _near_duplicates_from_tid(tid: DataFrame, threshold: float, id_col: str) -> 
     sets_df = _persist_tracked(token_sets(tid, id_col))
     pairs = lsh_candidate_pairs(signatures_from_sets(sets_df, id_col), id_col)
     verified = jaccard_verify(pairs, sets_df, id_col)
-    if _MEMO_KEY is not None:
+    if _cur_key() is not None:
         m["verified"] = _persist_tracked(verified)
     return verified.filter(F.col("jaccard") >= threshold)
 

@@ -112,3 +112,56 @@ def test_memo_stat_key_invalidates_on_inplace_overwrite(spark, tmp_path):
 
     second = dedup.minhash_near_duplicates(spark.read.parquet(p)).collect()
     assert second == []  # stale memo would replay the old pair
+
+
+def test_memo_current_key_is_thread_local(spark, tmp_path):
+    """r10 hardening (found by the concurrency probe): the dedup
+    memo's CURRENT-invocation key must be thread-local. With a global
+    key, thread B entering corpus-B's key between thread A's
+    _memo_enter and A's result construction makes A read B's slot —
+    a cross-corpus cache hit. Deterministic interleaving via
+    barriers; under the pre-fix global key thread A reports corpus
+    B's near-dup pair for corpus A."""
+    import threading
+
+    import pandas as pd
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import dedup
+
+    pa_path = str(tmp_path / "corpus_a.parquet")
+    pb_path = str(tmp_path / "corpus_b.parquet")
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    # corpus A: no duplicates; corpus B: one identical pair
+    pd.DataFrame(
+        {"doc_id": [0, 1],
+         "text": ["one two three four five six seven eight",
+                  "red orange yellow green blue indigo violet umber"]}
+    ).to_parquet(pa_path, index=False)
+    pd.DataFrame({"doc_id": [0, 1], "text": [dup, dup]}).to_parquet(
+        pb_path, index=False
+    )
+
+    dedup.release_caches()
+    # warm corpus B's slot so the stale-hit has something to serve
+    assert len(dedup.minhash_near_duplicates(spark.read.parquet(pb_path)).collect()) == 1
+
+    b1, b2 = threading.Barrier(2), threading.Barrier(2)
+    out: dict[str, object] = {}
+
+    def thread_a():
+        docs = spark.read.parquet(pa_path)
+        tid = dedup.doc_token_ids(docs)  # enters corpus A's key
+        b1.wait()  # let thread B enter corpus B's key now
+        b2.wait()
+        # pre-fix: _memo() here resolves to B's slot -> B's cached pair
+        out["a"] = dedup._near_duplicates_from_tid(tid, 0.5, "doc_id").collect()
+
+    def thread_b():
+        b1.wait()
+        docs = spark.read.parquet(pb_path)
+        dedup.doc_token_ids(docs)  # enters corpus B's key (global-key poison)
+        b2.wait()
+
+    ta, tb = threading.Thread(target=thread_a), threading.Thread(target=thread_b)
+    ta.start(); tb.start(); ta.join(); tb.join()
+    assert out["a"] == [], "thread A served corpus B's cached near-dup pair"
