@@ -938,11 +938,12 @@ def _bpe_merge_fold(syms, a: str, b: str):
     return F.filter(folded, lambda y: y != "")
 
 
-def _bpe_oracle_sql(rounds: int) -> str:
-    """Unrolled materialized-CTE twin of the BPE training loop: each
-    round recomputes pair counts, picks the same lexicographically
-    tie-broken top pair, and re-folds every word with ``list_reduce``
-    (same sentinel trick as the Spark side)."""
+def _bpe_oracle_parts(rounds: int) -> list[str]:
+    """Unrolled materialized CTEs w0..w{rounds} of the BPE training
+    loop: each round recomputes pair counts, picks the same
+    lexicographically tie-broken top pair, and re-folds every word
+    with ``list_reduce`` (same sentinel trick as the Spark side).
+    Shared by the training oracle and the encode-apply oracle."""
     parts = [
         """w0 AS MATERIALIZED (
   SELECT string_split(tok, '') AS s
@@ -975,11 +976,15 @@ w{r} AS MATERIALIZED (
   FROM w{r - 1}, t{r} t
 )"""
         )
+    return parts
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {r} AS round, a AS sym_a, b AS sym_b, m AS merged, freq FROM t{r}"
         for r in range(1, rounds + 1)
     )
-    return "WITH " + ",\n".join(parts) + "\n" + union
+    return "WITH " + ",\n".join(_bpe_oracle_parts(rounds)) + "\n" + union
 
 
 def bpe_train(
@@ -1151,6 +1156,87 @@ def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = bpe_train(spark, load_table(spark, sf_dir, "documents"), _BPE_ROUNDS)
     return spark.createDataFrame(
         rules, "round int, sym_a string, sym_b string, merged string, freq bigint"
+    )
+
+
+_BPE_ENCODE_ORACLE = (
+    "WITH "
+    + ",\n".join(_bpe_oracle_parts(_BPE_ROUNDS))
+    + f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(s)) AS BIGINT) AS n_symbols,
+       CAST(SUM(list_sum(list_transform(s, x -> LENGTH(x)))) AS BIGINT) AS n_chars,
+       CAST((SELECT COUNT(DISTINCT x)
+             FROM (SELECT unnest(s) AS x FROM w{_BPE_ROUNDS})) AS BIGINT)
+         AS distinct_symbols,
+       ROUND(SUM(list_sum(list_transform(s, x -> LENGTH(x)))) * 1.0 / SUM(len(s)), 6)
+         AS compression
+FROM w{_BPE_ROUNDS}
+"""
+)
+
+
+@register(
+    "bpe_encode_apply",
+    survey_ref="M5:text,§2.6",
+    oracle=_BPE_ENCODE_ORACLE,
+)
+def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the pipeline step AFTER training
+    (new r10): learn the merge table with ``bpe_train``, then ENCODE
+    the corpus by applying every adopted merge in rank order, and
+    report the numbers a data pipeline sizes itself by: word/symbol/
+    char totals, post-encode symbol vocabulary, and the chars-per-
+    symbol compression ratio (the quantity tokenizer training
+    optimizes).
+
+    Scale shape: the encode reuses the weighted distinct-word
+    representation (one token-scale groupBy; every fold pass is
+    vocabulary-scale), and the R merges apply as R chained JVM array
+    folds in a single projection — each fold references its input
+    exactly once, so Catalyst's CollapseProject keeps it one linear
+    pass with no expression recompute. The final accounting is one
+    map-side-combinable aggregate plus one distinct over the exploded
+    symbol vocabulary (output-bounded). The learned rules ride the
+    driver as R 3-string values (kmeans-centroid license). The DuckDB
+    twin re-learns the table from scratch (unrolled CTEs) and encodes
+    the raw token multiset — proving weighted-vocab encode ==
+    multiset encode."""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = bpe_train(spark, docs, _BPE_ROUNDS)
+
+    words = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select(
+            F.filter(F.split(F.col("tok"), ""), lambda c: c != "").alias("s"),
+            "w",
+        )
+    )
+    enc = words
+    for _, a, b, _m, _f in rules:
+        enc = enc.select(_bpe_merge_fold(F.col("s"), a, b).alias("s"), "w")
+    enc = enc.localCheckpoint(eager=True)  # two consumers below
+
+    n_chars = F.aggregate(
+        F.col("s"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    stats = enc.agg(
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum(F.size("s") * F.col("w")).cast("long").alias("n_symbols"),
+        F.sum(n_chars * F.col("w")).cast("long").alias("n_chars"),
+    )
+    dsym = enc.select(F.explode("s").alias("x")).agg(
+        F.countDistinct("x").cast("long").alias("distinct_symbols")
+    )
+    return stats.crossJoin(F.broadcast(dsym)).select(
+        "n_words",
+        "n_symbols",
+        "n_chars",
+        "distinct_symbols",
+        F.round(F.col("n_chars") * 1.0 / F.col("n_symbols"), 6).alias("compression"),
     )
 
 
