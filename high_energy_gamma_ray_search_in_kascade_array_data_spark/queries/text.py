@@ -987,8 +987,36 @@ def _bpe_oracle_sql(rounds: int) -> str:
     return "WITH " + ",\n".join(_bpe_oracle_parts(rounds)) + "\n" + union
 
 
+def _bpe_words(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """Weighted distinct-word table (symbol array, weight) — the ONE
+    token-scale pass of the BPE family; eagerly checkpointed so both
+    the trainer and the encoder read the materialized vocab."""
+    dp = spark.sparkContext.defaultParallelism
+    return (
+        # fixture documents arrive as one parquet file = one scan
+        # task; spread the token-scale explode across cores first (a
+        # real corpus is already multi-split, making this a no-op)
+        docs.repartition(dp)
+        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .filter(F.length("tok") >= 2)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        # Spark's split('', -1) keeps a trailing empty string where
+        # DuckDB's string_split does not — filter to the real chars.
+        .select(
+            F.filter(F.split(F.col("tok"), ""), lambda c: c != "").alias("s"),
+            "w",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def bpe_train(
-    spark: SparkSession, docs: DataFrame, rounds: int, on_round=None
+    spark: SparkSession,
+    docs: DataFrame,
+    rounds: int,
+    on_round=None,
+    words: DataFrame | None = None,
 ) -> list[tuple[int, str, str, str, int]]:
     """Distributed BPE merge-training loop over a documents frame.
 
@@ -1032,24 +1060,8 @@ def bpe_train(
     per-round marginal cost at rounds=50 (BPE_CURVE.md)."""
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.analytics_ext import _loop_shuffle
 
-    dp = spark.sparkContext.defaultParallelism
-    words = (
-        # fixture documents arrive as one parquet file = one scan
-        # task; spread the token-scale explode across cores first (a
-        # real corpus is already multi-split, making this a no-op)
-        docs.repartition(dp)
-        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
-        .filter(F.length("tok") >= 2)
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("w"))
-        # Spark's split('', -1) keeps a trailing empty string where
-        # DuckDB's string_split does not — filter to the real chars.
-        .select(
-            F.filter(F.split(F.col("tok"), ""), lambda c: c != "").alias("s"),
-            "w",
-        )
-        .localCheckpoint(eager=True)
-    )
+    if words is None:
+        words = _bpe_words(spark, docs)
 
     def pair_structs(s):
         return F.zip_with(
@@ -1203,18 +1215,8 @@ def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the raw token multiset — proving weighted-vocab encode ==
     multiset encode."""
     docs = load_table(spark, sf_dir, "documents")
-    rules = bpe_train(spark, docs, _BPE_ROUNDS)
-
-    words = (
-        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
-        .filter(F.length("tok") >= 2)
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .select(
-            F.filter(F.split(F.col("tok"), ""), lambda c: c != "").alias("s"),
-            "w",
-        )
-    )
+    words = _bpe_words(spark, docs)
+    rules = bpe_train(spark, docs, _BPE_ROUNDS, words=words)
     enc = words
     for _, a, b, _m, _f in rules:
         enc = enc.select(_bpe_merge_fold(F.col("s"), a, b).alias("s"), "w")

@@ -664,7 +664,7 @@ def test_dedup_cache_invocation_keyed(spark, tmp_path):
     dedup.release_caches()
     out1 = sorted(map(tuple, dedup.minhash_near_duplicates(ra).select("doc_a", "doc_b").collect()))
     assert out1  # the 5 planted dups must pair up
-    key_a = dedup._MEMO_KEY
+    key_a = dedup._cur_key()
     assert key_a is not None and "verified" in dedup._SLOTS[key_a]["memo"]
     n_frames = len(dedup._SLOTS[key_a]["frames"])
 
@@ -673,7 +673,7 @@ def test_dedup_cache_invocation_keyed(spark, tmp_path):
     ra2 = spark.read.parquet(f"{sf_a}/documents.parquet")
     out2 = sorted(map(tuple, dedup.minhash_near_duplicates(ra2).select("doc_a", "doc_b").collect()))
     assert out2 == out1
-    assert dedup._MEMO_KEY == key_a
+    assert dedup._cur_key() == key_a
     assert len(dedup._SLOTS[key_a]["frames"]) == n_frames
 
     # the fast variant of the same corpus gets its OWN slot; the dict
@@ -690,7 +690,7 @@ def test_dedup_cache_invocation_keyed(spark, tmp_path):
     # in-memory frame: no memoization (full flush), no stale reuse
     mem = spark.createDataFrame(docs_a, "doc_id long, text string")
     out4 = sorted(map(tuple, dedup.minhash_near_duplicates(mem).select("doc_a", "doc_b").collect()))
-    assert dedup._MEMO_KEY is None
+    assert dedup._cur_key() is None
     assert out4 == out1
     dedup.release_caches()
     assert not dedup._SLOTS
@@ -716,7 +716,7 @@ def test_dedup_cache_invalidated_on_rewrite(spark, tmp_path):
     r1 = spark.read.parquet(f"{path}/documents.parquet")
     out1 = sorted(map(tuple, dedup.minhash_near_duplicates(r1).select("doc_a", "doc_b").collect()))
     assert out1  # the planted dups (plus shared-boilerplate pairs) must pair up
-    key1 = dedup._MEMO_KEY
+    key1 = dedup._cur_key()
     assert key1 is not None
 
     # rewrite the SAME path with a no-dup corpus, reproducing a stable
@@ -741,7 +741,7 @@ def test_dedup_cache_invalidated_on_rewrite(spark, tmp_path):
     # the rewritten corpus has zero near-dups; a stale memo hit would
     # have returned out1's 4 pairs
     assert out2 == []
-    assert dedup._MEMO_KEY != key1
+    assert dedup._cur_key() != key1
     dedup.release_caches()
 
 
