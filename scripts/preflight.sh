@@ -43,7 +43,7 @@ done
 # FAMILY_CHECK_r0N.txt evidence stays current (VERDICT r6 task 7).
 ROUND="${SPARK_GRAFT_ROUND:-}"
 if [ -n "${ROUND}" ]; then
-  out="FAMILY_CHECK_r0${ROUND}.txt"
+  out="FAMILY_CHECK_r$(printf %02d "${ROUND}").txt"
   echo "== preflight: family check -> ${out} =="
   {
     echo "# Per-family oracle exact-hash check (refreshed by preflight, round ${ROUND})"
