@@ -992,12 +992,19 @@ def _bpe_words(spark: SparkSession, docs: DataFrame) -> DataFrame:
     token-scale pass of the BPE family; eagerly checkpointed so both
     the trainer and the encoder read the materialized vocab."""
     dp = spark.sparkContext.defaultParallelism
+    # fixture documents arrive as one parquet file = one scan task, so
+    # spread the token-scale explode across cores first — but ONLY
+    # when the scan has fewer splits than cores: an unconditional
+    # repartition would exchange the raw corpus (the most expensive
+    # shuffle a 100 TB pipeline could buy — there splits >> cores and
+    # this branch never fires), while at fixture/medium scale the
+    # raw-byte exchange is cheap relative to the ~3x explode speedup
+    # it buys (measured at the 1000x probe: 25.4 s starved on 10
+    # splits vs 9.4 s spread).
+    if docs.rdd.getNumPartitions() < dp:
+        docs = docs.repartition(dp)
     return (
-        # fixture documents arrive as one parquet file = one scan
-        # task; spread the token-scale explode across cores first (a
-        # real corpus is already multi-split, making this a no-op)
-        docs.repartition(dp)
-        .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .filter(F.length("tok") >= 2)
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("w"))
