@@ -53,7 +53,9 @@ def doc_tokens(
     # single-file fixture scans arrive as ONE input split; the explode
     # below multiplies rows ~100×, so spread the scan first (a real
     # cluster's scan is already split — this is a no-op there)
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import spread_scan
+
+    docs = spread_scan(docs)
     if shingle <= 1:
         return (
             docs.select(id_col, F.explode(F.split(F.col(text_col), " ")).alias("tok"))

@@ -74,14 +74,12 @@ def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     unhex inside whole-stage codegen) — no Python stage. That mirrors
     production, where media bytes arrive from storage, and keeps the
     decode kernels downstream as the pipeline's only Python seam."""
-    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table, spread_scan
 
     # spread the single-file scan before the downstream Python stages
     # so the decode kernels run on every core, not one input split
     ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        spread_scan(load_table(spark, sf_dir, "events").select("event_id"))
     )
     payload = F.unhex(
         F.array_join(
@@ -185,13 +183,11 @@ def synth_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod 256 — the same formula as the fake payload, so the decode
     oracle is pure event_id arithmetic while Spark ships and parses
     genuine BMP containers."""
-    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table, spread_scan
 
     side = 8
     ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        spread_scan(load_table(spark, sf_dir, "events").select("event_id"))
     )
     # file byte j (row-major bottom-up) = image index i = (7 - j div 8)·8 + j mod 8
     pix_hex = F.array_join(
@@ -238,12 +234,10 @@ def synth_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     the downstream DECODE still parses every row's container for real,
     which is the operation under test."""
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.jpeg import fixture_jpeg
-    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table, spread_scan
 
     ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        spread_scan(load_table(spark, sf_dir, "events").select("event_id"))
     )
 
     def attach(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -709,12 +703,10 @@ def synth_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     two's-complement samples, all inside whole-stage codegen.  Sample
     i of event e is ((e·13 + i·29) mod 2048) − 1024 ∈ [−1024, 1023] —
     pure integer arithmetic, so the decode oracle needs no audio lib."""
-    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table, spread_scan
 
     ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        spread_scan(load_table(spark, sf_dir, "events").select("event_id"))
     )
 
     def sample_hex(i):  # 16-bit LE two's complement as 4 hex chars

@@ -22,7 +22,7 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.common imp
     shower_frame,
 )
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
-from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table, spread_scan
 
 
 # ---------------------------------------------------------------- flagship
@@ -403,9 +403,7 @@ def q_rotate_grid_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     what this implementation does. The single-file fixture arrives as
     ONE input split — spread it across cores first (SCALE.md)."""
     ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        spread_scan(load_table(spark, sf_dir, "events").select("event_id"))
     )
     # rotated[m] = old[rot(m)] with old[q] = (event_id·(q+7)) mod 100,
     # rot(m) = (15 − m%16)·16 + m div 16 — remap composed index-side,
@@ -461,9 +459,7 @@ def q_rotate_grid_wide_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series((a % 100 * pos).sum(axis=1))
 
     ev = (
-        load_table(spark, sf_dir, "events")
-        .select("event_id")
-        .repartition(spark.sparkContext.defaultParallelism)
+        spread_scan(load_table(spark, sf_dir, "events").select("event_id"))
     )
     return ev.select("event_id", checksum(F.col("event_id")).alias("checksum"))
 

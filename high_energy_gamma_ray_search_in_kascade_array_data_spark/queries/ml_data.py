@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
-from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table, spread_scan
 
 # Deterministic per-USER draw (vs common.RND_SQL's per-event draw):
 # split assignment must be a function of the group key alone so every
@@ -200,9 +200,7 @@ def q_feature_hashing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/dedup.py``).  The hash is plain integer column algebra
     over the first 8 code points (no JVM-hash dependence, so Spark and
     DuckDB agree bit-for-bit), one explode + one partial aggregate."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs = spread_scan(load_table(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok")).filter(
         F.length("tok") > 0
     )

@@ -15,7 +15,7 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import m
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.common import SHOWER_CTE, rnd_col, shower_frame
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources import sink
-from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table, spread_scan
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
@@ -281,7 +281,7 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(8).alias("width"),
             F.lit(8).alias("height"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_scan)
     )
     return multimodal.decode_media(media, codec="real")
 
@@ -831,7 +831,7 @@ def q_multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(8).alias("width"),
             F.lit(8).alias("height"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_scan)
     )
     return multimodal.decode_media(media, codec="real")
 
@@ -905,7 +905,7 @@ def q_multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFra
             F.lit(8).alias("width"),
             F.lit(8).alias("height"),
         )
-        .repartition(spark.sparkContext.defaultParallelism)
+        .transform(spread_scan)
     )
     return multimodal.video_frame_features(media, every=2)
 

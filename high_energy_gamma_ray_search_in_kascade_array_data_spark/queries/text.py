@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
-from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table, spread_scan
 
 
 def _vec_as_double(col):
@@ -277,7 +277,7 @@ def q_ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slower), and repartition the single-file scan so the shingle
     # transform parallelizes.
     tok = (
-        d.repartition(spark.sparkContext.defaultParallelism)
+        spread_scan(d)
         .select("doc_id", F.split(F.col("text"), " ").alias("t"))
         .filter(F.size("t") >= 3)
     )
@@ -1001,8 +1001,7 @@ def _bpe_words(spark: SparkSession, docs: DataFrame) -> DataFrame:
     # raw-byte exchange is cheap relative to the ~3x explode speedup
     # it buys (measured at the 1000x probe: 25.4 s starved on 10
     # splits vs 9.4 s spread).
-    if docs.rdd.getNumPartitions() < dp:
-        docs = docs.repartition(dp)
+    docs = spread_scan(docs)
     return (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .filter(F.length("tok") >= 2)
