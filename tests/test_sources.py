@@ -437,3 +437,23 @@ def test_stdlib_gif_animation_roundtrip():
         assert "partial-frame" in str(e)
     else:
         raise AssertionError("expected ValueError for partial-frame GIF")
+
+
+def test_spread_scan_is_conditional(spark, sf_dir):
+    """spread_scan (r10) must repartition ONLY a starved scan: a
+    single-split fixture frame spreads to defaultParallelism, while a
+    frame already at >= defaultParallelism partitions passes through
+    UNTOUCHED (no exchange node added) — the guard that keeps the
+    fixture-spread pattern from ever exchanging a multi-split 100 TB
+    corpus."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table, spread_scan
+
+    dp = spark.sparkContext.defaultParallelism
+    starved = load_table(spark, sf_dir, "events").select("event_id")
+    assert starved.rdd.getNumPartitions() < dp  # single-file fixture
+    spread = spread_scan(starved)
+    assert spread.rdd.getNumPartitions() == dp
+
+    wide = starved.repartition(dp)  # already multi-split
+    same = spread_scan(wide)
+    assert same is wide  # identity — no plan change, no exchange added
