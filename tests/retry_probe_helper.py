@@ -57,7 +57,17 @@ def main() -> None:
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
 
     reg = corpus()
-    probes = ["stratified_split", "corpus_mix_sample"]
+    # stratified_split / corpus_mix_sample: the VERDICT r9 pair (seeded
+    # draws). window_topk_per_group: rank-based selection (ties broken
+    # deterministically) recomputed mid-shuffle. minhash_lsh_neardup_fast:
+    # the memoized pipeline — persisted frames + invocation memo must
+    # survive a task retry without serving partial state.
+    probes = [
+        "stratified_split",
+        "corpus_mix_sample",
+        "window_topk_per_group",
+        "minhash_lsh_neardup_fast",
+    ]
     real_load = common.load_table
 
     def flaky_load(spark, sf_dir, table):

@@ -770,5 +770,10 @@ def test_batch_retry_recompute_determinism(sf_dir, tmp_path):
         capture_output=True, text=True, timeout=420, env=env,
     )
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr[-2000:]}"
-    assert "ok stratified_split" in r.stdout
-    assert "ok corpus_mix_sample" in r.stdout
+    for probe in (
+        "stratified_split",
+        "corpus_mix_sample",
+        "window_topk_per_group",
+        "minhash_lsh_neardup_fast",
+    ):
+        assert f"ok {probe}" in r.stdout
