@@ -991,7 +991,6 @@ def _bpe_words(spark: SparkSession, docs: DataFrame) -> DataFrame:
     """Weighted distinct-word table (symbol array, weight) — the ONE
     token-scale pass of the BPE family; eagerly checkpointed so both
     the trainer and the encoder read the materialized vocab."""
-    dp = spark.sparkContext.defaultParallelism
     # fixture documents arrive as one parquet file = one scan task, so
     # spread the token-scale explode across cores first — but ONLY
     # when the scan has fewer splits than cores: an unconditional

@@ -64,7 +64,14 @@ def spread_scan(df: DataFrame) -> DataFrame:
     — the conditional is what keeps the pattern from ever exchanging
     a 100 TB corpus (r10; measured both ways at the 1000x BPE probe:
     starved 25.4 s, spread 9.4 s, and the exchange itself is cheap at
-    the scales where the branch fires)."""
+    the scales where the branch fires).
+
+    Streaming frames pass through untouched: micro-batch parallelism
+    is the source's concern (maxFilesPerTrigger / partitions), and
+    ``df.rdd`` would raise AnalysisException at plan time on a
+    streaming DataFrame."""
+    if df.isStreaming:
+        return df
     dp = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < dp:
         return df.repartition(dp)

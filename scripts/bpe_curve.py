@@ -29,6 +29,11 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import co
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    # the early window is walls[1:10] and the late window walls[-10:];
+    # below 20 rounds they overlap (flatness ratio meaningless) and at
+    # rounds <= 2 the early mean divides by zero (ADVICE r10)
+    if rounds < 20:
+        sys.exit(f"rounds must be >= 20 for disjoint early/late windows (got {rounds})")
 
     spark = get_spark()
     t0 = time.time()

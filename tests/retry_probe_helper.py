@@ -53,7 +53,15 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import common, kascade, text
+    import os
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import (
+        common,
+        dedup,
+        kascade,
+        relational,
+        text,
+    )
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
 
     reg = corpus()
@@ -68,36 +76,49 @@ def main() -> None:
         "window_topk_per_group",
         "minhash_lsh_neardup_fast",
     ]
+    # Every query module binds load_table via `from ...catalog import
+    # load_table`, so each binding must be patched in ITS OWN namespace
+    # — patching only common/kascade/text left window_topk_per_group
+    # (relational) and minhash_lsh_neardup_fast (dedup) fault-free and
+    # their "ok" lines vacuous (ADVICE r10).
+    patch_modules = [common, kascade, text, relational, dedup]
     real_load = common.load_table
 
     def flaky_load(spark, sf_dir, table):
         return flaky_identity(real_load(spark, sf_dir, table), marker)
 
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators import dedup as dedup_ops
+
     failures = []
     for name in probes:
         fn = reg[name].fn
+        # flush the dedup invocation memo so the injected run COMPUTES
+        # (a memo hit from the clean run would skip the wrapped scan and
+        # the fault would never fire — the vacuous case this probe now
+        # rejects per-query). The fault therefore fires mid-memo-
+        # population, the scenario a real executor loss hits.
+        dedup_ops.release_caches()
         clean = rows_key(fn(spark, sf_dir))
-        # inject: every module-level load_table these queries reach
-        common.load_table = flaky_load
-        kascade.load_table = flaky_load
-        text.load_table = flaky_load
+        dedup_ops.release_caches()
+        # per-query vacuous-green guard: truncate the marker, require the
+        # fault to have fired for THIS query before its "ok" counts
+        open(marker, "w").close()
+        for mod in patch_modules:
+            mod.load_table = flaky_load
         try:
             injected = rows_key(fn(spark, sf_dir))
         finally:
-            common.load_table = real_load
-            kascade.load_table = real_load
-            text.load_table = real_load
-        if clean != injected:
+            for mod in patch_modules:
+                mod.load_table = real_load
+        if not open(marker).read():
+            failures.append(name)
+            print(f"VACUOUS {name}: the injected fault never fired for this query")
+        elif clean != injected:
             failures.append(name)
             print(f"MISMATCH {name}: clean={clean[:3]} injected={injected[:3]}")
         else:
             print(f"ok {name}: {len(clean)} rows identical after injected retry")
 
-    import os
-
-    if not os.path.exists(marker) or not open(marker).read():
-        print("VACUOUS: the injected fault never fired")
-        sys.exit(2)
     if failures:
         sys.exit(1)
 
