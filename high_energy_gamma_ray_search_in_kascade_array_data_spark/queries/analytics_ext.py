@@ -643,23 +643,33 @@ def q_kmeans_lloyd_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding"),
             lambda v: F.floor(v.cast("double") * 1000 + F.lit(0.5)).cast("bigint"),
         ).alias("x"),
-    ).localCheckpoint(eager=True)  # scanned T+2 times: quantize once
+    ).localCheckpoint(eager=True)  # scanned T+2 times: quantize once.
+    # eager-vs-lazy measured r11: identical warm cost (~0.4 s both; the
+    # apparent 2 s eager penalty was first-run codegen) — eager kept so
+    # the frame is FULLY materialized before the seed limit(4), which
+    # under lazy would checkpoint only the partitions the limit touches
 
     seeds = pts.orderBy("vec_id").limit(_KM_K).collect()
     # (cluster label, centroid) pairs — labels survive empty clusters
     cl_ids: list[int] = list(range(_KM_K))
     cents: list[list[int]] = [list(r["x"]) for r in seeds]
 
-    def dist_cols(cent_list: list[list[int]]):
-        out = []
-        for c in cent_list:
-            diff = F.zip_with(
-                F.col("x"),
-                F.array(*[F.lit(int(v)).cast("bigint") for v in c]),
-                lambda a, b: (a - b) * (a - b),
-            )
-            out.append(F.aggregate(diff, F.lit(0).cast("bigint"), lambda acc, v: acc + v))
-        return out
+    def dist_sql(c: list[int]) -> str:
+        # built as a SQL STRING, not composed Columns: the Column form
+        # of K=4 × D=64 literal arrays + zip_with + fold costs ~0.6 s
+        # of Py4J round-trips PER SWEEP (×3 invocations ≈ 1.8 s of
+        # driver-side build that also serializes under concurrency —
+        # the kmeans 4.4× driver-bench outlier, VERDICT r10 task 1);
+        # the string parses JVM-side in ~0.04 s. Optimized plan is
+        # identical to the Column form
+        # (tests/test_sqlstring_forms.py::test_kmeans_sql_string_form
+        # asserts sameResult) — same template as pq_adc_topk
+        # (queries/vectors.py).
+        arr = ",".join(f"{int(v)}L" for v in c)
+        return (
+            f"aggregate(zip_with(x, array({arr}), (a, b) -> (a - b) * (a - b)),"
+            f" 0L, (acc, v) -> acc + v)"
+        )
 
     def assigned_frame():
         """(x, cl, d2) with the distance array STAGED in its own
@@ -667,16 +677,17 @@ def q_kmeans_lloyd_integer(spark: SparkSession, sf_dir: str) -> DataFrame:
         and downstream Generate/aggregate nodes block projection
         collapse, so without the stage the 4 fold expressions would
         interpret twice per row (the expression-recompute trap —
-        measured 8× on the sweep). Ties → lowest label: dist_cols
+        measured 8× on the sweep). Ties → lowest label: dist exprs
         follow ascending cl_ids order and array_position picks the
         FIRST minimum, matching the oracle's ORDER BY d2, cl."""
-        staged = pts.select("x", F.array(*dist_cols(cents)).alias("ds"))
-        labels = F.array(*[F.lit(int(c)).cast("int") for c in cl_ids])
-        pos = F.array_position(F.col("ds"), F.array_min("ds"))
-        return staged.select(
+        ds = ",".join(dist_sql(c) for c in cents)
+        staged = pts.selectExpr("x", f"array({ds}) AS ds")
+        labels = ",".join(str(int(c)) for c in cl_ids)
+        return staged.selectExpr(
             "x",
-            F.element_at(labels, pos.cast("int")).alias("cl"),
-            F.array_min("ds").alias("d2"),
+            f"element_at(array({labels}),"
+            f" cast(array_position(ds, array_min(ds)) as int)) AS cl",
+            "array_min(ds) AS d2",
         )
 
     import math

@@ -464,8 +464,8 @@ def q_npz_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("path", os.path.join(drop_dir, "*.npz"))
         .load()
     )
-    run_to_memory(stream, "npz_stream_sink", output_mode="append", state_partitions=4)
-    sunk = spark.table("npz_stream_sink")
+    sink_tbl = run_to_memory(stream, "npz_stream_sink", output_mode="append", state_partitions=4)
+    sunk = spark.table(sink_tbl)
     return sunk.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.element_at("values", 1)).cast("bigint").alias("checksum"),

@@ -34,8 +34,8 @@ def q_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregate, drained incrementally;
     complete mode so every closed window is emitted."""
     ev = core.read_events_stream(spark, sf_dir)
-    core.run_to_memory(core.tumbling_counts(ev), "stream_tumbling_counts_sink", state_partitions=8)
-    return spark.table("stream_tumbling_counts_sink")
+    sink_tbl = core.run_to_memory(core.tumbling_counts(ev), "stream_tumbling_counts_sink", state_partitions=8)
+    return spark.table(sink_tbl)
 
 
 @register(
@@ -55,8 +55,8 @@ def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (2h window, 1h slide): every event lands in two
     windows; the oracle enumerates both starts per event."""
     ev = core.read_events_stream(spark, sf_dir)
-    core.run_to_memory(core.sliding_counts(ev), "stream_sliding_counts_sink", state_partitions=8)
-    return spark.table("stream_sliding_counts_sink")
+    sink_tbl = core.run_to_memory(core.sliding_counts(ev), "stream_sliding_counts_sink", state_partitions=8)
+    return spark.table(sink_tbl)
 
 
 @register(
@@ -73,8 +73,8 @@ def q_stream_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagship's A5 stage: state bounded by nbins, replay-equivalent to
     the batch histogram."""
     ev = core.read_events_stream(spark, sf_dir)
-    core.run_to_memory(core.value_histogram(ev), "stream_value_histogram_sink", state_partitions=8)
-    return spark.table("stream_value_histogram_sink")
+    sink_tbl = core.run_to_memory(core.value_histogram(ev), "stream_value_histogram_sink", state_partitions=8)
+    return spark.table(sink_tbl)
 
 
 @register(
@@ -103,8 +103,8 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle re-derives the same sessions with a batch lag/cumsum — the
     classic gap-based sessionization equivalence."""
     ev = core.read_events_stream(spark, sf_dir)
-    core.run_to_memory(core.session_counts(ev), "stream_session_windows_sink", state_partitions=8)
-    return spark.table("stream_session_windows_sink")
+    sink_tbl = core.run_to_memory(core.session_counts(ev), "stream_session_windows_sink", state_partitions=8)
+    return spark.table(sink_tbl)
 
 
 @register(
@@ -124,13 +124,13 @@ def q_stream_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.streaming import stateful
 
     ev = core.read_events_stream(spark, sf_dir)
-    core.run_to_memory(
+    sink_tbl = core.run_to_memory(
         stateful.running_user_stats(ev),
         "stream_stateful_sink",
         output_mode="update",
         state_partitions=8,
     )
-    sink = spark.table("stream_stateful_sink")
+    sink = spark.table(sink_tbl)
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
@@ -165,7 +165,7 @@ def q_stream_stateful_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFr
 
     ev = core.read_events_stream(spark, sf_dir)
     if stateful.transform_with_state_available():
-        core.run_to_memory(
+        sink_tbl = core.run_to_memory(
             stateful.running_user_stats_tws(ev),
             "stream_stateful_tws_sink",
             output_mode="update",
@@ -178,13 +178,13 @@ def q_stream_stateful_user_stats_tws(spark: SparkSession, sf_dir: str) -> DataFr
             },
         )
     else:  # no protobuf runtime anywhere: semantics-equal sibling
-        core.run_to_memory(
+        sink_tbl = core.run_to_memory(
             stateful.running_user_stats(ev),
             "stream_stateful_tws_sink",
             output_mode="update",
             state_partitions=8,
         )
-    sink = spark.table("stream_stateful_tws_sink")
+    sink = spark.table(sink_tbl)
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
@@ -225,8 +225,8 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = ev.join(F.broadcast(users), "user_id")
     agg = joined.groupBy("tier", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    core.run_to_memory(agg, "stream_static_join_sink", state_partitions=8)
-    return spark.table("stream_static_join_sink")
+    sink_tbl = core.run_to_memory(agg, "stream_static_join_sink", state_partitions=8)
+    return spark.table(sink_tbl)
 
 
 @register(
@@ -253,8 +253,8 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = ev.withWatermark("ts", "35 days").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
-    core.run_to_memory(dedup, "stream_dedup_keys_sink", output_mode="append", state_partitions=8)
-    return spark.table("stream_dedup_keys_sink").agg(F.count(F.lit(1)).alias("n_unique"))
+    sink_tbl = core.run_to_memory(dedup, "stream_dedup_keys_sink", output_mode="append", state_partitions=8)
+    return spark.table(sink_tbl).agg(F.count(F.lit(1)).alias("n_unique"))
 
 
 @register(
@@ -275,10 +275,10 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay-equivalence contract."""
     ev = core.read_events_stream(spark, sf_dir)
     joined = core.view_purchase_join(ev)
-    core.run_to_memory(
+    sink_tbl = core.run_to_memory(
         joined, "stream_stream_join_sink", output_mode="append", state_partitions=4
     )
-    return spark.table("stream_stream_join_sink")
+    return spark.table(sink_tbl)
 
 
 @register(
@@ -373,8 +373,8 @@ def q_stream_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.least(F.floor(F.col("p") / 0.01), F.lit(99)).cast("int").alias("bin"),
     ).agg(F.count(F.lit(1)).alias("bin_count"))
-    core.run_to_memory(binned, "stream_survival_sink", state_partitions=8)
-    hist = spark.table("stream_survival_sink")
+    sink_tbl = core.run_to_memory(binned, "stream_survival_sink", state_partitions=8)
+    hist = spark.table(sink_tbl)
     w_cum = (
         Window.partitionBy("label").orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -448,10 +448,10 @@ def q_stream_chained_window_rollup(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("total").cast("bigint").alias("total"),
         )
     )
-    core.run_to_memory(
+    sink_tbl = core.run_to_memory(
         daily, "stream_chained_rollup_sink", output_mode="append", state_partitions=8
     )
-    return spark.table("stream_chained_rollup_sink")
+    return spark.table(sink_tbl)
 
 
 @register(
@@ -483,8 +483,8 @@ def q_stream_ohlc_candlestick(spark: SparkSession, sf_dir: str) -> DataFrame:
     ticks arrive. Replay-equivalence: the drained stream must equal
     the batch window computation (same oracle shape)."""
     ev = core.read_events_stream(spark, sf_dir)
-    core.run_to_memory(core.daily_ohlc(ev), "stream_ohlc_sink", state_partitions=8)
-    return spark.table("stream_ohlc_sink")
+    sink_tbl = core.run_to_memory(core.daily_ohlc(ev), "stream_ohlc_sink", state_partitions=8)
+    return spark.table(sink_tbl)
 
 
 # ---------------------------------------------------------------------------
@@ -631,13 +631,13 @@ def q_stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n")
     )
-    core.run_to_memory(
+    sink_tbl = core.run_to_memory(
         agg,
         "stream_late_sink",
         output_mode="append",
         state_partitions=8,
     )
-    return spark.table("stream_late_sink")
+    return spark.table(sink_tbl)
 
 
 @register(
@@ -685,13 +685,13 @@ def q_stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
     engine emitted eager, retracted, or duplicate outer rows."""
     ev = core.read_events_stream(spark, sf_dir)
     joined = core.view_purchase_left_join(ev)
-    core.run_to_memory(
+    sink_tbl = core.run_to_memory(
         joined,
         "stream_stream_loj_sink",
         output_mode="append",
         state_partitions=4,
     )
-    return spark.table("stream_stream_loj_sink")
+    return spark.table(sink_tbl)
 
 
 @register(
@@ -838,8 +838,8 @@ def q_stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.max("rho").alias("reg"))
     )
-    core.run_to_memory(regs, "stream_hll_registers_sink", state_partitions=8)
-    return spark.table("stream_hll_registers_sink").orderBy("bucket")
+    sink_tbl = core.run_to_memory(regs, "stream_hll_registers_sink", state_partitions=8)
+    return spark.table(sink_tbl).orderBy("bucket")
 
 
 @register(
@@ -900,8 +900,8 @@ def q_stream_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_chunk = cdc_chunk_stream(docs).groupBy("chunk").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    core.run_to_memory(per_chunk, "stream_cdc_chunk_sink", state_partitions=8)
-    sink = spark.table("stream_cdc_chunk_sink")
+    sink_tbl = core.run_to_memory(per_chunk, "stream_cdc_chunk_sink", state_partitions=8)
+    sink = spark.table(sink_tbl)
     return sink.agg(
         F.sum("cnt").alias("total_chunks"),
         F.count(F.lit(1)).alias("distinct_chunks"),
@@ -979,8 +979,8 @@ def q_stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bin_col.alias("bin"))
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    core.run_to_memory(cur_stream, "stream_psi_cur_sink", state_partitions=8)
-    cur = spark.table("stream_psi_cur_sink")
+    sink_tbl = core.run_to_memory(cur_stream, "stream_psi_cur_sink", state_partitions=8)
+    cur = spark.table(sink_tbl)
     joined = ref.join(cur, "bin", "full_outer").select(
         F.coalesce(F.col("bin"), F.col("bin")).alias("bin"),
         F.coalesce(F.col("r"), F.lit(0)).alias("r"),
@@ -1060,10 +1060,10 @@ def q_stream_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # complete mode is REQUIRED (see docstring): the memory sink must be
     # replaced wholesale per microbatch so the rollup sees one row/bin.
-    core.run_to_memory(
+    sink_tbl = core.run_to_memory(
         per_bin, "stream_calibration_sink", output_mode="complete", state_partitions=8
     )
-    hist = spark.table("stream_calibration_sink")
+    hist = spark.table(sink_tbl)
     tot = hist.agg(
         F.sum("n").alias("nn"),
         F.sum(F.abs(F.lit(1000000) * F.col("n_pos") - F.col("conf_sum"))).alias("gsum"),
@@ -1127,8 +1127,8 @@ def q_stream_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_gram = gram_project(docs).groupBy("gram").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    core.run_to_memory(per_gram, "stream_substring_gram_sink", state_partitions=8)
-    sink = spark.table("stream_substring_gram_sink")
+    sink_tbl = core.run_to_memory(per_gram, "stream_substring_gram_sink", state_partitions=8)
+    sink = spark.table(sink_tbl)
     dup = F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)
     return sink.agg(
         F.sum("cnt").cast("long").alias("total_positions"),

@@ -21,6 +21,8 @@ State-boundedness notes (the 100 TB concern):
 from __future__ import annotations
 
 import os
+import threading
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -135,6 +137,12 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 # paths never consult it.
 LAST_PROGRESS: dict[str, list] = {}
 
+# Retired sink tables per base name, dropped lazily once more than
+# _SINK_KEEP have accumulated — see run_to_memory.
+_PREV_SINKS: dict[str, list[str]] = {}
+_SINK_KEEP = 8
+_SINK_LOCK = threading.Lock()
+
 
 def run_to_memory(
     stream_df: DataFrame,
@@ -142,10 +150,20 @@ def run_to_memory(
     output_mode: str = "complete",
     state_partitions: int | None = None,
     extra_confs: dict[str, str] | None = None,
-) -> None:
+) -> str:
     """Drain the stream through Trigger.AvailableNow into an in-memory
-    table ``name`` and stop — the batch-replay harness for tests and
-    the oracle corpus.
+    table and stop — the batch-replay harness for tests and the oracle
+    corpus. Returns the ACTUAL sink table name: ``name`` plus a
+    per-invocation unique suffix, so concurrent invocations of the
+    same query (a multi-tenant driver, the 4-way contention probe)
+    never collide on the memory sink — read the result via
+    ``spark.table(<returned name>)``, never the base name (VERDICT r10
+    task 4: the fixed name was an engine-surface defect masked as a
+    harness limitation). The last ``_SINK_KEEP`` sinks per base name
+    are retained so concurrently-running invocations can still read
+    theirs; older ones are dropped here to bound session memory.
+    ``LAST_PROGRESS`` stays keyed by the base name (most-recent-drain
+    semantics, what the scale probes read).
 
     ``state_partitions`` temporarily pins spark.sql.shuffle.partitions
     for the query's lifetime: a stateful query's state-partition count
@@ -154,6 +172,17 @@ def run_to_memory(
     partitions × 2 join state stores is pure overhead (~25s), while a
     real cluster run sizes it to state volume instead."""
     spark = stream_df.sparkSession
+    sink = f"{name}_{uuid.uuid4().hex[:8]}"
+    with _SINK_LOCK:
+        prev_sinks = _PREV_SINKS.setdefault(name, [])
+        prev_sinks.append(sink)
+        stale = prev_sinks[:-_SINK_KEEP]
+        del prev_sinks[:-_SINK_KEEP]
+    for s in stale:
+        try:
+            spark.catalog.dropTempView(s)
+        except Exception:
+            pass  # already gone / different session
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     prev_extra = {}
     for k, v in (extra_confs or {}).items():
@@ -167,7 +196,7 @@ def run_to_memory(
     try:
         q = (
             stream_df.writeStream.format("memory")
-            .queryName(name)
+            .queryName(sink)
             .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
@@ -186,6 +215,7 @@ def run_to_memory(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+    return sink
 
 
 def view_purchase_join(events: DataFrame, horizon: str = "1 hour") -> DataFrame:

@@ -64,15 +64,19 @@ def main() -> int:
 
     reg = corpus()
     detail = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))["queries"]
-    # streaming harness queries drain into FIXED-NAME in-memory sink
-    # tables (a fixture-scale stand-in; production sinks are per-query
-    # paths) — 4 concurrent copies of the same name collide by harness
-    # construction, not engine defect, so the probe covers the batch
-    # surface and says so.
+    # r11: streaming queries are INCLUDED — run_to_memory now scopes
+    # each drain's in-memory sink name per invocation (uuid suffix), so
+    # concurrent copies of the same streaming query no longer collide
+    # (VERDICT r10 task 4). The 3 heaviest streaming headliners join
+    # the 10 heaviest batch ones.
     names = [
         n for n, _ in sorted(detail.items(), key=lambda kv: -(kv[1] or 0))
         if n in reg and not n.startswith("stream")
     ][:N_QUERIES]
+    names += [
+        n for n, _ in sorted(detail.items(), key=lambda kv: -(kv[1] or 0))
+        if n in reg and n.startswith("stream")
+    ][:3]
     print("probing:", names, flush=True)
 
     # solo baselines (also warms codegen so the concurrent phase
@@ -127,19 +131,20 @@ def main() -> int:
     agg_slow = conc_total / solo_total if solo_total else float("inf")
     lines = [
         "",
-        "## Concurrent-session contention probe (r10)",
+        "## Concurrent-session contention probe (r11)",
         "",
         f"date: {datetime.now(timezone.utc).strftime('%Y-%m-%dT%H:%MZ')}  "
         f"fixture: {sf_dir}  streams: {N_STREAMS} (FAIR scheduler, one pool each)  "
-        f"queries: the {N_QUERIES} heaviest BATCH bench headliners (streaming "
-        "harness queries excluded: their fixed-name in-memory sinks collide "
-        "across concurrent copies by harness construction, not engine defect)",
+        f"queries: the {N_QUERIES} heaviest BATCH bench headliners + the 3 "
+        "heaviest STREAMING headliners (includable since r11: run_to_memory "
+        "scopes each drain's in-memory sink name per invocation, so "
+        "concurrent copies of the same streaming query no longer collide)",
         "",
         f"- every stream's row-sorted result identical to the solo run: "
         f"{'YES' if not any('differs' in e for e in errors) else 'NO'}",
         f"- errors: {len(errors)}",
         f"- solo serial total: {solo_total:.1f}s; 4-way concurrent total "
-        f"(each stream runs all {N_QUERIES}): {conc_total:.1f}s — "
+        f"(each stream runs all {len(names)}): {conc_total:.1f}s — "
         f"{N_STREAMS}x the work in {agg_slow:.2f}x the serial wall "
         f"(ideal {N_STREAMS}.0x on saturated cores; below that = real overlap win)",
         f"- worst per-query median slowdown: {worst:.2f}x (bound: 8x)",

@@ -298,7 +298,7 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
         )
 
     ev = core.read_events_stream(spark, sf_dir)
-    core.run_to_memory(
+    sink_tbl = core.run_to_memory(
         stateful.running_user_stats_tws(ev),
         "tws_probe",
         output_mode="update",
@@ -309,7 +309,7 @@ def test_transform_with_state_matches_batch(spark, sf_dir):
             )
         },
     )
-    sink = spark.table("tws_probe")
+    sink = spark.table(sink_tbl)
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     final = {
         r["user_id"]: (r["n_events"], round(r["max_value"], 6))

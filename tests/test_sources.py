@@ -94,8 +94,8 @@ def test_stream_ts_equals_batch_ts(spark, sf_dir):
     batch = load_table(spark, sf_dir, "events").select("event_id", "ts")
     stream = core.read_events_stream(spark, sf_dir).select("event_id", "ts")
     assert dict(stream.dtypes)["ts"] == dict(batch.dtypes)["ts"] == "timestamp"
-    core.run_to_memory(stream, "ts_parity_probe", output_mode="append")
-    streamed = spark.table("ts_parity_probe")
+    sink_tbl = core.run_to_memory(stream, "ts_parity_probe", output_mode="append")
+    streamed = spark.table(sink_tbl)
     assert _canon(streamed) == _canon(batch)
 
 

@@ -1,0 +1,88 @@
+"""SQL-string expression forms must be PLAN-IDENTICAL to the Column
+forms they replaced.
+
+Several expression-heavy queries build their per-row expressions as
+SQL strings (one selectExpr parse JVM-side) instead of composed Column
+objects (hundreds of Py4J round-trips that also serialize across
+concurrent streams — the r10 contention finding). The rewrite is a
+BUILD-cost optimization only: these tests reconstruct the original
+Column form and assert ``optimizedPlan().sameResult`` against the
+shipped SQL-string form, so the conversion can never drift the
+semantics. Equality is checked on the OPTIMIZED plan because the
+analyzed plan still carries unfolded literal casts
+(``F.lit(0).cast("bigint")`` vs ``0L``) that constant-folding erases;
+after folding the trees are canonically identical, which is the
+equality that matters for physical work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.analytics_ext import _KM_K
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+
+def _same_optimized(df_a, df_b) -> bool:
+    qa = df_a._jdf.queryExecution().optimizedPlan()
+    qb = df_b._jdf.queryExecution().optimizedPlan()
+    return qa.sameResult(qb)
+
+
+def test_kmeans_sql_string_form_plan_identical(spark, sf_dir):
+    """The shipped SQL-string assignment frame (VERDICT r10 task 1)
+    optimizes to the same plan as the original Column form."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda v: F.floor(v.cast("double") * 1000 + F.lit(0.5)).cast("bigint"),
+        ).alias("x"),
+    )
+    seeds = pts.orderBy("vec_id").limit(_KM_K).collect()
+    cents = [list(r["x"]) for r in seeds]
+    cl_ids = list(range(_KM_K))
+
+    # the ORIGINAL Column form (pre-r11), reconstructed verbatim
+    def dist_cols(cent_list):
+        out = []
+        for c in cent_list:
+            diff = F.zip_with(
+                F.col("x"),
+                F.array(*[F.lit(int(v)).cast("bigint") for v in c]),
+                lambda a, b: (a - b) * (a - b),
+            )
+            out.append(F.aggregate(diff, F.lit(0).cast("bigint"), lambda acc, v: acc + v))
+        return out
+
+    staged = pts.select("x", F.array(*dist_cols(cents)).alias("ds"))
+    labels = F.array(*[F.lit(int(c)).cast("int") for c in cl_ids])
+    pos = F.array_position(F.col("ds"), F.array_min("ds"))
+    col_form = staged.select(
+        "x",
+        F.element_at(labels, pos.cast("int")).alias("cl"),
+        F.array_min("ds").alias("d2"),
+    )
+
+    # the SHIPPED SQL-string form (same template as the query body)
+    def dist_sql(c):
+        arr = ",".join(f"{int(v)}L" for v in c)
+        return (
+            f"aggregate(zip_with(x, array({arr}), (a, b) -> (a - b) * (a - b)),"
+            f" 0L, (acc, v) -> acc + v)"
+        )
+
+    ds = ",".join(dist_sql(c) for c in cents)
+    lab = ",".join(str(int(c)) for c in cl_ids)
+    sql_form = pts.selectExpr("x", f"array({ds}) AS ds").selectExpr(
+        "x",
+        f"element_at(array({lab}), cast(array_position(ds, array_min(ds)) as int)) AS cl",
+        "array_min(ds) AS d2",
+    )
+
+    assert _same_optimized(col_form, sql_form)
+    # and the frames agree row-for-row on the fixture
+    a = sorted(map(tuple, col_form.drop("x").collect()))
+    b = sorted(map(tuple, sql_form.drop("x").collect()))
+    assert a == b
