@@ -85,6 +85,20 @@ def main() -> int:
     spin_ref = prev.get("calib", {}).get("spin_iters_per_sec")
     norm = (spin_cur / spin_ref) if (spin_cur and spin_ref) else 1.0
 
+    # Adjudication book (scripts/adjudicate_regression.py): a flagged
+    # regression is excusable in --strict mode ONLY when it was re-run
+    # interleaved against the SAME ref and the verdict is noise (or a
+    # hand-written "accepted" with its reason on the record).
+    adj_path = os.path.join(REPO, "BENCH_ADJUDICATION.json")
+    adjudication = json.load(open(adj_path)) if os.path.exists(adj_path) else {}
+    ref_sha = subprocess.run(
+        ["git", "rev-parse", "--short", ref], cwd=REPO, capture_output=True, text=True
+    ).stdout.strip()
+
+    def adjudicated(name: str) -> bool:
+        e = adjudication.get(name)
+        return bool(e) and e.get("ref") == ref_sha and e.get("verdict") in ("noise", "accepted")
+
     qc, qp = cur.get("queries", {}), prev.get("queries", {})
     flagged: list[tuple[str, float, float, float]] = []
     for name in sorted(set(qc) & set(qp)):
@@ -105,14 +119,23 @@ def main() -> int:
     print(f"{'query':40s} {'ref_s':>7s} {'cur_s':>7s} {'norm_ratio':>10s}")
     worst = 0.0
     for name, t_ref, t_cur, ratio in sorted(flagged, key=lambda r: -r[3]):
-        print(f"{name:40s} {t_ref:7.2f} {t_cur:7.2f} {ratio:10.2f}")
+        mark = "  [adjudicated: see BENCH_ADJUDICATION.json]" if adjudicated(name) else ""
+        print(f"{name:40s} {t_ref:7.2f} {t_cur:7.2f} {ratio:10.2f}{mark}")
         worst = max(worst, ratio)
     n_reg = sum(1 for f in flagged if f[3] > 1)
+    unadj = [f[0] for f in flagged if f[3] > 1 and not adjudicated(f[0])]
     print(
         f"bench-regression: {n_reg} regressions / {len(flagged) - n_reg} improvements "
-        f"flagged (>{THRESH}x normalized)"
+        f"flagged (>{THRESH}x normalized); unadjudicated regressions: {unadj or 'none'}"
     )
-    return 1 if (strict and n_reg) else 0
+    if strict and unadj:
+        print(
+            "bench-regression STRICT FAIL: adjudicate with "
+            f"'python scripts/adjudicate_regression.py --ref {ref_sha} {' '.join(unadj)}' "
+            "(3x interleaved solo re-run) or fix the regression"
+        )
+        return 1
+    return 0
 
 
 if __name__ == "__main__":

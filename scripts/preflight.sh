@@ -23,9 +23,15 @@ echo "== preflight: registry-count consistency (README/SCALE/COVERAGE/PLANS) =="
 python scripts/check_counts.py || { echo "PREFLIGHT FAIL: stale corpus count in docs"; exit 1; }
 
 echo "== preflight: calib-normalized bench regressions vs previous BENCH_DETAIL =="
-# advisory (bench noise must not block a snapshot) — the round close
-# cites this table; pass --strict manually to gate on it
-python scripts/check_bench_regression.py || true
+# STRICT since r11 (VERDICT r10 task 6): an unadjudicated >=1.5x
+# normalized per-query regression fails the close. To call one noise it
+# must first survive scripts/adjudicate_regression.py — 3x interleaved
+# solo re-runs vs the ref commit, verdict recorded in
+# BENCH_ADJUDICATION.json (committed, so the evidence ships).
+python scripts/check_bench_regression.py --strict || {
+  echo "PREFLIGHT FAIL: unadjudicated bench regression (see above)"
+  exit 1
+}
 
 echo "== preflight: pytest =="
 python -m pytest tests/ -x -q || { echo "PREFLIGHT FAIL: pytest"; exit 1; }
