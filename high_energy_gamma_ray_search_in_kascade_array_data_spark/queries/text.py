@@ -925,7 +925,14 @@ def _bpe_merge_fold(syms, a: str, b: str):
     empty) so ``element_at(acc, -1)`` is always defined under ANSI
     mode; the sentinel is stripped by the final single-pass filter, so
     the fold expression is referenced exactly once (no expression
-    recompute)."""
+    recompute).
+
+    Column form, kept as the readable reference;
+    ``_bpe_merge_fold_sql`` is the SQL-string twin the hot loops use
+    (r11 build-cost audit: the Column form costs ~0.1 s of Py4J
+    round-trips per rule — ∝ R on the driver — while the string
+    parses JVM-side; plan equality asserted in
+    tests/test_sqlstring_forms.py)."""
     merged = a + b
     folded = F.aggregate(
         syms,
@@ -936,6 +943,45 @@ def _bpe_merge_fold(syms, a: str, b: str):
         ).otherwise(F.concat(acc, F.array(x))),
     )
     return F.filter(folded, lambda y: y != "")
+
+
+def _sql_str(s: str) -> str:
+    """Spark-SQL single-quoted string literal (C-style escaping) — BPE
+    symbols come from corpus text, so quotes/backslashes must survive
+    the SQL-string expression path."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _bpe_merge_fold_sql(col: str, a: str, b: str) -> str:
+    """SQL-string twin of ``_bpe_merge_fold`` (same sentinel fold,
+    parsed JVM-side in one selectExpr instead of ~20 Py4J calls)."""
+    qa, qb, qm = _sql_str(a), _sql_str(b), _sql_str(a + b)
+    # CASE WHEN (not IF): F.when builds CaseWhen, and sameResult does
+    # not canonicalize If↔CaseWhen — CASE keeps the two forms
+    # plan-identical, which the test asserts
+    return (
+        f"filter(aggregate({col}, array(''), (acc, x) -> "
+        f"CASE WHEN element_at(acc, -1) = {qa} AND x = {qb} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({qm})) "
+        f"ELSE concat(acc, array(x)) END), y -> y != '')"
+    )
+
+
+def _pairs_sql(col: str) -> str:
+    """Adjacent-pair structs of a symbol array, as a SQL string."""
+    return (
+        f"zip_with(slice({col}, 1, size({col}) - 1), slice({col}, 2, size({col}) - 1),"
+        f" (p, q) -> named_struct('a', p, 'b', q))"
+    )
+
+
+def _signed_pairs_sql(col: str, neg: bool) -> str:
+    """±w-weighted adjacent pairs (the trainer's delta recount)."""
+    w = "-w" if neg else "w"
+    return (
+        f"transform({_pairs_sql(col)},"
+        f" p -> named_struct('a', p.a, 'b', p.b, 'freq', {w}))"
+    )
 
 
 def _bpe_oracle_parts(rounds: int) -> list[str]:
@@ -1075,16 +1121,6 @@ def bpe_train(
             lambda p, q: F.struct(p.alias("a"), q.alias("b")),
         )
 
-    def signed_pairs(col: str, sign: int):
-        return F.transform(
-            pair_structs(F.col(col)),
-            lambda p: F.struct(
-                p["a"].alias("a"),
-                p["b"].alias("b"),
-                (sign * F.col("w")).alias("freq"),
-            ),
-        )
-
     rules: list[tuple[int, str, str, str, int]] = []
     cur = words
     with _loop_shuffle(spark, 8):
@@ -1105,34 +1141,33 @@ def bpe_train(
             rules.append((r, a, b, a + b, freq))
             if r < rounds:
                 # one tagged vocab pass: fold affected rows, keep the
-                # pre-fold copy beside them for the delta recount
-                has = F.exists(
-                    pair_structs(F.col("s")),
-                    lambda p: (p["a"] == F.lit(a)) & (p["b"] == F.lit(b)),
+                # pre-fold copy beside them for the delta recount. All
+                # per-round expressions are SQL STRINGS (r11 build
+                # audit: the Column forms cost ~0.25 s of Py4J
+                # round-trips PER ROUND — ∝ R on the driver and
+                # serialized under concurrency — while strings parse
+                # JVM-side; results are oracle-exact and the fold is
+                # plan-equal by tests/test_sqlstring_forms.py)
+                has_sql = (
+                    f"exists({_pairs_sql('s')},"
+                    f" p -> p.a = {_sql_str(a)} AND p.b = {_sql_str(b)})"
                 )
                 tagged = (
-                    cur.select("s", "w", has.alias("hit"))
-                    .select(
-                        F.when(
-                            F.col("hit"), _bpe_merge_fold(F.col("s"), a, b)
-                        )
-                        .otherwise(F.col("s"))
-                        .alias("s"),
-                        F.when(F.col("hit"), F.col("s")).alias("s_pre"),
+                    cur.selectExpr("s", "w", f"{has_sql} AS hit")
+                    .selectExpr(
+                        f"IF(hit, {_bpe_merge_fold_sql('s', a, b)}, s) AS s",
+                        "IF(hit, s, NULL) AS s_pre",
                         "w",
                     )
                     .localCheckpoint(eager=True)
                 )
                 delta = (
-                    tagged.filter(F.col("s_pre").isNotNull())
-                    .select(
-                        F.explode(
-                            F.concat(
-                                signed_pairs("s_pre", -1), signed_pairs("s", 1)
-                            )
-                        ).alias("pr")
+                    tagged.filter("s_pre IS NOT NULL")
+                    .selectExpr(
+                        f"explode(concat({_signed_pairs_sql('s_pre', True)},"
+                        f" {_signed_pairs_sql('s', False)})) AS pr"
                     )
-                    .select("pr.a", "pr.b", F.col("pr.freq").alias("freq"))
+                    .selectExpr("pr.a AS a", "pr.b AS b", "pr.freq AS freq")
                 )
                 counts = (
                     counts.unionByName(delta)
@@ -1222,11 +1257,12 @@ def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     words = _bpe_words(spark, docs)
     rules = bpe_train(spark, docs, _BPE_ROUNDS, words=words)
-    enc = words
-    for _, a, b, _m, _f in rules:
-        enc = enc.select(_bpe_merge_fold(F.col("s"), a, b).alias("s"), "w")
-    enc = enc.localCheckpoint(eager=True)  # two consumers below
+    return bpe_encode_stats(words, rules)
 
+
+def _bpe_stats_frame(enc: DataFrame) -> DataFrame:
+    """Corpus accounting over an encoded weighted-word frame (s, w):
+    one map-side-combinable aggregate + one output-bounded distinct."""
     n_chars = F.aggregate(
         F.col("s"), F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
     )
@@ -1245,6 +1281,68 @@ def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_symbols",
         F.round(F.col("n_chars") * 1.0 / F.col("n_symbols"), 6).alias("compression"),
     )
+
+
+def bpe_encode_stats(words: DataFrame, rules: list[tuple]) -> DataFrame:
+    """Fold-form encode: the R merges apply as R chained JVM array
+    folds in a single projection (CollapseProject keeps it one linear
+    pass, each fold referenced exactly once). The reference encoder —
+    oracle-checked at the corpus R=5 — but its expression tree grows
+    ∝ R, so analysis/codegen cost makes it the SMALL-R form; see
+    ``bpe_encode_stats_vec`` and BPE_ENCODE_CURVE.md for the law."""
+    enc = words.select("s", "w")
+    for _, a, b, _m, _f in rules:
+        enc = enc.selectExpr(f"{_bpe_merge_fold_sql('s', a, b)} AS s", "w")
+    enc = enc.localCheckpoint(eager=True)  # two consumers in the stats
+    return _bpe_stats_frame(enc)
+
+
+def bpe_encode_stats_vec(words: DataFrame, rules: list[tuple]) -> DataFrame:
+    """Arrow-vectorized encode for LARGE merge tables (the 30k-rule
+    regime real tokenizers run): one mapInPandas kernel carries the
+    whole rule table as a task constant and applies, per word, the
+    IDENTICAL semantics as the fold form — each rule once, in rank
+    order, one left-to-right non-overlapping pass — with a
+    distinct-symbol pre-filter per (word, rule) so a rule whose parts
+    are absent costs O(1), not a pass (the standard encoder pruning;
+    at R ≫ |word| almost every rule is skipped). Plan cost is O(1) in
+    R: no expression-tree growth, no recompile per rule.
+    Exactness vs the fold form is asserted at every measured R by
+    ``scripts/bpe_encode_curve.py``; the fold form itself is pinned to
+    the DuckDB re-fold twin by the registry oracle."""
+    pairs = [(a, b) for _, a, b, _m, _f in rules]
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_s = []
+            for syms in pdf["s"]:
+                s = list(syms)
+                present = set(s)
+                for a, b in pairs:
+                    if a not in present or b not in present:
+                        continue
+                    res = []
+                    i, n = 0, len(s)
+                    merged_any = False
+                    while i < n:
+                        if i + 1 < n and s[i] == a and s[i + 1] == b:
+                            res.append(a + b)
+                            i += 2
+                            merged_any = True
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    if merged_any:
+                        s = res
+                        present = set(s)
+                out_s.append(s)
+            yield pd.DataFrame({"s": out_s, "w": pdf["w"]})
+
+    enc = words.select("s", "w").mapInPandas(encode_batches, "s array<string>, w long")
+    enc = enc.localCheckpoint(eager=True)  # two consumers in the stats
+    return _bpe_stats_frame(enc)
 
 
 # ------------------------------------------ round-6: pipeline observability

@@ -52,13 +52,29 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     bar = float(sys.argv[2]) if len(sys.argv) > 2 else 0.5
 
-    from pyspark.sql import DataFrame
+    # patch the CLASSIC DataFrame (the concrete class whose methods
+    # instances resolve — pyspark.sql.DataFrame is only the abstract
+    # base in Spark 4, and patching it is a silent no-op), plus
+    # StreamingQuery.awaitTermination so streaming drains count as
+    # execute, not build
+    from pyspark.ml.base import Estimator
+    from pyspark.sql.classic.dataframe import DataFrame
+    from pyspark.sql.readwriter import DataFrameWriter
+    from pyspark.sql.streaming.query import StreamingQuery
 
     from high_energy_gamma_ray_search_in_kascade_array_data_spark import get_spark
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
 
     for m in ("collect", "count", "first", "head", "toPandas", "localCheckpoint"):
         setattr(DataFrame, m, _timed(getattr(DataFrame, m)))
+    # JVM execution that bypasses DataFrame actions: streaming drains,
+    # MLlib fits (Estimator.fit covers Pipeline and every JavaEstimator
+    # subclass — none override it), and writer terminals (sink queries
+    # execute through DataFrameWriter, not collect)
+    StreamingQuery.awaitTermination = _timed(StreamingQuery.awaitTermination)
+    Estimator.fit = _timed(Estimator.fit)
+    for m in ("save", "parquet", "orc", "json", "csv", "text", "saveAsTable", "insertInto"):
+        setattr(DataFrameWriter, m, _timed(getattr(DataFrameWriter, m)))
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -73,11 +89,18 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"SKIP {name}: {type(e).__name__}: {e}", flush=True)
             continue
-        _EXEC["t"] = 0.0
-        t0 = time.monotonic()
-        fn(spark, sf_dir)
-        wall = time.monotonic() - t0
-        execute = _EXEC["t"]
+        # best-of-3: build cost is deterministic work — ambient noise
+        # (GC pauses, box spikes) only ever ADDS, so min is the
+        # estimator (the first, single-sample audit run booked a 7.7s
+        # one-off GC spike to an 11-expression query)
+        wall, execute = float("inf"), 0.0
+        for _ in range(3):
+            _EXEC["t"] = 0.0
+            t0 = time.monotonic()
+            fn(spark, sf_dir)
+            w = time.monotonic() - t0
+            if w < wall:
+                wall, execute = w, _EXEC["t"]
         build = wall - execute
         rows.append((name, wall, execute, build))
         if build > bar:

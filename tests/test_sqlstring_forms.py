@@ -86,3 +86,27 @@ def test_kmeans_sql_string_form_plan_identical(spark, sf_dir):
     a = sorted(map(tuple, col_form.drop("x").collect()))
     b = sorted(map(tuple, sql_form.drop("x").collect()))
     assert a == b
+
+
+def test_bpe_fold_sql_string_plan_identical(spark, sf_dir):
+    """_bpe_merge_fold_sql (the hot-loop form bpe_train/encode use)
+    optimizes to the same plan as the Column reference fold, including
+    for rule symbols carrying SQL-hostile characters."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import text as T
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    words = T._bpe_words(spark, load_table(spark, sf_dir, "documents"))
+    for a, b in [("t", "h"), ("o'x", "b\\q")]:
+        col_form = words.select(T._bpe_merge_fold(F.col("s"), a, b).alias("s"), "w")
+        sql_form = words.selectExpr(f"{T._bpe_merge_fold_sql('s', a, b)} AS s", "w")
+        assert _same_optimized(col_form, sql_form), (a, b)
+    # and rows agree for a real rule
+    col_rows = sorted(
+        map(tuple, words.select(T._bpe_merge_fold(F.col("s"), "t", "h").alias("s"), "w")
+            .selectExpr("concat_ws('|', s) AS j", "w").collect())
+    )
+    sql_rows = sorted(
+        map(tuple, words.selectExpr(f"{T._bpe_merge_fold_sql('s', 't', 'h')} AS s", "w")
+            .selectExpr("concat_ws('|', s) AS j", "w").collect())
+    )
+    assert col_rows == sql_rows
