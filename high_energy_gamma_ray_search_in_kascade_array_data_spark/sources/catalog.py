@@ -126,9 +126,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    sk = _stat_key(path)
+    key = (id(spark), path, sk)
+    if sk is not None:
+        hit = _TABLE_CACHE.get(key)
+        if hit is not None and hit[0] is spark:
+            return hit[1]
+    df = spark.read.parquet(path)
     if name == "events":
         df = normalize_events_ts(df)
+    if sk is not None:
+        if len(_TABLE_CACHE) >= _TABLE_CACHE_MAX:
+            _TABLE_CACHE.clear()
+        _TABLE_CACHE[key] = (spark, df)
     return df
 
 
