@@ -809,24 +809,35 @@ def q_bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         # settled hop-h candidates inside the same sweep is safe
         # because the anti-join against the settled set runs AFTER
         # the batch.
+        # each sweep is ONE spark.sql statement (DataFrame kwargs):
+        # the Column form issued ~8 Py4J-built ops per sweep × ~8
+        # sweeps ≈ 0.9 s of driver build (r11 audit) that also
+        # serializes under concurrency; the single JVM-parsed
+        # statement expresses the identical sweep (same joins, same
+        # int hop literals, min-combine then anti-join)
         h = 1
         while h <= _BFS_MAX_HOPS:
-            one = frontier.join(edges, frontier["node"] == edges["u"]).select(
-                F.col("v").alias("node"), F.lit(h).cast("int").alias("hops")
-            )
-            cand = one
             if h + 1 <= _BFS_MAX_HOPS:
-                two = one.join(edges, one["node"] == edges["u"]).select(
-                    F.col("v").alias("node"),
-                    F.lit(h + 1).cast("int").alias("hops"),
-                )
-                cand = one.union(two)
-            nxt = (
-                cand.groupBy("node")
-                .agg(F.min("hops").alias("hops"))
-                .join(dist, "node", "left_anti")
-                .localCheckpoint(eager=True)
-            )
+                cand_sql = f"""
+  SELECT e.v AS node, CAST({h} AS INT) AS hops
+  FROM {{f}} f JOIN {{e}} e ON f.node = e.u
+  UNION ALL
+  SELECT e2.v AS node, CAST({h + 1} AS INT) AS hops
+  FROM (SELECT e.v AS node FROM {{f}} f JOIN {{e}} e ON f.node = e.u) one
+  JOIN {{e}} e2 ON one.node = e2.u"""
+            else:
+                cand_sql = f"""
+  SELECT e.v AS node, CAST({h} AS INT) AS hops
+  FROM {{f}} f JOIN {{e}} e ON f.node = e.u"""
+            nxt = spark.sql(
+                f"""
+SELECT g.node, g.hops
+FROM (SELECT node, MIN(hops) AS hops FROM ({cand_sql}) c GROUP BY node) g
+LEFT ANTI JOIN {{d}} d ON g.node = d.node""",
+                f=frontier,
+                e=edges,
+                d=dist,
+            ).localCheckpoint(eager=True)
             if nxt.isEmpty():
                 break
             # dist stays a shallow union tree of checkpointed pieces
@@ -890,20 +901,22 @@ def q_bellman_ford_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sees every 1- and 2-edge extension of the current labels, so
         # the fixpoint after k sweeps equals 2k textbook relaxations;
         # halves both the sweep count and the per-sweep action count.
+        # one spark.sql statement per sweep (DataFrame kwargs) — same
+        # Py4J-build elimination as the BFS loop above, identical
+        # relaxation algebra
+        sweep_sql = """
+SELECT node, MIN(cost) AS cost FROM (
+  SELECT node, cost FROM {d}
+  UNION ALL
+  SELECT e.v AS node, r.cost + e.w AS cost
+  FROM (SELECT node, cost FROM {d}
+        UNION ALL
+        SELECT e1.v AS node, d1.cost + e1.w AS cost
+        FROM {d} d1 JOIN {e} e1 ON d1.node = e1.u) r
+  JOIN {e} e ON r.node = e.u
+) c GROUP BY node"""
         for _sweep in range(_BFS_MAX_HOPS + 1):
-            r1 = dist.join(edges, dist["node"] == edges["u"]).select(
-                F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
-            )
-            r2 = r1.join(edges, r1["node"] == edges["u"]).select(
-                F.col("v").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
-            )
-            dist = (
-                dist.union(r1)
-                .union(r2)
-                .groupBy("node")
-                .agg(F.min("cost").alias("cost"))
-                .localCheckpoint(eager=True)
-            )
+            dist = spark.sql(sweep_sql, d=dist, e=edges).localCheckpoint(eager=True)
             row = dist.agg(
                 F.count(F.lit(1)).alias("n"), F.sum("cost").alias("s")
             ).collect()[0]
@@ -1827,19 +1840,20 @@ def q_kcore_peel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _loop_shuffle(spark, 4):
         nodes = edges.select(F.col("u").alias("node")).distinct().localCheckpoint(eager=True)
         peeled = None
+        # per-round survivor set in ONE spark.sql statement (DataFrame
+        # kwargs) — the Column form's ~6 Py4J-built ops per round cost
+        # ~0.7 s of driver build across the cascade (r11 audit);
+        # identical degree/threshold algebra
+        keep_sql = f"""
+SELECT u AS node FROM (
+  SELECT e.u, COUNT(1) AS deg
+  FROM {{e}} e
+  JOIN {{n}} nu ON e.u = nu.node
+  JOIN {{n}} nv ON e.v = nv.node
+  GROUP BY e.u
+) d WHERE deg >= {_KCORE_K}"""
         for rnd in range(1, _KCORE_ROUNDS + 1):
-            deg = (
-                edges.join(nodes, edges["u"] == nodes["node"])
-                .drop("node")
-                .join(nodes.select(F.col("node").alias("vn")), F.col("v") == F.col("vn"))
-                .groupBy("u")
-                .agg(F.count(F.lit(1)).alias("deg"))
-            )
-            keep = (
-                deg.filter(F.col("deg") >= _KCORE_K)
-                .select(F.col("u").alias("node"))
-                .localCheckpoint(eager=True)
-            )
+            keep = spark.sql(keep_sql, e=edges, n=nodes).localCheckpoint(eager=True)
             removed = nodes.join(keep, "node", "left_anti").select(
                 "node", F.lit(rnd).cast("int").alias("peel_round")
             )

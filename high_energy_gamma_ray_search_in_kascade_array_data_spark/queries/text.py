@@ -1131,51 +1131,55 @@ def bpe_train(
             .agg(F.sum("w").alias("freq"))
             .localCheckpoint(eager=False)
         )
+        # Each round is FOUR driver statements (argmax, tagged fold,
+        # counts update — and the next argmax), every one a single
+        # spark.sql with DataFrame kwargs: the Column/chained-select
+        # form cost ~0.25 s of Py4J build PER ROUND (∝ R on the
+        # driver, serialized under concurrency — r11 audit); one
+        # JVM-parsed statement per step keeps marginal driver cost
+        # ~flat and tiny. Results are oracle-exact; the fold string is
+        # plan-equal to the Column reference by
+        # tests/test_sqlstring_forms.py. The delta recount is folded
+        # into the counts-update statement (the tagged frame it reads
+        # is eagerly checkpointed, so the subquery scans memory).
+        argmax_sql = "SELECT a, b, freq FROM {c} ORDER BY freq DESC, a, b LIMIT 1"
         for r in range(1, rounds + 1):
-            top = (
-                counts.orderBy(F.desc("freq"), F.asc("a"), F.asc("b"))
-                .limit(1)
-                .collect()
-            )[0]
+            top = spark.sql(argmax_sql, c=counts).collect()[0]
             a, b, freq = top["a"], top["b"], int(top["freq"])
             rules.append((r, a, b, a + b, freq))
             if r < rounds:
                 # one tagged vocab pass: fold affected rows, keep the
-                # pre-fold copy beside them for the delta recount. All
-                # per-round expressions are SQL STRINGS (r11 build
-                # audit: the Column forms cost ~0.25 s of Py4J
-                # round-trips PER ROUND — ∝ R on the driver and
-                # serialized under concurrency — while strings parse
-                # JVM-side; results are oracle-exact and the fold is
-                # plan-equal by tests/test_sqlstring_forms.py)
+                # pre-fold copy beside them for the delta recount; the
+                # hit flag is STAGED in a subquery so the fold/copy
+                # projections reference it without recompute
                 has_sql = (
                     f"exists({_pairs_sql('s')},"
                     f" p -> p.a = {_sql_str(a)} AND p.b = {_sql_str(b)})"
                 )
-                tagged = (
-                    cur.selectExpr("s", "w", f"{has_sql} AS hit")
-                    .selectExpr(
-                        f"IF(hit, {_bpe_merge_fold_sql('s', a, b)}, s) AS s",
-                        "IF(hit, s, NULL) AS s_pre",
-                        "w",
-                    )
-                    .localCheckpoint(eager=True)
-                )
-                delta = (
-                    tagged.filter("s_pre IS NOT NULL")
-                    .selectExpr(
-                        f"explode(concat({_signed_pairs_sql('s_pre', True)},"
-                        f" {_signed_pairs_sql('s', False)})) AS pr"
-                    )
-                    .selectExpr("pr.a AS a", "pr.b AS b", "pr.freq AS freq")
-                )
-                counts = (
-                    counts.unionByName(delta)
-                    .groupBy("a", "b")
-                    .agg(F.sum("freq").alias("freq"))
-                    .filter(F.col("freq") > 0)
-                    .localCheckpoint(eager=False)
-                )
+                tagged = spark.sql(
+                    f"""
+SELECT IF(hit, {_bpe_merge_fold_sql('s', a, b)}, s) AS s,
+       IF(hit, s, NULL) AS s_pre,
+       w
+FROM (SELECT s, w, {has_sql} AS hit FROM {{cur}}) t""",
+                    cur=cur,
+                ).localCheckpoint(eager=True)
+                counts = spark.sql(
+                    f"""
+SELECT a, b, freq FROM (
+  SELECT a, b, SUM(freq) AS freq FROM (
+    SELECT a, b, freq FROM {{c}}
+    UNION ALL
+    SELECT pr.a AS a, pr.b AS b, pr.freq AS freq FROM (
+      SELECT explode(concat({_signed_pairs_sql('s_pre', True)},
+                            {_signed_pairs_sql('s', False)})) AS pr
+      FROM {{t}} WHERE s_pre IS NOT NULL
+    ) d
+  ) u GROUP BY a, b
+) g WHERE freq > 0""",
+                    c=counts,
+                    t=tagged,
+                ).localCheckpoint(eager=False)
                 cur = tagged.select("s", "w")
             if on_round is not None:
                 # marginal-cost instrumentation hook (scripts/bpe_curve.py)
@@ -1290,9 +1294,16 @@ def bpe_encode_stats(words: DataFrame, rules: list[tuple]) -> DataFrame:
     oracle-checked at the corpus R=5 — but its expression tree grows
     ∝ R, so analysis/codegen cost makes it the SMALL-R form; see
     ``bpe_encode_stats_vec`` and BPE_ENCODE_CURVE.md for the law."""
-    enc = words.select("s", "w")
+    # compose ONE nested fold string instead of chaining R selectExprs:
+    # each chained select eagerly ANALYZES a plan already containing
+    # k nested folds (O(R²) JVM analysis — measured 1.4 s at R=5 in
+    # the r11 build audit); the composed string is analyzed once,
+    # O(R). Optimized plan is the same either way (CollapseProject
+    # merges the chain), asserted in tests/test_sqlstring_forms.py.
+    expr = "s"
     for _, a, b, _m, _f in rules:
-        enc = enc.selectExpr(f"{_bpe_merge_fold_sql('s', a, b)} AS s", "w")
+        expr = _bpe_merge_fold_sql(expr, a, b)
+    enc = words.selectExpr(f"{expr} AS s", "w")
     enc = enc.localCheckpoint(eager=True)  # two consumers in the stats
     return _bpe_stats_frame(enc)
 

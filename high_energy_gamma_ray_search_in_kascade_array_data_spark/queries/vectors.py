@@ -863,6 +863,26 @@ def _icos_col(a, b, k: int = 64):
     ).cast("long")
 
 
+def _icos_spark_sql(a: str, b: str, k: int = 64) -> str:
+    """Spark-SQL-string twin of ``_icos_col`` — identical expression
+    tree (same in-order folds, same casts), parsed JVM-side so
+    branch-heavy queries don't pay ~0.1 s of Py4J per branch (r11
+    build audit); plan equality asserted in
+    tests/test_sqlstring_forms.py."""
+    ap, bp = f"slice({a}, 1, {k})", f"slice({b}, 1, {k})"
+
+    def dbl(col: str) -> str:
+        return f"transform({col}, x -> CAST(x AS DOUBLE))"
+
+    dot = (
+        f"aggregate(zip_with({dbl(ap)}, {dbl(bp)}, (x, y) -> x * y),"
+        f" 0.0D, (acc, x) -> acc + x)"
+    )
+    na = f"SQRT(aggregate({dbl(ap)}, 0.0D, (acc, x) -> acc + x * x))"
+    nb = f"SQRT(aggregate({dbl(bp)}, 0.0D, (acc, x) -> acc + x * x))"
+    return f"CAST(ROUND({dot} / ({na} * {nb}) * 1000000) AS BIGINT)"
+
+
 @register(
     "matryoshka_recall_eval",
     survey_ref="M5:similarity,§2.10",
@@ -1358,14 +1378,17 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             e.filter(F.col("vec_id") == qid)
             .select(F.col("embedding").alias("qe"))
         )
+        # per-branch score as a SQL string: 5 branches × the Column
+        # cosine tree cost ~0.6 s of Py4J build (r11 audit); the
+        # string parses JVM-side, plan-equal by test
         scored = (
             corpus_side.filter(F.col("label") != qlabel)
             .crossJoin(F.broadcast(q))
-            .select(
-                F.lit(qid).alias("qid"),
+            .selectExpr(
+                f"CAST({qid} AS BIGINT) AS qid",
                 "vec_id",
                 "label",
-                _icos_col(F.col("embedding"), F.col("qe"), 64).alias("icos"),
+                f"{_icos_spark_sql('embedding', 'qe', 64)} AS icos",
             )
             .orderBy(F.desc("icos"), F.asc("vec_id"))
             .limit(3)
@@ -1461,11 +1484,13 @@ def q_kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         centers = e.filter(F.col("vec_id").isin(chosen)).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
         )
+        # per-step score as a SQL string (r11 build audit: the Column
+        # cosine rebuilt per step cost ~0.5 s of Py4J across the loop)
         far = (
             e.filter(~F.col("vec_id").isin(chosen))
             .crossJoin(F.broadcast(centers))
-            .select(
-                "vec_id", _icos_col(F.col("embedding"), F.col("ce"), 64).alias("icos")
+            .selectExpr(
+                "vec_id", f"{_icos_spark_sql('embedding', 'ce', 64)} AS icos"
             )
             .groupBy("vec_id")
             .agg(F.max("icos").alias("max_icos"))

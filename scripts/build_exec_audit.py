@@ -65,7 +65,7 @@ def main() -> int:
     from high_energy_gamma_ray_search_in_kascade_array_data_spark import get_spark
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
 
-    for m in ("collect", "count", "first", "head", "toPandas", "localCheckpoint"):
+    for m in ("collect", "count", "first", "head", "toPandas", "localCheckpoint", "isEmpty"):
         setattr(DataFrame, m, _timed(getattr(DataFrame, m)))
     # JVM execution that bypasses DataFrame actions: streaming drains,
     # MLlib fits (Estimator.fit covers Pipeline and every JavaEstimator

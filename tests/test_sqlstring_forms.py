@@ -110,3 +110,50 @@ def test_bpe_fold_sql_string_plan_identical(spark, sf_dir):
             .selectExpr("concat_ws('|', s) AS j", "w").collect())
     )
     assert col_rows == sql_rows
+
+
+def test_bpe_encode_composed_fold_plan_identical(spark, sf_dir):
+    """The composed single-string R-fold (one analysis pass, O(R))
+    optimizes to the same plan as R chained selectExpr folds
+    (CollapseProject's merge of the chain) and returns the same rows."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import text as T
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    words = T._bpe_words(spark, load_table(spark, sf_dir, "documents"))
+    rules = [("t", "h"), ("e", "r"), ("th", "er")]
+
+    chained = words.select("s", "w")
+    for a, b in rules:
+        chained = chained.selectExpr(f"{T._bpe_merge_fold_sql('s', a, b)} AS s", "w")
+
+    expr = "s"
+    for a, b in rules:
+        expr = T._bpe_merge_fold_sql(expr, a, b)
+    composed = words.selectExpr(f"{expr} AS s", "w")
+
+    assert _same_optimized(chained, composed)
+    a = sorted(map(tuple, chained.selectExpr("concat_ws('|', s) AS j", "w").collect()))
+    b = sorted(map(tuple, composed.selectExpr("concat_ws('|', s) AS j", "w").collect()))
+    assert a == b
+
+
+def test_icos_sql_string_plan_identical(spark, sf_dir):
+    """_icos_spark_sql builds the exact _icos_col expression tree
+    (same in-order folds and casts — integer-encoded cosine must stay
+    bit-stable), JVM-parsed."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import vectors as V
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    base = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    for k in (16, 64):
+        col_form = base.select(
+            "vec_id", V._icos_col(F.col("embedding"), F.col("qe"), k).alias("icos")
+        )
+        sql_form = base.selectExpr(
+            "vec_id", f"{V._icos_spark_sql('embedding', 'qe', k)} AS icos"
+        )
+        assert _same_optimized(col_form, sql_form), k
+    a = sorted(map(tuple, col_form.collect()))
+    b = sorted(map(tuple, sql_form.collect()))
+    assert a == b
