@@ -129,6 +129,19 @@ def main() -> int:
         "|---|---|---|---|",
     ]
     lines += [f"| {n} | {w:.3f} | {e:.3f} | {b:.3f} |" for n, w, e, b in rows[:25]]
+    lines += [
+        "",
+        "## Known mis-bookings",
+        "",
+        "- `sql_scripting_threshold_search`: the BEGIN…WHILE script's",
+        "  ~40 aggregate scans execute EAGERLY inside the spark.sql()",
+        "  call (measured r11: call 5.4 s, collect 0.01 s) — engine",
+        "  execution this instrument cannot split out, not Py4J build.",
+        "- iterative loops (bfs/bellman/kcore/bpe/training): residual",
+        "  build ≈ 1 spark.sql parse + checkpoint + convergence action",
+        "  per sweep (~80 ms) — the launch-bound floor of a driver-",
+        "  coordinated loop, sub-linear at 100× (SCALE.md r6/r9 probes).",
+    ]
     with open(os.path.join(REPO, "BUILD_EXEC_AUDIT.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     print("\n".join(lines[:40]), flush=True)

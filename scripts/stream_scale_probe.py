@@ -34,6 +34,7 @@ BIG = os.environ.get("SPARK_GRAFT_STREAM_BIG", "/tmp/scale10x")
 QUERIES = [
     "stream_stateful_user_stats_tws",
     "stream_cdc_chunk_dedup",
+    "stream_substring_dup_rate",
     "stream_stream_join",
     "stream_stream_left_outer_join",
     "stream_tumbling_counts",
@@ -84,12 +85,49 @@ def run_tier(spark, sf_dir: str) -> dict[str, dict]:
     return out
 
 
+ROCKS = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+
+def run_rocksdb_tier(spark, sf_dir: str) -> dict[str, dict]:
+    """The two largest-state queries again at the big tier, under the
+    RocksDB provider (r10 VERDICT task 7): at 100 TB these state
+    tables exceed executor heap and RocksDB spills to local disk —
+    recorded here so the provider swap ships with same-tier metrics
+    (result parity is pinned by
+    tests/test_streaming_semantics.py::
+    test_heavy_stateful_queries_identical_under_rocksdb_state_store)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKS)
+    try:
+        reg = corpus()
+        out: dict[str, dict] = {}
+        for name in ("stream_substring_dup_rate", "stream_cdc_chunk_dedup"):
+            core.LAST_PROGRESS.clear()
+            t0 = time.monotonic()
+            try:
+                n = reg[name].fn(spark, sf_dir).count()
+                stats = _progress_stats()
+                stats.update(rows=n, wall=round(time.monotonic() - t0, 2))
+            except Exception as exc:
+                stats = dict(error=str(exc)[:200])
+            out[name] = stats
+            print(f"  [rocksdb] {name} @ {sf_dir}: {stats}", flush=True)
+        return out
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def main() -> int:
     out_path = sys.argv[1] if len(sys.argv) > 1 else "STREAM_SCALE_10X.txt"
     spark = get_spark("stream_scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     base = run_tier(spark, BASE)
     big = run_tier(spark, BIG)
+    rocks = run_rocksdb_tier(spark, BIG)
     lines = [
         "# Streaming state-store scale probe (r7 VERDICT task 4)",
         f"# base={BASE} big={BIG} (10x rows, 10x distinct keys)",
@@ -118,6 +156,24 @@ def main() -> int:
         )
     lines.append("")
     lines.append(f"worst state-rows ratio: {worst:.2f} (linear = 10.0)")
+    lines += [
+        "",
+        "# RocksDB state-store tier (r10 VERDICT task 7): the two",
+        "# largest-state queries at the 10x fixture under",
+        "# RocksDBStateStoreProvider — result parity vs the default",
+        "# store is pinned by tests/test_streaming_semantics.py; the",
+        "# figures below show the provider swap at the same tier.",
+    ]
+    for name, st in rocks.items():
+        if "error" in st:
+            lines.append(f"{name:34s} ERROR {st['error']}")
+        else:
+            g = big.get(name, {})
+            lines.append(
+                f"{name:34s} rows={st['rows']} state_rows={st['state_rows']} "
+                f"state_mem={st['state_mem_mb']}MB max_batch={st['max_batch_ms']}ms "
+                f"wall={st['wall']} (default-store wall at same tier: {g.get('wall', '?')})"
+            )
     text = "\n".join(lines) + "\n"
     with open(out_path, "w") as fh:
         fh.write(text)
