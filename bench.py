@@ -66,6 +66,7 @@ HEADLINE = [
     "pq_adc_topk",
     "pagerank_mass",
     "bfs_shortest_hops",
+    "bfs_shortest_hops_rcte",
     "bellman_ford_min_cost",
     "spatial_grid_pair_histogram",
     "repeated_passage_mining",

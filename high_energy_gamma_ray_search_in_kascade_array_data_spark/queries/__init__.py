@@ -11,6 +11,7 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import (  
     ml,
     ml_data,
     pipelines,
+    recursive,
     relational,
     relational_ext,
     scale_ops,
