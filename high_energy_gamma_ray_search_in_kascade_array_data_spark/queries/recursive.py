@@ -126,7 +126,7 @@ FROM reach GROUP BY node""",
 # for k > 3; keys 0..3 are roots. A 4-ary forest of depth
 # ~log4(|part|) — at sf0.01 depth 6, at a 100 TB part dimension depth
 # ~17, always far under the recursion level limit (100).
-_BOM_SQL_BODY = """
+_BOM_CTE = """
 WITH RECURSIVE chains(part, node, depth, chain_cost) AS (
   SELECT p_partkey, p_partkey, 0, CAST(p_retailprice AS DOUBLE) FROM {part}
   UNION ALL
@@ -136,15 +136,17 @@ WITH RECURSIVE chains(part, node, depth, chain_cost) AS (
     ON par.p_partkey = CAST(FLOOR(c.node / 4) AS BIGINT)
   WHERE c.node > 3
 )
+"""
+_BOM_FINAL = """
 SELECT part, node AS root, depth, ROUND(chain_cost, 2) AS chain_cost
-FROM chains WHERE node <= 3
+FROM {chains} WHERE node <= 3
 """
 
 
 @register(
     "bom_chain_rollup_rcte",
     survey_ref="§2.7,§2.6",
-    oracle=_BOM_SQL_BODY.format(part="part"),
+    oracle=_BOM_CTE.format(part="part") + _BOM_FINAL.format(chains="chains"),
 )
 def q_bom_chain_rollup_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bill-of-materials explosion — THE canonical recursive-CTE
@@ -172,7 +174,26 @@ def q_bom_chain_rollup_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows is the one that survives 100 TB. Floating chain_cost is a
     left-to-right sum along the chain in both engines (identical
     association order), rounded to 2 decimals per corpus float rules.
-    Oracle: the byte-identical recursion under DuckDB."""
+    Recursion-volume guard, sized not disabled: the recursion emits
+    one row per (part, ancestor) pair — Σ(depth+1) ≤ 33·|part| rows
+    for ANY bigint keyspace (depth ≤ log4(2^63) < 32) — which trips
+    Spark's default 1M-row runaway valve at a mere ~200k-row dimension
+    (found by this repo's 10× sweep: RECURSION_ROW_LIMIT_EXCEEDED at
+    sf1.0). The fix is the engine's own mechanism: a LIMIT directly
+    over the CTE relation overrides the row valve IN THE PLAN — no
+    session conf mutated (an execution-time conf would race under
+    concurrent streams and outlive the builder), and the 100-level
+    valve stays armed as the true runaway backstop (this recursion
+    provably terminates within 32 levels by arithmetic, so a LIMIT
+    truncation is unreachable — asserted at 10× by the sweep's
+    exact-hash).
+    Oracle: the byte-identical recursion under DuckDB (whose UNION ALL
+    recursion has no row valve, so no LIMIT is needed there)."""
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    bound = 33 * part.count()  # dimension-scale count: bounded control-plane
+    sql = (
+        _BOM_CTE.format(part="{p}")
+        + _BOM_FINAL.format(chains=f"(SELECT * FROM chains LIMIT {bound}) t")
+    )
     with _loop_shuffle(spark, 8):
-        return spark.sql(_BOM_SQL_BODY.format(part="{p}"), p=part)
+        return spark.sql(sql, p=part)
