@@ -1665,6 +1665,108 @@ END
 
 
 @register(
+    "sql_udf_quality_band",
+    survey_ref="§2.4,M5:text",
+    oracle="""
+WITH t AS (
+  SELECT LENGTH(text) AS l,
+         (LENGTH(text) - LENGTH(REPLACE(REPLACE(REPLACE(text,'.',''),',',''),'!','')))
+           * 1000 // GREATEST(LENGTH(text), 1) AS pp
+  FROM documents
+)
+SELECT l // 200 - CASE WHEN pp > 40 THEN 1 ELSE 0 END AS band,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY 1
+""",
+)
+def q_sql_udf_quality_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UDFs (Spark 4 ``CREATE FUNCTION … RETURNS … RETURN expr``):
+    a reusable quality-banding vocabulary defined IN SQL — scalar
+    ``punct_permille`` (integer punctuation density) composed by
+    ``quality_band`` (UDF-calls-UDF), applied per document and
+    aggregated. The governance win over Python UDFs: the body is a SQL
+    expression, so Catalyst INLINES it at analysis time — the plan is
+    pure column algebra inside whole-stage codegen, zero Python
+    workers, full pushdown/pruning (asserted by the plan test) —
+    while analysts still get a named, centrally-maintained function.
+    All arithmetic is integer (permille via DIV, band via DIV), so the
+    oracle — the same expressions written inline in DuckDB — is
+    bit-exact with no float rounding discipline needed. The functions
+    are TEMPORARY (session catalog); CREATE OR REPLACE is idempotent,
+    so concurrent streams re-registering the same definition are
+    benign (contention-probe rule)."""
+    doc = load_table(spark, sf_dir, "documents")
+    doc.createOrReplaceTempView("documents_sqludf_src")
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION punct_permille(t STRING) RETURNS BIGINT
+RETURN (LENGTH(t) - LENGTH(REPLACE(REPLACE(REPLACE(t, '.', ''), ',', ''), '!', '')))
+       * 1000 DIV GREATEST(LENGTH(t), 1)
+""")
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION quality_band(t STRING) RETURNS BIGINT
+RETURN LENGTH(t) DIV 200 - CASE WHEN punct_permille(t) > 40 THEN 1 ELSE 0 END
+""")
+    return spark.sql("""
+SELECT quality_band(text) AS band, COUNT(*) AS n
+FROM documents_sqludf_src GROUP BY 1
+""")
+
+
+@register(
+    "sql_udtf_customer_profile",
+    survey_ref="§2.4,§2.7",
+    oracle="""
+SELECT c.c_custkey,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+       ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2) AS total_spend,
+       ROUND(COALESCE(MAX(o.o_totalprice), 0.0), 2) AS max_order
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey % 20 = 0
+GROUP BY 1
+""",
+)
+def q_sql_udtf_customer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL TABLE function + LATERAL correlation (Spark 4
+    ``CREATE FUNCTION … RETURNS TABLE … RETURN SELECT``): a
+    parameterized per-customer order profile invoked once per driving
+    row. Catalyst DECORRELATES the lateral TVF into set algebra — the
+    physical plan is one keyed aggregate over orders left-joined to
+    the distinct customer keys (verified: HashAggregate +
+    BroadcastHashJoin, no per-row subquery execution), which is the
+    only shape that survives 100 TB.
+
+    ENGINE HAZARD, measured and designed around (r11, Spark 4.1.2): a
+    per-invocation ``LIMIT k`` inside a correlated TVF body is
+    decorrelated into a GLOBAL limit — 3 rows TOTAL instead of top-3
+    per customer, silently wrong (SCALE.md note). Per-group top-k must
+    use a window rank (``lateral_topk_join`` covers the correlated-
+    LIMIT semantics through Catalyst's supported decorrelation of
+    lateral SUBQUERIES). This TVF body therefore uses correlated
+    aggregation only — COUNT/SUM/MAX always return exactly one row per
+    invocation, so no truncation semantics exist to get wrong. The
+    aggregate-over-empty case (customers with no orders) exercises the
+    outer-join path of the decorrelation: zero-order customers emit
+    (0, 0.0, 0.0), which the oracle mirrors with LEFT JOIN +
+    COALESCE."""
+    cust = load_table(spark, sf_dir, "customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sqltvf_src")
+    cust.createOrReplaceTempView("customer_sqltvf_src")
+    spark.sql("""
+CREATE OR REPLACE TEMPORARY FUNCTION cust_order_profile(ck BIGINT)
+RETURNS TABLE(n_orders BIGINT, total_spend DOUBLE, max_order DOUBLE)
+RETURN SELECT COUNT(o_orderkey),
+              ROUND(COALESCE(SUM(o_totalprice), 0.0), 2),
+              ROUND(COALESCE(MAX(o_totalprice), 0.0), 2)
+       FROM orders_sqltvf_src WHERE o_custkey = ck
+""")
+    return spark.sql("""
+SELECT c.c_custkey, t.n_orders, t.total_spend, t.max_order
+FROM customer_sqltvf_src c, LATERAL cust_order_profile(c.c_custkey) t
+WHERE c.c_custkey % 20 = 0
+""")
+
+
+@register(
     "dataframe_transpose",
     survey_ref="T5,§2.6",
     oracle="""

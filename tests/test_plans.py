@@ -485,3 +485,28 @@ def test_calibration_bins_single_pass(spark, sf_dir):
     assert_no_cartesian_product(df)
     plan = physical_plan(df)
     assert "BroadcastExchange" in plan  # the 1-row total joins broadcast
+
+
+def test_sql_udf_inlines_to_pure_column_algebra(spark, sf_dir):
+    """The composed SQL UDFs (quality_band -> punct_permille) must be
+    INLINED by the analyzer: no Python evaluation node of any kind in
+    the physical plan, and the aggregation must combine map-side —
+    the whole point of SQL UDFs over Python UDFs at 100 TB."""
+    df = _q("sql_udf_quality_band", spark, sf_dir)
+    plan = physical_plan(df)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "FlatMapGroupsInPandas"):
+        assert bad not in plan, f"{bad} in sql_udf_quality_band plan — UDF not inlined"
+    assert_partial_aggregation(df)
+
+
+def test_sql_udtf_lateral_decorrelates_to_set_algebra(spark, sf_dir):
+    """The correlated TVF must decorrelate: ONE keyed aggregate over
+    orders joined back to customer keys — never a per-driving-row
+    subquery execution (and never the silently-wrong global-LIMIT
+    shape; this body is aggregate-only, see the query docstring)."""
+    df = _q("sql_udtf_customer_profile", spark, sf_dir)
+    plan = physical_plan(df)
+    assert "HashAggregate" in plan
+    assert_no_cartesian_product(df)
+    for bad in ("BatchEvalPython", "ArrowEvalPython"):
+        assert bad not in plan
