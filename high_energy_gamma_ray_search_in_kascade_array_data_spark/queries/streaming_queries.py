@@ -1136,3 +1136,82 @@ def q_stream_substring_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dup).cast("long").alias("dup_positions"),
         F.round(F.sum(dup) * 1.0 / F.sum("cnt"), 6).alias("dup_rate"),
     )
+
+
+@register(
+    "statestore_reader_audit",
+    survey_ref="§2.11,§2.4",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       'stateStoreSave' AS operator_name,
+       'default' AS store_name
+FROM events GROUP BY 1
+""",
+)
+def q_statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store DATA SOURCE (Spark 4 ``format("statestore")`` /
+    ``format("state-metadata")``): after draining a keyed streaming
+    aggregate through a durable checkpoint, read the operator's
+    PERSISTED STATE back as a DataFrame and audit it against the
+    semantic answer — the ops surface for debugging a 100 TB stateful
+    job (is state skewed? which key leaks? what does the store hold
+    after a failover?) without replaying the stream. The state rows
+    (key.event_type, value.count) must equal the batch aggregate
+    exactly — that equality IS the exactly-once state contract, and
+    the DuckDB oracle checks it from the raw fixture. Metadata
+    (operator name, store name) rides along from ``state-metadata``,
+    pinned as literals in the oracle. The checkpoint lives in a scratch
+    dir only long enough to be read back: both result frames are
+    lineage-cut (localCheckpoint) before the scratch dir is removed,
+    so the returned plan holds no filesystem dependency. State
+    partitions are pinned to 4 for the drain (fixture-scale store-open
+    cost, the run_to_memory sizing rule); the reader emits one row per
+    key per partition, so the projection drops partition_id."""
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    ev = core.read_events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ck = tempfile.mkdtemp(prefix="ss_audit_ck_")
+    sink = f"statestore_audit_{_uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    state = (
+        spark.read.format("statestore")
+        .load(ck)
+        .select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("n"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    meta = (
+        spark.read.format("state-metadata")
+        .load(ck)
+        .select(
+            F.col("operatorName").alias("operator_name"),
+            F.col("stateStoreName").alias("store_name"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(ck, ignore_errors=True)
+    try:
+        spark.catalog.dropTempView(sink)
+    except Exception:
+        pass
+    return state.crossJoin(F.broadcast(meta))
