@@ -1003,3 +1003,99 @@ def q_export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "xml_roundtrip_source",
+    survey_ref="S3,S4,§2.4",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(LEN(text)) AS BIGINT) AS sum_text_len,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents GROUP BY 1
+""",
+)
+def q_xml_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink → source roundtrip through Spark 4's NATIVE xml data
+    source (spark-xml merged into core — no external jar): documents
+    write as one <doc> element per row and read back with an EXPLICIT
+    schema (same no-inference rule as ``jsonl_roundtrip_source``: at
+    100 TB inference is an extra full pass plus run-to-run type
+    drift). The checksum aggregate must equal the parquet original —
+    which proves the text survives XML entity escaping EXACTLY
+    (&amp;/&lt;/&gt;, quotes, newlines inside elements): escaping
+    bugs are the classic silent corruptor when crawl/annotation
+    pipelines interchange XML. Scale shape identical to the JSONL
+    twin: line-splittable? NO — XML needs element-boundary splitting,
+    which the native source does by scanning for the rowTag, the
+    reason XML stays an ingest edge and parquet the canonical store."""
+    d = load_table(spark, sf_dir, "documents")
+    os.makedirs(SCRATCH, exist_ok=True)
+    path = os.path.join(SCRATCH, f"xml_docs_{os.path.basename(sf_dir.rstrip(chr(47)))}")
+    d.write.mode("overwrite").option("rowTag", "doc").format("xml").save(path)
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    back = spark.read.option("rowTag", "doc").schema(schema).format("xml").load(path)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        F.min("doc_id").cast("bigint").alias("min_doc"),
+        F.max("doc_id").cast("bigint").alias("max_doc"),
+    )
+
+
+@register(
+    "xml_codec_expressions",
+    survey_ref="§2.4,§2.6",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders GROUP BY 1
+""",
+)
+def q_xml_codec_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-side XML codec expressions (``to_xml``/``from_xml``):
+    each order row serializes to an XML fragment and is parsed
+    straight back — the embedded-document pattern (an XML payload
+    column inside a parquet table, the shape message-bus dumps and
+    legacy-feed landing zones have). The aggregate over PARSED fields
+    must equal the original columns: longs exact, doubles exact
+    because the writer emits Java's shortest round-trip decimal repr
+    and the parser restores the identical IEEE value. Both codecs are
+    Catalyst expressions — whole-stage codegen, no Python workers, and
+    the parse cost is the per-row CPU a 100 TB ingest pays once before
+    converting to columnar."""
+    # per-row XML parse is CPU-bound: spread a starved single-split
+    # fixture scan across cores (structural no-op on multi-split input)
+    o = spread_scan(load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ))
+    xml = o.select(
+        F.to_xml(F.struct("o_orderkey", "o_orderpriority", "o_totalprice")).alias("payload")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "payload",
+            "o_orderkey BIGINT, o_orderpriority STRING, o_totalprice DOUBLE",
+        ).alias("v")
+    ).select("v.*")
+    return parsed.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
