@@ -2742,3 +2742,66 @@ def q_fuzzy_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.nation").cast("long").alias("nation"),
         F.col("b.dist").cast("long").alias("dist"),
     )
+
+
+@register(
+    "approx_top_k_sketch",
+    survey_ref="§2.6,M5:text",
+    oracle="""
+SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1 ORDER BY n DESC, item LIMIT 3
+""",
+)
+def q_approx_top_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` (Spark 4.1 built-in frequent-items sketch —
+    one aggregation pass, mergeable partial sketches, bounded memory):
+    the engine-native alternative to this corpus's hand-built
+    heavy-hitter pipelines (``count_min_sketch_estimate``,
+    ``heavy_hitters_exact_recount``). Run here in the sketch's EXACT
+    regime: maxItemsTracked (default 10000) far exceeds the column's
+    cardinality, so every item is tracked and counts are exact — which
+    is what makes a DuckDB oracle possible (top-3 by exact count; the
+    fixture has no count ties at any SF, so the selection is
+    deterministic). At 100 TB cardinality >> tracked items and the
+    counts become estimates — that regime has no exact twin by
+    construction and is the documented boundary (the CMS query's
+    recount pattern is the audit tool there). The sketch aggregate is
+    map-side combinable: shuffle volume is one sketch per partition,
+    never the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    topk = ev.agg(F.expr("approx_top_k(event_type, 3)").alias("tk"))
+    return topk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("long").alias("n"),
+    )
+
+
+@register(
+    "execute_immediate_dynsql",
+    survey_ref="§2.4",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(o_totalprice), 2) AS rev
+FROM orders WHERE o_totalprice >= 100000.0 GROUP BY 1
+""",
+)
+def q_execute_immediate_dynsql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``EXECUTE IMMEDIATE … USING`` (Spark 4 dynamic SQL): a query
+    TEXT assembled at runtime executes with positional parameter
+    binding — the governed path for query-template catalogs and
+    BI-tool passthrough, where string interpolation would be an
+    injection hole and a plan-cache miss per literal. The parameter
+    rides OUTSIDE the statement text (same family as
+    ``sql_named_parameters``' :param binding), so one template text
+    serves every threshold. The inner statement is ordinary
+    declarative SQL — full Catalyst optimization applies (pushdown,
+    partial agg); EXECUTE IMMEDIATE adds one parse indirection at the
+    driver, nothing at executor scale."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_dynsql_src")
+    return spark.sql(
+        "EXECUTE IMMEDIATE "
+        "'SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev "
+        "FROM orders_dynsql_src WHERE o_totalprice >= ? GROUP BY 1' "
+        "USING 100000.0"
+    )
