@@ -56,9 +56,11 @@ def main() -> None:
     import os
 
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries import (
+        analytics_ext,
         common,
         dedup,
         kascade,
+        recursive,
         relational,
         text,
     )
@@ -70,18 +72,25 @@ def main() -> None:
     # deterministically) recomputed mid-shuffle. minhash_lsh_neardup_fast:
     # the memoized pipeline — persisted frames + invocation memo must
     # survive a task retry without serving partial state.
+    # bom_chain_rollup_rcte / bfs_shortest_hops_rcte: the engine-side
+    # recursion (UnionLoop) — the BOM ascent re-scans the fault-wrapped
+    # dimension at EVERY recursion level (each level is a fresh stage,
+    # so the fail-once fault fires and retries per level); the BFS form
+    # faults during the checkpointed edge build feeding the recursion.
     probes = [
         "stratified_split",
         "corpus_mix_sample",
         "window_topk_per_group",
         "minhash_lsh_neardup_fast",
+        "bom_chain_rollup_rcte",
+        "bfs_shortest_hops_rcte",
     ]
     # Every query module binds load_table via `from ...catalog import
     # load_table`, so each binding must be patched in ITS OWN namespace
     # — patching only common/kascade/text left window_topk_per_group
     # (relational) and minhash_lsh_neardup_fast (dedup) fault-free and
     # their "ok" lines vacuous (ADVICE r10).
-    patch_modules = [common, kascade, text, relational, dedup]
+    patch_modules = [common, kascade, text, relational, dedup, analytics_ext, recursive]
     real_load = common.load_table
 
     def flaky_load(spark, sf_dir, table):

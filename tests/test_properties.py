@@ -775,5 +775,7 @@ def test_batch_retry_recompute_determinism(sf_dir, tmp_path):
         "corpus_mix_sample",
         "window_topk_per_group",
         "minhash_lsh_neardup_fast",
+        "bom_chain_rollup_rcte",
+        "bfs_shortest_hops_rcte",
     ):
         assert f"ok {probe}" in r.stdout

@@ -498,3 +498,31 @@ def test_heavy_stateful_queries_identical_under_rocksdb_state_store(spark, sf_di
                 spark.conf.set(conf_key, prev)
         assert rocks_rows == default_rows, name
         assert len(rocks_rows) > 0, name
+
+
+def test_statestore_reader_decodes_rocksdb_checkpoints(spark, sf_dir):
+    """The state-store DATA SOURCE must read back identical state from
+    a RocksDB-backed checkpoint as from the default HDFS-backed store —
+    the introspection tool has to work on the provider a 100 TB
+    deployment actually runs. This crosses two features added
+    independently (format('statestore') reader, RocksDB provider
+    parity), which is exactly where decode mismatches would hide."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
+
+    fn = corpus()["statestore_reader_audit"].fn
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    default_rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, rocks)
+    try:
+        rocks_rows = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    assert rocks_rows == default_rows
+    assert len(rocks_rows) > 0
