@@ -1595,10 +1595,19 @@ def q_recursive_cte_bom_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is a direct engine-parity gate: the SAME query text modulo
     DIV spelling, byte-identical results.  The closed-form twin
     ``bom_subtree_rollup`` remains the scale path when the hierarchy
-    function is known; recursion is for when it is not."""
+    function is known; recursion is for when it is not.
+    Recursion-volume guard (r11, found by the 100x probe): the walk
+    emits EXACTLY one row per part, so a 2M-row dimension trips
+    Spark's 1M-row runaway valve (RECURSION_ROW_LIMIT_EXCEEDED). The
+    plan-embedded fix is a LIMIT |part| directly over the CTE relation
+    (the conf is execution-time and would race concurrent streams —
+    same analysis as ``bom_chain_rollup_rcte``); the 100-level valve
+    stays armed as the true runaway backstop (tree depth is
+    log10(|part|))."""
     t = load_table(spark, sf_dir, "part")
     t.createOrReplaceTempView("part_rec_src")
-    return spark.sql("""
+    bound = t.count()  # walk rows == |part| exactly: dimension-scale count
+    return spark.sql(f"""
 WITH RECURSIVE walk(p_partkey, depth, path_cents) AS (
   SELECT p_partkey, 0 AS depth,
          CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS path_cents
@@ -1610,7 +1619,7 @@ WITH RECURSIVE walk(p_partkey, depth, path_cents) AS (
   WHERE c.p_partkey > 0
 )
 SELECT p_partkey, CAST(depth AS INT) AS depth, path_cents
-FROM walk
+FROM (SELECT * FROM walk LIMIT {bound}) walk_bounded
 """)
 
 
