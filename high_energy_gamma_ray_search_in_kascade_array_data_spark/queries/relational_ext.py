@@ -2791,7 +2791,7 @@ def q_approx_top_k_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(o_totalprice), 2) AS rev
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
 FROM orders WHERE o_totalprice >= 100000.0 GROUP BY 1
 """,
 )
@@ -2806,11 +2806,16 @@ def q_execute_immediate_dynsql(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves every threshold. The inner statement is ordinary
     declarative SQL — full Catalyst optimization applies (pushdown,
     partial agg); EXECUTE IMMEDIATE adds one parse indirection at the
-    driver, nothing at executor scale."""
+    driver, nothing at executor scale. Revenue sums in INTEGER CENTS:
+    the 100x probe showed a whole-table double SUM at ~7e11 magnitude
+    (ULP ~1e-4) drifting a last cent between engines' summation
+    orders — ROUND(…,2) is not a cross-engine contract there; the
+    cents-sum is bit-exact at every scale."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_dynsql_src")
     return spark.sql(
         "EXECUTE IMMEDIATE "
-        "'SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS rev "
+        "'SELECT o_orderpriority, COUNT(*) AS n, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents "
         "FROM orders_dynsql_src WHERE o_totalprice >= ? GROUP BY 1' "
         "USING 100000.0"
     )

@@ -1064,7 +1064,7 @@ def q_xml_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n,
        CAST(SUM(o_orderkey) AS BIGINT) AS sum_keys,
-       ROUND(SUM(o_totalprice), 2) AS sum_price
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM orders GROUP BY 1
 """,
 )
@@ -1074,9 +1074,12 @@ def q_xml_codec_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     straight back — the embedded-document pattern (an XML payload
     column inside a parquet table, the shape message-bus dumps and
     legacy-feed landing zones have). The aggregate over PARSED fields
-    must equal the original columns: longs exact, doubles exact
-    because the writer emits Java's shortest round-trip decimal repr
-    and the parser restores the identical IEEE value. Both codecs are
+    must equal the original columns: longs exact; the parsed doubles
+    are IEEE-identical to the originals (the writer emits Java's
+    shortest round-trip decimal repr), and the money aggregate sums
+    INTEGER CENTS — the 100x probe showed whole-table double sums
+    drift a last cent between engines, so the cents-sum is the
+    cross-engine contract (corpus float rules). Both codecs are
     Catalyst expressions — whole-stage codegen, no Python workers, and
     the parse cost is the per-row CPU a 100 TB ingest pays once before
     converting to columnar."""
@@ -1097,5 +1100,7 @@ def q_xml_codec_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").cast("bigint").alias("sum_keys"),
-        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
     )
