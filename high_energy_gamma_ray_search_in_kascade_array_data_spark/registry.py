@@ -11,7 +11,12 @@ corpus:
     is bit-exact in both engines — no rounding needed;
   * multi-term double aggregations (SUM/AVG over doubles) are
     order-dependent in the last ulp — round to a fixed number of
-    decimals IN BOTH implementations;
+    decimals IN BOTH implementations; BUT rounding is a per-magnitude
+    gamble, not a contract: at ~1e12 sum magnitude the double ulp
+    (~1e-4) accumulates past a cent across millions of terms (measured
+    at the 100x tier, r11). Money totals therefore sum INTEGER CENTS
+    (``SUM(FLOOR(price * 100 + 0.5))``) on both sides — bit-exact at
+    any scale;
   * libm transcendentals (sin/cos/sqrt of non-trivial args) may differ
     by 1 ulp between the JVM and C — round those too;
   * DuckDB ``SUM(int)`` returns ``HUGEINT`` — always ``CAST`` oracle
