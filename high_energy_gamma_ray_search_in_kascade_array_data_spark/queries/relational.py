@@ -339,7 +339,11 @@ FROM orders
 )
 def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative sum over an ordered frame — the same window shape the
-    survival curve (A6) compiles to."""
+    survival curve (A6) compiles to. ROUND(double,2) is safe HERE,
+    unlike the group-aggregate money sums: the frame is per-customer
+    in a deterministic total order, so the running magnitude tops out
+    at one customer's lifetime spend (~5e6 even at 100x, ULP ~1e-9 —
+    six orders of magnitude under the half-cent boundary)."""
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -494,16 +498,23 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
        CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
-       ROUND(SUM(l_extendedprice), 2) AS sum_price
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_price_cents
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """,
 )
 def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup with grand-total rows — the widest-magnitude aggregate in
+    the corpus (the () cell sums the WHOLE fact table). Money in
+    INTEGER CENTS: the 100x tier showed the rolled-up double sum
+    (~5.3e11, ULP ~1e-4) drifting one cent between engines' summation
+    orders — corpus float contract, not ROUND(double,2)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_rf"),
         F.grouping("l_linestatus").cast("int").alias("g_ls"),
-        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_price_cents"),
     )
 
 
@@ -639,11 +650,14 @@ SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
        CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
        CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(o_totalprice), 2) AS total
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders GROUP BY 1, 2, 3
 """,
 )
 def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing; the money aggregate sums INTEGER CENTS
+    (corpus float contract — per-month groups reach ~3e10 at the 100x
+    tier, the same whole-table-double-sum ULP class the rollup hit)."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy(
@@ -651,7 +665,12 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").alias("yr"),
             F.month("o_orderdate").alias("mo"),
         )
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
     )
 
 
@@ -685,18 +704,26 @@ def q_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderpriority,
        CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
        CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
-       ROUND(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS open_value
+       CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS open_value_cents
 FROM orders GROUP BY o_orderpriority
 """,
 )
 def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counts + a conditional money sum. The money branch
+    sums INTEGER CENTS: 5 priority groups over the whole orders table
+    reach ~2e11 each at the 100x tier (double ULP ~3e-5) — the
+    ROUND(SUM(double),2) form is a per-magnitude gamble there (corpus
+    float contract, same class as agg_rollup)."""
     o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
     return o.groupBy("o_orderpriority").agg(
         F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
         F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
-        F.round(F.sum(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice")).otherwise(0.0)), 2).alias(
-            "open_value"
-        ),
+        F.sum(F.when(F.col("o_orderstatus") == "O", cents).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("open_value_cents"),
     )
 
 
