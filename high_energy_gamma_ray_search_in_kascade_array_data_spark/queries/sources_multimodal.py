@@ -564,6 +564,58 @@ def q_jsonl_roundtrip_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_by_type_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Build (or reuse) the hive-partitioned events layout shared by
+    the partition-pruning queries: events written with
+    partitionBy("event_type"), the canonical layout choice when one
+    column dominates predicates. Idempotent per SF — but the driver
+    regenerates /root/testdata between rounds, so the reuse is guarded
+    by a cheap fingerprint of the live table (count + id sum); a
+    mismatch forces a rebuild instead of silently serving a stale
+    layout (same device as _ids_fixture_stale for the codec
+    fixtures). Returns (fact layout path, event_type dim path)."""
+    d = load_table(spark, sf_dir, "events")
+    os.makedirs(SCRATCH, exist_ok=True)
+    tag = os.path.basename(sf_dir.rstrip(chr(47)))
+    path = os.path.join(SCRATCH, f"events_by_type_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    n, s = d.agg(F.count(F.lit(1)), F.sum("event_id")).first()
+    fp = f"v3:{n}:{s}"
+    fp_file = os.path.join(SCRATCH, f"events_by_type_{tag}._FPRINT")
+    dim_path = os.path.join(SCRATCH, f"event_type_dim_{tag}")
+    stale = True
+    if (
+        os.path.exists(marker)
+        and os.path.exists(fp_file)
+        and os.path.exists(os.path.join(dim_path, "_SUCCESS"))
+    ):
+        with open(fp_file) as f:
+            stale = f.read().strip() != fp
+    if stale:
+        d.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        # materialize the star-schema dimension alongside the fact: one
+        # row per event_type with its live row count — the shape a real
+        # warehouse keeps so dimension-filtered joins never re-scan the
+        # fact to build their own dim (and the shape that keeps the
+        # dynamic-partition-pruning subquery cheap enough to fire)
+        (
+            d.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_type"))
+            .withColumn(
+                "category",
+                F.when(
+                    F.col("event_type").isin("purchase", "signup"), F.lit("conversion")
+                ).otherwise(F.lit("engagement")),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(dim_path)
+        )
+        with open(fp_file, "w") as f:
+            f.write(fp)
+    return path, dim_path
+
+
 @register(
     "partition_pruned_read",
     survey_ref="S4,S3,§2.5",
@@ -576,44 +628,80 @@ GROUP BY 1
 """,
 )
 def q_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hive-partitioned write → PARTITION-PRUNED read: events land
-    partitioned by event_type (the canonical layout choice when one
-    column dominates predicates), and the reader's filter on that
-    column prunes to ONE directory at PLANNING time — 4/5 of the data
-    is never listed, opened, or scanned, the single biggest free win
-    a 100 TB layout buys. `tests/test_plans.py` pins the plan: the
-    scan's PartitionFilters carry the predicate and the row filter
-    list stays empty (nothing left to filter at runtime). The
-    aggregate then checksums the surviving partition against the
-    unpartitioned oracle."""
-    import os
-
-    d = load_table(spark, sf_dir, "events")
-    os.makedirs(SCRATCH, exist_ok=True)
-    path = os.path.join(SCRATCH, f"events_by_type_{os.path.basename(sf_dir.rstrip(chr(47)))}")
-    marker = os.path.join(path, "_SUCCESS")
-    # idempotent per SF — but the driver regenerates /root/testdata
-    # between rounds, so the reuse is guarded by a cheap fingerprint of
-    # the live table (count + id sum); a mismatch forces a rebuild
-    # instead of silently serving a stale layout (same device as
-    # _ids_fixture_stale for the codec fixtures)
-    n, s = d.agg(F.count(F.lit(1)), F.sum("event_id")).first()
-    fp = f"{n}:{s}"
-    fp_file = os.path.join(SCRATCH, f"events_by_type_{os.path.basename(sf_dir.rstrip(chr(47)))}._FPRINT")
-    stale = True
-    if os.path.exists(marker) and os.path.exists(fp_file):
-        with open(fp_file) as f:
-            stale = f.read().strip() != fp
-    if stale:
-        d.write.mode("overwrite").partitionBy("event_type").parquet(path)
-        with open(fp_file, "w") as f:
-            f.write(fp)
+    """Hive-partitioned write → PARTITION-PRUNED read: the reader's
+    filter on the partition column prunes to ONE directory at PLANNING
+    time — 4/5 of the data is never listed, opened, or scanned, the
+    single biggest free win a 100 TB layout buys. `tests/test_plans.py`
+    pins the plan: the scan's PartitionFilters carry the predicate and
+    the row filter list stays empty (nothing left to filter at
+    runtime). The aggregate then checksums the surviving partition
+    against the unpartitioned oracle."""
+    path, _ = events_by_type_fixture(spark, sf_dir)
     back = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
     return back.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
         .cast("bigint")
         .alias("sum_cents"),
+    )
+
+
+@register(
+    "dynamic_partition_pruning_join",
+    survey_ref="S4,§2.5,§2.7",
+    oracle="""
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events e
+WHERE e.event_type IN ('purchase', 'signup')
+GROUP BY e.event_type
+""",
+)
+def q_dynamic_partition_pruning_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning, the star-schema shape: the
+    partitioned fact (the events_by_type layout shared with
+    `partition_pruned_read`) joins on its partition column to a
+    MATERIALIZED dimension whose filter hits a stored attribute
+    (`category = 'conversion'`) — the mapping attribute→partition-keys lives
+    only in the dim's data, so no optimizer can fold it into a static
+    partition filter; Catalyst instead plants a
+    `dynamicpruningexpression(event_type IN dynamicpruning#N)` in the
+    fact scan's PartitionFilters, fed by REUSING the dim's broadcast
+    result at runtime. On a 100 TB date/category-partitioned fact this
+    is THE mechanism that turns a dimension-filtered star join into a
+    scan of only the matching partitions — here 2 of 5 directories are
+    listed/opened (runtime scan metrics: numPartitions drops 5→2,
+    numOutputRows 10000→3998 at sf0.01), the other 3 never touched
+    after the broadcast lands. `tests/test_plans.py` pins both the
+    plan shape (a dynamicpruningexpression, no static partition
+    IN-list) and the RUNTIME pruning (post-execution scan metrics).
+    Two r11 probe findings shaped this query: an `isin`-derived dim
+    attribute computed in the same plan gets constant-folded to a
+    static filter (so the attribute must be STORED), and a window/
+    row_number dim subtree breaks the broadcast-reuse match, silently
+    degrading `dynamicpruningexpression` to `true` at runtime — the
+    executed plan, not the pre-execution explain, is the only honest
+    witness. Reference parity: the reference selects its dominant
+    event classes before histogramming (train_classification.py's
+    class-balanced selection); here the same selection prunes I/O
+    instead of rows."""
+    path, dim_path = events_by_type_fixture(spark, sf_dir)
+    fact = spark.read.parquet(path)
+    dim = (
+        spark.read.parquet(dim_path)
+        .filter(F.col("category") == "conversion")
+        .select("event_type")
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
     )
 
 
