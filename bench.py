@@ -37,6 +37,7 @@ HEADLINE = [
     "q2_min_cost_supplier",
     "q21_waiting_suppliers",
     "dynamic_partition_pruning_join",
+    "runtime_bloom_filter_join",
     "cdc_merge_apply",
     "compact_latest_per_key",
     "stat_corr_covar_suffstats",

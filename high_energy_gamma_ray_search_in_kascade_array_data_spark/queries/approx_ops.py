@@ -17,6 +17,8 @@ These are the structures that replace that assumption at cluster scale.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1365,3 +1367,101 @@ def q_psi_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_cur"),
         F.round(F.sum("ipsi") / 1000000000.0, 6).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-native runtime Bloom filter (InjectRuntimeFilter) — the
+# non-partitioned-column analogue of dynamic partition pruning, and the
+# engine-side twin of the manual bloom_semijoin_reduction above.
+
+
+def runtime_bloom_session(spark: SparkSession) -> SparkSession:
+    """A scoped session that makes Catalyst's InjectRuntimeFilter
+    observable at fixture scale.
+
+    The rule is ON by default in Spark 4 but gated by production-sized
+    thresholds: the probe-side scan must exceed 10 GB
+    (`applicationSideScanSizeThreshold`) before the optimizer considers
+    a runtime bloom worth the build, and a broadcast-able build side
+    takes the broadcast-join path instead (where the hashed relation
+    itself prunes). At 100 TB both gates pass on their own — lineitem
+    dwarfs 10 GB and a filtered orders selection exceeds the broadcast
+    threshold — so this session recreates the production regime at
+    sf0.01/0.1 (scan gate → 1KB, broadcast off) rather than tuning
+    anything. The confs live on a `newSession()` clone (shared
+    SparkContext, PRIVATE SQLConf) instead of a save/restore on the
+    caller's session: a save/restore window would leak
+    `autoBroadcastJoinThreshold=-1` to every other query running on
+    the session during the window — the same cross-thread hazard class
+    the r10 contention probe caught in the dedup memo."""
+    scoped = spark.newSession()
+    scoped.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    scoped.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    return scoped
+
+
+def runtime_bloom_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy plan under test: fact⋈filtered-dim shuffle join where
+    the optimizer should inject `might_contain(bloom, xxhash64(key))`
+    on the lineitem side BEFORE its shuffle. Exposed separately so the
+    plan test can assert on a runtime_bloom_session clone."""
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    sel = od.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    return (
+        li.join(sel, li.l_orderkey == sel.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "runtime_bloom_filter_join",
+    survey_ref="§2.7,§2.10",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY 1
+""",
+)
+def q_runtime_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-BUILT runtime Bloom filter on a fact-fact shuffle join:
+    Catalyst's InjectRuntimeFilter plants
+    `might_contain(bloom_agg(xxhash64(o_orderkey)), xxhash64(l_orderkey))`
+    on the lineitem side, so ~4/5 of the fact rows (non-URGENT orders'
+    lines) are dropped BEFORE the shuffle — at 100 TB the exchange, not
+    the scan, is what this halves, which is exactly the shuffle-volume
+    lever the manual `bloom_semijoin_reduction` demonstrates by hand
+    (16k-bit bitmap, explicit position join). This twin shows the
+    engine-native form: zero user-visible plumbing, bloom built as a
+    runtime subquery over the filtered dim, false positives resolved by
+    the join itself — semantics are EXACTLY the plain join (the bloom
+    only over-approximates, never drops a match), which is what the
+    oracle checks. `tests/test_plans.py` asserts both the injection
+    (might_contain in the physical plan, below the probe-side exchange)
+    and the runtime reduction (executed Filter metrics: rows surviving
+    the bloom < total lineitem rows, >= true join matches).
+    Thresholds that gate the rule at fixture scale are recreated on a
+    scoped session (`runtime_bloom_session` — private SQLConf, no
+    cross-thread leak); the result materializes eagerly
+    (localCheckpoint, a few grouped rows) so later re-optimization
+    cannot lose the injected filter."""
+    scoped = runtime_bloom_session(spark)
+    return runtime_bloom_frame(scoped, sf_dir).localCheckpoint(eager=True)

@@ -441,6 +441,51 @@ def test_dynamic_partition_pruning_prunes_at_runtime(spark, sf_dir):
         assert n_rows < total_rows, "scan read the whole fact: pruning fell back"
 
 
+def test_runtime_bloom_filter_injects_and_prunes(spark, sf_dir):
+    """Under the production-regime confs, InjectRuntimeFilter must
+    plant might_contain on the lineitem (probe) side, and the executed
+    Filter metrics must show it dropping rows BEFORE the shuffle —
+    fewer than the full fact, at least the true matches (a bloom never
+    false-negatives)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.approx_ops import (
+        runtime_bloom_frame,
+        runtime_bloom_session,
+    )
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+
+    scoped = runtime_bloom_session(spark)
+    df = runtime_bloom_frame(scoped, sf_dir)
+    plan = physical_plan(df)
+    assert "might_contain" in plan, plan[:3000]
+    rows = df.collect()
+    true_matches = sum(r["n_lines"] for r in rows)
+    total = load_table(spark, sf_dir, "lineitem").count()
+
+    survived = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if "Filter" in name and "might_contain" in node.toString():
+            try:
+                survived.append(node.metrics().apply("numOutputRows").value())
+            except Exception:  # noqa: BLE001
+                pass
+        it = node.children().iterator()
+        while it.hasNext():
+            walk(it.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    assert survived, "no executed Filter with might_contain found"
+    n_out = min(survived)
+    assert true_matches <= n_out < total, (true_matches, n_out, total)
+
+
 def test_bucketed_join_has_no_join_side_exchange(spark, sf_dir):
     """Both bucketed scans co-partition the SortMergeJoin: the only
     Exchange in the plan belongs to the final aggregate."""
