@@ -149,9 +149,32 @@ def _calibrate() -> dict:
         for _ in range(10000):
             x = (x * 1103515245 + 12345) % 2147483648
         it += 10000
+    # Disk/page-cache read probe: the spin constant misses I/O stalls —
+    # two r11 diagnostic runs measured 2.3-2.6x total inflation with
+    # per-query movers FLIPPING between identical-code runs (pq_adc
+    # 0.65s->13.2s, image_phash 1.2s->34.9s) while spin said the box was
+    # FASTER than the committed close; the stall signature is bursty
+    # host I/O, so record a direct read-throughput sample too.
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    mb_per_s = None
+    probe = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        n = 0
+        t0 = time.perf_counter()
+        with open(probe, "rb") as fh:
+            while n < (128 << 20):
+                chunk = fh.read(8 << 20)
+                if not chunk:
+                    break
+                n += len(chunk)
+        dt = time.perf_counter() - t0
+        mb_per_s = round((n / 1048576) / dt, 1) if dt > 0 else None
+    except OSError:
+        pass
     la1, la5, la15 = os.getloadavg()
     return {
         "spin_iters_per_sec": it,
+        "read_mb_per_s": mb_per_s,
         "loadavg_1m": round(la1, 2),
         "loadavg_5m": round(la5, 2),
         "cpus": os.cpu_count(),
