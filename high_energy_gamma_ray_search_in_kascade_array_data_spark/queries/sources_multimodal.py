@@ -19,6 +19,13 @@ from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog im
 
 SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
 
+# Concurrent drivers (the FAIR-scheduler contention probe, a multi-tenant
+# harness) can invoke two fixture-sharing queries at once; both seeing
+# stale=True and racing write.mode("overwrite") on the same directory
+# corrupts the layout mid-read. Same hazard class as the dedup memo's
+# global slot table (operators/dedup.py) — serialized the same way.
+_FIXTURE_LOCK = __import__("threading").Lock()
+
 def _ids_fixture_stale(fix_dir: str, ids: list) -> str:
     """Fixture dirs are keyed by SF tag, but the driver regenerates
     /root/testdata between rounds — if the sampled id set ever changes
@@ -583,15 +590,17 @@ def events_by_type_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     fp = f"v3:{n}:{s}"
     fp_file = os.path.join(SCRATCH, f"events_by_type_{tag}._FPRINT")
     dim_path = os.path.join(SCRATCH, f"event_type_dim_{tag}")
-    stale = True
-    if (
-        os.path.exists(marker)
-        and os.path.exists(fp_file)
-        and os.path.exists(os.path.join(dim_path, "_SUCCESS"))
-    ):
-        with open(fp_file) as f:
-            stale = f.read().strip() != fp
-    if stale:
+    with _FIXTURE_LOCK:
+        stale = True
+        if (
+            os.path.exists(marker)
+            and os.path.exists(fp_file)
+            and os.path.exists(os.path.join(dim_path, "_SUCCESS"))
+        ):
+            with open(fp_file) as f:
+                stale = f.read().strip() != fp
+        if not stale:
+            return path, dim_path
         d.write.mode("overwrite").partitionBy("event_type").parquet(path)
         # materialize the star-schema dimension alongside the fact: one
         # row per event_type with its live row count — the shape a real
@@ -613,7 +622,7 @@ def events_by_type_fixture(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         )
         with open(fp_file, "w") as f:
             f.write(fp)
-    return path, dim_path
+        return path, dim_path
 
 
 @register(

@@ -457,3 +457,47 @@ def test_spread_scan_is_conditional(spark, sf_dir):
     wide = starved.repartition(dp)  # already multi-split
     same = spread_scan(wide)
     assert same is wide  # identity — no plan change, no exchange added
+
+
+def test_events_by_type_fixture_concurrent_build_race(spark, sf_dir):
+    """Two queries share the events_by_type layout; under a concurrent
+    driver (the FAIR contention probe scenario) both used to be able to
+    see stale=True and race write.mode("overwrite") on the same
+    directory. The build is now serialized under _FIXTURE_LOCK: wipe
+    the fixture, invoke from 4 threads at once, and every thread must
+    get a readable, identical layout (and the fact must have been
+    written exactly once — the dim fingerprint file is whole)."""
+    import shutil
+    import threading
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.sources_multimodal import (
+        SCRATCH,
+        events_by_type_fixture,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    for victim in (f"events_by_type_{tag}", f"event_type_dim_{tag}"):
+        shutil.rmtree(f"{SCRATCH}/{victim}", ignore_errors=True)
+    fp_file = f"{SCRATCH}/events_by_type_{tag}._FPRINT"
+    if os.path.exists(fp_file):
+        os.remove(fp_file)
+
+    results, errors = [], []
+
+    def worker():
+        try:
+            fact, dim = events_by_type_fixture(spark, sf_dir)
+            n_fact = spark.read.parquet(fact).count()
+            n_dim = spark.read.parquet(dim).count()
+            results.append((n_fact, n_dim))
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e))
+
+    threads = [threading.Thread(target=worker) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(set(results)) == 1, results
+    assert results[0][1] == 5  # the 5 event types
