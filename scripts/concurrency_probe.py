@@ -77,6 +77,15 @@ def main() -> int:
         n for n, _ in sorted(detail.items(), key=lambda kv: -(kv[1] or 0))
         if n in reg and n.startswith("stream")
     ][:3]
+    # r11 runtime-filter additions ride along regardless of weight: the
+    # DPP query exercises the shared-fixture build lock and the bloom
+    # query its scoped newSession conf clone — both concurrency
+    # mechanisms, so they belong in the concurrency probe.
+    names += [
+        n
+        for n in ("dynamic_partition_pruning_join", "runtime_bloom_filter_join")
+        if n in reg and n not in names
+    ]
     print("probing:", names, flush=True)
 
     # solo baselines (also warms codegen so the concurrent phase
