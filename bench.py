@@ -38,6 +38,7 @@ HEADLINE = [
     "q21_waiting_suppliers",
     "dynamic_partition_pruning_join",
     "runtime_bloom_filter_join",
+    "aqe_skew_join_split",
     "cdc_merge_apply",
     "compact_latest_per_key",
     "stat_corr_covar_suffstats",

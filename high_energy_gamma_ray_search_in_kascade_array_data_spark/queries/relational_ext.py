@@ -1529,6 +1529,96 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "aqe_skew_join_split",
+    survey_ref="§2.7,§2.6",
+    oracle="""
+WITH left_side AS (
+  SELECT CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE o_custkey END AS skew_key,
+         o_totalprice
+  FROM orders
+)
+SELECT (l.skew_key = 1) AS is_hot,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(FLOOR(l.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+FROM left_side l JOIN customer c ON c.c_custkey = l.skew_key
+GROUP BY 1
+""",
+)
+def q_aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENGINE-NATIVE skew mitigation — the AQE twin of the manual
+    `skew_salted_join` above, completing the runtime-re-optimization
+    trilogy (dynamic partition pruning, runtime bloom filter, skew
+    split): half of all orders collapse onto customer 1 (the
+    hot-tenant shape), the join is forced to a SortMergeJoin, and
+    AQE's OptimizeSkewedJoin detects the hot reduce partition from
+    map output statistics and SPLITS it across tasks at runtime — the
+    executed plan shows `SortMergeJoin(skew=true)` over an
+    `AQEShuffleRead skewed`, with zero user-side salting. Semantics
+    are EXACTLY the plain join (splitting a partition and replicating
+    the matching build rows is result-neutral), which the oracle
+    checks. Two findings the r11 probe pinned (tests/test_plans.py
+    asserts the executed markers): (1) skew splitting works at
+    PER-MAPPER granularity — a hot partition fed by a single map task
+    is indivisible and the rule silently declines, so an over-compacted
+    input (one file = one scan task, exactly the small-fixture shape)
+    DEFEATS skew mitigation; `spread_scan` restores the many-mapper
+    production shape the rule needs. (2) The skew thresholds compare
+    COMPRESSED shuffle sizes — a constant hot key over compressible
+    payload can sit under `skewedPartitionThresholdInBytes` long after
+    its row count is pathological. The scoped `newSession()` clone
+    recreates the production regime at fixture scale (thresholds
+    shrunk in proportion to the data; broadcast off so the join
+    actually shuffles), same no-conf-leak device as
+    `runtime_bloom_session`."""
+    return aqe_skew_frame(aqe_skew_session(spark), sf_dir).localCheckpoint(eager=True)
+
+
+def aqe_skew_session(spark: SparkSession) -> SparkSession:
+    """Scoped session (private SQLConf, no cross-thread leak — same
+    device as approx_ops.runtime_bloom_session) that recreates the
+    production skew regime at fixture scale: thresholds shrunk in
+    proportion to the data, broadcast off so the join actually
+    shuffles, coalescing off so the split stays readable in the plan."""
+    scoped = spark.newSession()
+    scoped.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    scoped.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB"
+    )
+    scoped.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    scoped.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    scoped.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    return scoped
+
+
+def aqe_skew_frame(scoped: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy plan under test: hot-tenant orders ⋈ customer forced
+    to a SortMergeJoin. Exposed separately so tests/test_plans.py can
+    assert the EXECUTED skew markers (the returned corpus query is an
+    eager localCheckpoint, which hides them)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import spread_scan
+
+    od = spread_scan(load_table(scoped, sf_dir, "orders"))
+    cu = spread_scan(load_table(scoped, sf_dir, "customer"))
+    left = od.select(
+        F.when(F.col("o_custkey") % 2 == 0, F.lit(1))
+        .otherwise(F.col("o_custkey"))
+        .alias("skew_key"),
+        "o_totalprice",
+    )
+    right = cu.select(F.col("c_custkey").alias("skew_key"))
+    return (
+        left.join(right, "skew_key")
+        .groupBy((F.col("skew_key") == 1).alias("is_hot"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("price_cents"),
+        )
+    )
+
+
+@register(
     "variant_semistructured",
     survey_ref="§2.4 note,§1.2",
     oracle="""
