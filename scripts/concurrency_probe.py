@@ -83,7 +83,7 @@ def main() -> int:
     # mechanisms, so they belong in the concurrency probe.
     names += [
         n
-        for n in ("dynamic_partition_pruning_join", "runtime_bloom_filter_join")
+        for n in ("dynamic_partition_pruning_join", "runtime_bloom_filter_join", "aqe_skew_join_split")
         if n in reg and n not in names
     ]
     print("probing:", names, flush=True)
