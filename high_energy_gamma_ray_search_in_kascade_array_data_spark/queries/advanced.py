@@ -11,7 +11,7 @@ from pyspark.sql.types import DoubleType
 
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.queries.common import SHOWER_CTE, shower_frame
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
-from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table, spread_scan
 
 
 @register(
@@ -125,7 +125,7 @@ def q_ivf_assign_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically). The centroid table is tiny and broadcast; the argmin
     is a per-vector window over n_cells rows. At scale the assigned
     cell becomes the partition key ANN probes prune on."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     exploded = e.select("label", F.posexplode(as_double).alias("pos", "x"))
     cent = (
@@ -214,7 +214,7 @@ def q_ivf_probe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     N·nprobe/n_cells. Cell assignment reuses the ivf_assign_cells
     argmin; at 100 TB the assignment is precomputed and the table is
     partitioned by cell, so probing = partition pruning."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     as_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     exploded = e.select("label", F.posexplode(as_double).alias("pos", "x"))
     cent = (

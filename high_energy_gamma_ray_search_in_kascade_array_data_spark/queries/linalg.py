@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
-from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table, spread_scan
 
 DIMS = 64
 
@@ -53,7 +53,7 @@ def _gram_upper(spark: SparkSession, sf_dir: str, scale: int) -> DataFrame:
     N×D rows twice and then build N×D² pairs post-join; this plan never
     materializes a pair relation wider than one input row.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     q = e.select(_quantized(F.col("embedding"), scale).alias("q"))
     pairs = q.select(
         F.explode(

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import register
-from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table
+from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table, spread_scan
 
 
 def _as_double(col):
@@ -390,7 +390,7 @@ def q_embedding_near_dup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch counter. Candidate generation stays a bucket equi-join —
     never all-pairs — and recall clamps to the fixed-bucket twin's at
     driver fixture sizes (n ≤ 1024 → nbits = 4, bit-identical output)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     n = e.count()
     nbits = min(16, max(4, (max((n + 63) // 64 - 1, 1)).bit_length()))
     bucket = sum(
@@ -454,7 +454,7 @@ def q_ann_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization scale is materialized as a column BEFORE the
     per-element lambda (an inline array_max would re-reduce the array
     per element — the expression-recompute trap)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     m = F.greatest(
         F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
         F.lit(1e-30),
@@ -563,7 +563,7 @@ def q_rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact = os.path.join(SCRATCH, "mlp_head_rerank.npz")
     inference.save_model_artifact(artifact, _mlp_state())
 
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     m = F.greatest(
         F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
         F.lit(1e-30),
@@ -674,7 +674,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-engine; argmin tie-breaks on centroid id via struct min.
     At 100 TB the codebook is a broadcast constant and assignment is
     map-only; only the final top-k reduces."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
 
     # All expressions below are built as SQL STRINGS (one F.expr/
     # selectExpr round-trip each) rather than composed Column objects:
@@ -803,7 +803,7 @@ def q_semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded to 1e-6 ticks and integer-encoded; argmax/tie-breaks are
     pure BIGINT arithmetic ((icos,cid) and (icos,vec_id) packed codes),
     so both engines agree bit-for-bit."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     c = e.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
     )
@@ -1184,7 +1184,7 @@ def q_colbert_maxsim_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits the top-5. At 100 TB the per-(doc,qtok) partial MAX is
     map-side combinable, so the exchange carries at most
     |docs|·|query tokens| rows."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     toks = e.select("vec_id", F.expr("vec_id DIV 50").alias("doc"), "embedding")
     qtoks = toks.filter(F.col("doc") == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
@@ -1281,7 +1281,7 @@ def q_colbert_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is |candidates|/|docs|, so the gap widens linearly with
     corpus size. At 100 TB the shortlist stage is itself amenable to
     the materialized-IVF treatment (``ivf_partitioned_index_probe``)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     toks = e.select("vec_id", F.expr("vec_id DIV 50").alias("doc"), "embedding")
     qtoks = toks.filter(F.col("doc") == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
@@ -1477,7 +1477,7 @@ def q_kcenter_coreset_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     no pairwise matrix. Integer-encoded cosine makes the greedy
     sequence deterministic, hence SQL-oracle-checkable (the oracle
     replays it as a recursive CTE)."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
     chosen = [0]
     rows = [(1, 0)]
     for step in range(2, 6):

@@ -162,6 +162,28 @@ def test_q21_single_lineitem_shuffle_chain(spark, sf_dir):
     assert_partial_aggregation(df)
 
 
+def test_embedding_heavy_queries_spread_starved_scan(spark, sf_dir):
+    """The per-row-heavy embedding queries (interpreted HOF cosines,
+    the 2 080-struct Gram explode) must spread a STARVED scan across
+    cores: the test fixture is one parquet split, so the plan carries
+    spread_scan's round-robin exchange — without it the whole
+    broadcast-scored corpus pass runs in ONE task (measured r11:
+    colbert_maxsim 3.19 s -> 0.90 s median, gram 2.14 -> 0.66,
+    embedding_near_dup_scaled 2.17 -> 0.76, interleaved A/B at sf0.1).
+    On a production multi-split corpus the conditional never fires
+    (tests/test_sources.py asserts both branches)."""
+    for name in (
+        "colbert_maxsim_retrieval",
+        "gram_matrix_embeddings",
+        "ann_int8_quantized_topk",
+        "semdedup_cluster_prune",
+        "embedding_near_dup_scaled",
+    ):
+        assert "RoundRobinPartitioning" in physical_plan(_q(name, spark, sf_dir)), (
+            f"{name}: starved embedding scan is not spread"
+        )
+
+
 def test_int8_topk_takeordered(spark, sf_dir):
     """Quantized top-k must plan TakeOrderedAndProject over the
     broadcast-probed scan, like its float sibling."""
