@@ -27,7 +27,7 @@ SHOWCASE = {
     "window_topk_per_group": "WindowGroupLimit pushed below the exchange (map-side rank limit)",
     "compact_latest_per_key": "WindowGroupLimit pushed below the exchange (map-side rank limit)",
     "cosine_topk": "TakeOrderedAndProject, not a global sort; dot product in codegen",
-    "pq_adc_topk": "query→centroid table folded as plan-time literals (r9): scan → codegen projection → TakeOrdered, no join of any kind",
+    "pq_adc_topk": "query→centroid table folded as plan-time literals (r9): scan → codegen projection → TakeOrdered, no join of any kind (r11: plus the conditional starved-scan spread exchange, absent on multi-split corpora)",
     "minhash_lsh_neardup_fast": "band-bucket equi-join; no cross product anywhere",
     "stat_corr_covar_suffstats": "moments as one partial-aggregated pass of integer sums",
     "cdc_merge_apply": "full-outer sort-merge on the key; changeset union stays unshuffled until the join",
