@@ -51,6 +51,10 @@ def _zigzag() -> list[tuple[int, int]]:
 
 ZIGZAG = _zigzag()
 
+# Flat (row-major) position of zigzag index i — vectorized dezigzag:
+# ``flat[_ZZ_FLAT] = seq`` is the 64-iteration tuple loop as one gather.
+_ZZ_FLAT = np.array([u * 8 + v for (u, v) in ZIGZAG], np.int64)
+
 # Canonical Huffman tables. These are NOT the Annex-K defaults (no need
 # to transcribe 162 magic bytes): every symbol sits at one code length,
 # which yields a valid canonical table (162 codes of length 8 → max
@@ -179,43 +183,114 @@ def encode_jpeg_gray(coeffs: np.ndarray, quant: np.ndarray | None = None) -> byt
 # ----------------------------------------------------------- decoder
 
 class _BitReader:
-    """Entropy-segment bit reader with 0xFF00 de-stuffing."""
+    """Entropy-segment bit reader with 0xFF00 de-stuffing.
+
+    Byte-at-a-time accumulator (not bit-at-a-time): ``_fill`` consumes
+    whole stuffed bytes into an integer window, so a bit read is two
+    shifts instead of a function call per bit — the r12 profile put 46%
+    of the decode wall in per-bit dict walks. Error semantics are
+    IDENTICAL to the per-bit reader: hitting a real marker (or the end
+    of the buffer) only raises when the decode actually needs a bit
+    from beyond it, so the deferred ``_stop`` error is raised at
+    consumption time, never at peek time."""
+
+    __slots__ = ("_d", "_pos", "_acc", "_nav", "_stop")
 
     def __init__(self, data: bytes, pos: int) -> None:
         self._d = data
         self._pos = pos
-        self._cur = 0
-        self._n = 0
+        self._acc = 0
+        self._nav = 0
+        self._stop: Exception | None = None
 
-    def read_bit(self) -> int:
-        if self._n == 0:
-            byte = self._d[self._pos]
-            self._pos += 1
+    def _fill(self, need: int) -> None:
+        """Best-effort refill of the accumulator to ``need`` bits;
+        records (does not raise) the stop condition — marker byte or
+        end of buffer — exactly where the per-bit reader would have
+        raised it."""
+        d, p = self._d, self._pos
+        acc, nav = self._acc, self._nav
+        n = len(d)
+        while nav < need:
+            if p >= n:
+                self._stop = IndexError("index out of range")
+                break
+            byte = d[p]
+            p += 1
             if byte == 0xFF:
-                nxt = self._d[self._pos]
+                if p >= n:
+                    self._stop = IndexError("index out of range")
+                    break
+                nxt = d[p]
                 if nxt == 0x00:
-                    self._pos += 1  # stuffed
+                    p += 1  # stuffed
                 else:
-                    raise ValueError(f"unexpected marker 0xFF{nxt:02X} in entropy data")
-            self._cur, self._n = byte, 8
-        self._n -= 1
-        return (self._cur >> self._n) & 1
+                    p -= 1  # marker stays unconsumed
+                    self._stop = ValueError(
+                        f"unexpected marker 0xFF{nxt:02X} in entropy data"
+                    )
+                    break
+            acc = (acc << 8) | byte
+            nav += 8
+        self._pos = p
+        self._acc, self._nav = acc, nav
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if self._nav < n:
+            self._fill(n)
+            if self._nav < n:
+                raise self._stop
+        nav = self._nav - n
+        v = self._acc >> nav
+        self._acc &= (1 << nav) - 1
+        self._nav = nav
         return v
 
+    def read_bit(self) -> int:
+        return self.read_bits(1)
 
-def _decode_huffman(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | reader.read_bit()
-        length += 1
-        sym = table.get((code, length))
-        if sym is not None:
-            return sym
+
+def _canonical_decode_table(bits: list[int], vals: list[int]):
+    """DHT (BITS, HUFFVAL) → (mincode, maxcode, valptr, vals) arrays for
+    the T.81 F.2.2.3 DECODE procedure, indexed by code length 1..16.
+    ``mincode[l] <= code <= maxcode[l]`` is exactly the ``(code, l) in
+    table`` test of the former dict walk (canonical codes are assigned
+    consecutively per length), checked both-bounds so corrupt streams
+    take the identical error path."""
+    mincode = [0] * 17
+    maxcode = [-1] * 17
+    valptr = [0] * 17
+    code, k = 0, 0
+    for length in range(1, 17):
+        n = bits[length - 1]
+        if n:
+            valptr[length] = k
+            mincode[length] = code
+            code += n
+            k += n
+            maxcode[length] = code - 1
+        code <<= 1
+    return mincode, maxcode, valptr, list(vals)
+
+
+def _decode_huffman(reader: _BitReader, table) -> int:
+    """One Huffman symbol via the canonical-array walk: peek up to 16
+    bits once, then length-extend with integer compares (no per-bit
+    calls, no per-symbol dict probes)."""
+    mincode, maxcode, valptr, vals = table
+    if reader._nav < 16:
+        reader._fill(16)
+    m = reader._nav
+    acc = reader._acc
+    for length in range(1, 17):
+        if length > m:
+            raise reader._stop  # stream ended mid-code, as per-bit reader
+        code = acc >> (m - length)
+        if mincode[length] <= code <= maxcode[length]:
+            nav = m - length
+            reader._acc = acc & ((1 << nav) - 1)
+            reader._nav = nav
+            return vals[valptr[length] + code - mincode[length]]
     raise ValueError("invalid Huffman code")
 
 
@@ -231,7 +306,7 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray:
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    htables: dict[tuple[int, int], tuple] = {}
     dims: tuple[int, int] | None = None
     comp_q = 0
     scan_dc = scan_ac = 0
@@ -253,10 +328,9 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray:
                 pq, tq = seg[off] >> 4, seg[off] & 0x0F
                 if pq != 0:
                     raise ValueError("unsupported 16-bit quant table")
-                tbl = np.zeros((8, 8), np.int64)
-                for i, (u, v) in enumerate(ZIGZAG):
-                    tbl[u, v] = seg[off + 1 + i]
-                qtables[tq] = tbl
+                tbl = np.zeros(64, np.int64)
+                tbl[_ZZ_FLAT] = np.frombuffer(seg, np.uint8, 64, off + 1)
+                qtables[tq] = tbl.reshape(8, 8)
                 off += 65
         elif marker == 0xC0:  # SOF0 baseline
             precision, h, w, ncomp = struct.unpack_from(">BHHB", seg, 0)
@@ -278,9 +352,7 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray:
                 bits = list(seg[off + 1 : off + 17])
                 nvals = sum(bits)
                 vals = list(seg[off + 17 : off + 17 + nvals])
-                htables[(cls, tid)] = {
-                    (code, ln): sym for sym, (code, ln) in build_codes(bits, vals).items()
-                }
+                htables[(cls, tid)] = _canonical_decode_table(bits, vals)
                 off += 17 + nvals
         elif marker == 0xDD:
             raise ValueError("unsupported restart interval")
@@ -308,36 +380,45 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray:
     q = qtables[comp_q]
     dc_tbl, ac_tbl = htables[(0, scan_dc)], htables[(1, scan_ac)]
     reader = _BitReader(b, pos)
-    img = np.zeros((h, w), np.uint8)
+    bh, bw = h // 8, w // 8
+    # Entropy decode is inherently sequential (DC prediction chains
+    # across blocks); collect per-block zigzag sequences as plain lists,
+    # then dezigzag / dequantize / IDCT every block in ONE batched
+    # NumPy pass (bit-identical to the per-block path — matmul
+    # broadcasts per 8×8 slice; asserted in tests/test_jpeg_codec.py).
+    if bh * bw == 0:
+        return np.zeros((h, w), np.uint8)
+    seqs: list[list[int]] = []
     pred = 0
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            seq = np.zeros(64, np.int64)
-            size = _decode_huffman(reader, dc_tbl)
-            diff = _extend(reader.read_bits(size), size) if size else 0
-            pred += diff
-            seq[0] = pred
-            i = 1
-            while i < 64:
-                sym = _decode_huffman(reader, ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    i += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                i += run
-                if i >= 64:
-                    raise ValueError("AC run past end of block")
-                seq[i] = _extend(reader.read_bits(size), size)
-                i += 1
-            coeffs = np.zeros((8, 8), np.int64)
-            for i, (u, v) in enumerate(ZIGZAG):
-                coeffs[u, v] = seq[i]
-            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct_block(
-                (coeffs * q).astype(np.float64)
-            )
-    return img
+    for _ in range(bh * bw):
+        seq = [0] * 64
+        size = _decode_huffman(reader, dc_tbl)
+        diff = _extend(reader.read_bits(size), size) if size else 0
+        pred += diff
+        seq[0] = pred
+        i = 1
+        while i < 64:
+            sym = _decode_huffman(reader, ac_tbl)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            i += run
+            if i >= 64:
+                raise ValueError("AC run past end of block")
+            seq[i] = _extend(reader.read_bits(size), size)
+            i += 1
+        seqs.append(seq)
+    flat = np.zeros((bh * bw, 64), np.int64)
+    flat[:, _ZZ_FLAT] = np.array(seqs, np.int64)
+    coeffs = (flat.reshape(bh * bw, 8, 8) * q).astype(np.float64)
+    spatial = np.matmul(np.matmul(_A.T, coeffs), _A)
+    pix = np.clip(np.floor(spatial + 128.5), 0, 255).astype(np.uint8)
+    return np.ascontiguousarray(
+        pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    )
 
 
 # ------------------------------------------- deterministic fixture set

@@ -264,6 +264,60 @@ def synth_jpeg_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.mapInPandas(attach, MEDIA_SCHEMA)
 
 
+def synth_and_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fused synth→decode JPEG pipeline in ONE Arrow kernel (guide
+    §4.1/§8): the former two chained ``mapInPandas`` stages shipped
+    every payload JVM→Python→JVM→Python — the container bytes crossed
+    the Arrow boundary twice so that the very next operator could parse
+    them in Python again. Fusing moves only the 8-byte ``event_id``
+    proxy across the boundary; synthesis (worker-memoized 64 variants,
+    same license as before) and the per-row container PARSE — still
+    executed for EVERY row, the operation under test — happen in the
+    same task. Result and oracle are unchanged; the Arrow
+    binary-column ingest seam itself stays covered by the BMP/PNG/WAV
+    (plan-side bytes → Python parse) and GIF/video (binaryFile scan →
+    Python parse) queries."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.operators.jpeg import fixture_jpeg
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import load_table, spread_scan
+
+    ev = spread_scan(load_table(spark, sf_dir, "events").select("event_id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cache: dict[int, bytes] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, imgs = [], []
+            for eid in pdf["event_id"]:
+                kk = int(eid) % 64
+                payload = cache.get(kk)
+                if payload is None:
+                    payload = cache[kk] = fixture_jpeg(kk)
+                imgs.append(decode_image_bytes(payload))  # parses EVERY row
+                ids.append(int(eid))
+            # feature math vectorized across the batch (all fixture
+            # images share one shape; integer sums/dot are order-free
+            # so the values are bit-identical to the per-row form)
+            hs = np.asarray([im.shape[0] for im in imgs], "int32")
+            ws = np.asarray([im.shape[1] for im in imgs], "int32")
+            mats = np.stack(imgs).reshape(len(imgs), -1).astype(np.int64)
+            w = np.arange(mats.shape[1], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.asarray(ids, "int64"),
+                    "width": ws,
+                    "height": hs,
+                    "mean_intensity": mats.sum(axis=1) / mats.shape[1],
+                    "max_intensity": mats.max(axis=1).astype("int32"),
+                    "checksum_weighted": mats @ w,
+                }
+            )
+
+    return ev.mapInPandas(kernel, REAL_FEATURES_SCHEMA)
+
+
 def decode_image_bytes(buf) -> "object":
     """Pure-stdlib image decode → (H, W) uint8 grayscale ndarray.
 

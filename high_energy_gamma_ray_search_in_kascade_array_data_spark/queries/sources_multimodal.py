@@ -343,9 +343,13 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     0xFF00 de-stuffing, DC prediction, run/EOB/ZRL AC coding, dequant,
     dezigzag, IDCT) before the same feature math as the BMP/PNG
     queries.  mean = int pixel sum / 256 stays exact-dyadic, so a real
-    *lossy-format* decoder is still gated by exact hash."""
-    media = multimodal.synth_jpeg_media(spark, sf_dir)
-    return multimodal.decode_media(media, codec="real")
+    *lossy-format* decoder is still gated by exact hash.
+
+    r12: synth and decode are FUSED into one Arrow kernel (guide §4.1 —
+    the payload used to cross the Python boundary twice purely to be
+    parsed by the adjacent stage; now only event_id crosses). The
+    per-row container parse is unchanged and unmemoized."""
+    return multimodal.synth_and_decode_jpeg(spark, sf_dir)
 
 
 @register(

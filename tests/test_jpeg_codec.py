@@ -150,6 +150,52 @@ def test_fill_bytes_before_markers_are_skipped():
     assert (jpeg.decode_jpeg_gray(padded) == ref).all()
 
 
+def test_canonical_decode_table_matches_dict_walk():
+    """The r12 fast decoder walks (mincode, maxcode, valptr) canonical
+    arrays instead of a (code, length) dict; both must define EXACTLY
+    the same code→symbol map over the full 16-bit code space."""
+    for bits, vals in ((jpeg._DC_BITS, jpeg._DC_VALS), (jpeg._AC_BITS, jpeg._AC_VALS)):
+        codes = jpeg.build_codes(bits, vals)  # symbol -> (code, length)
+        dict_walk = {(code, ln): sym for sym, (code, ln) in codes.items()}
+        mincode, maxcode, valptr, v = jpeg._canonical_decode_table(bits, vals)
+        for ln in range(1, 17):
+            for code in range(1 << ln):
+                in_canon = mincode[ln] <= code <= maxcode[ln]
+                sym = dict_walk.get((code, ln))
+                assert in_canon == (sym is not None), (ln, code)
+                if in_canon:
+                    assert v[valptr[ln] + code - mincode[ln]] == sym
+
+
+def test_batched_idct_bit_identical_to_per_block():
+    """decode_jpeg_gray now runs one batched matmul IDCT over all
+    blocks; it must be bit-identical to the per-block idct_block path
+    (float64 matmul broadcasting preserves per-slice FP order)."""
+    rng = np.random.RandomState(99)
+    c = rng.randint(-2000, 2000, size=(12, 8, 8)).astype(np.float64)
+    batch = np.matmul(np.matmul(jpeg._A.T, c), jpeg._A)
+    pix = np.clip(np.floor(batch + 128.5), 0, 255).astype(np.uint8)
+    for i in range(12):
+        assert (pix[i] == jpeg.idct_block(c[i])).all()
+
+
+def test_bitreader_accumulator_matches_per_bit_semantics():
+    """The accumulator reader must de-stuff 0xFF00, return the same
+    bits, and defer marker/end errors to consumption time — a decode
+    that finishes exactly at the marker must NOT raise."""
+    data = bytes([0b10110010, 0xFF, 0x00, 0b01000000, 0xFF, 0xD9])
+    r = jpeg._BitReader(data, 0)
+    assert r.read_bits(8) == 0b10110010
+    assert r.read_bits(8) == 0xFF  # stuffed byte is data
+    assert r.read_bits(8) == 0b01000000  # ends exactly at marker: no raise
+    with pytest.raises(ValueError, match="unexpected marker 0xFFD9"):
+        r.read_bits(1)
+    r2 = jpeg._BitReader(bytes([0xAB]), 0)
+    assert r2.read_bits(4) == 0xA
+    with pytest.raises(IndexError):
+        r2.read_bits(8)
+
+
 def test_missing_tables_raise_valueerror_not_keyerror():
     """A scan referencing a quant/Huffman table id absent from DQT/DHT
     must raise the documented ValueError (r6 ADVICE: used to KeyError)."""
