@@ -253,7 +253,17 @@ def q_stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = ev.withWatermark("ts", "35 days").dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     )
-    sink_tbl = core.run_to_memory(dedup, "stream_dedup_keys_sink", output_mode="append", state_partitions=8)
+    # r12: no-data micro-batch skipped — dedup emits each first-seen
+    # row ON ARRIVAL; the terminal no-data batch only evicts expired
+    # state and can never add or remove a sink row. Equality with the
+    # no-data-batch run is pinned in tests/test_streaming_semantics.py.
+    sink_tbl = core.run_to_memory(
+        dedup,
+        "stream_dedup_keys_sink",
+        output_mode="append",
+        state_partitions=8,
+        extra_confs={"spark.sql.streaming.noDataMicroBatches.enabled": "false"},
+    )
     return spark.table(sink_tbl).agg(F.count(F.lit(1)).alias("n_unique"))
 
 
@@ -275,8 +285,20 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay-equivalence contract."""
     ev = core.read_events_stream(spark, sf_dir)
     joined = core.view_purchase_join(ev)
+    # r12: skip the terminal no-data micro-batch. An INNER stream-stream
+    # join emits every match on arrival; the no-data batch only evicts
+    # expired state (one more full state commit: ~0.7 s at fixture
+    # scale, measured allUpdates+commitTimeMs). Output verified
+    # row-identical with/without at sf0.01 and sf0.1
+    # (tests/test_streaming_semantics.py::test_inner_join_no_data_batch_skip_identical).
+    # The LEFT OUTER twin keeps no-data batches ON — its outer nulls
+    # exist only because that batch advances the watermark.
     sink_tbl = core.run_to_memory(
-        joined, "stream_stream_join_sink", output_mode="append", state_partitions=4
+        joined,
+        "stream_stream_join_sink",
+        output_mode="append",
+        state_partitions=4,
+        extra_confs={"spark.sql.streaming.noDataMicroBatches.enabled": "false"},
     )
     return spark.table(sink_tbl)
 
@@ -617,8 +639,12 @@ def q_stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
     Scale: state is one counter per open (window, type) — bounded by
     the watermark horizon; stragglers beyond it are rejected before
     the shuffle ships them anywhere."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import (
+        file_schema,
+    )
+
     replay = _late_replay_dir(spark, sf_dir)
-    schema = spark.read.parquet(replay).schema
+    schema = file_schema(spark, replay)  # memoized footer read (r12)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -780,7 +806,11 @@ def q_stream_foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         os.rename(nxt, cur)
         shutil.rmtree(tmp_old, ignore_errors=True)
 
-    schema = spark.read.parquet(replay).schema
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import (
+        file_schema,
+    )
+
+    schema = file_schema(spark, replay)  # memoized footer read (r12)
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

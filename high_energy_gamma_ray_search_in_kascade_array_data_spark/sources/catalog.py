@@ -134,6 +134,34 @@ def _stat_key(path: str):
     return (st.st_mtime_ns, st.st_size, entries)
 
 
+# Raw parquet footer-schema memo for the STREAMING read path: a
+# streaming file source needs an explicit schema, which the r11 code
+# fetched with a fresh batch footer read per query (~0.15 s of
+# planning Py4J each — measured in the r12 streaming floor profile).
+# Same staleness design as _TABLE_CACHE; a schema is immutable so this
+# is planning-cost amortization, never data caching. Session-keyed
+# like _TABLE_CACHE because footer type resolution is conf-sensitive
+# (``nanosAsLong`` turns TIMESTAMP(NANOS) into bigint per session).
+_SCHEMA_CACHE: dict = {}
+
+
+def file_schema(spark: SparkSession, path: str):
+    """Footer schema of ``path`` exactly as ``spark.read.parquet``
+    resolves it, memoized per (session, path, stat key)."""
+    sk = _stat_key(path)
+    key = (id(spark), path, sk)
+    if sk is not None:
+        hit = _SCHEMA_CACHE.get(key)
+        if hit is not None and hit[0] is spark:
+            return hit[1]
+    schema = spark.read.parquet(path).schema
+    if sk is not None:
+        if len(_SCHEMA_CACHE) >= 512:
+            _SCHEMA_CACHE.clear()
+        _SCHEMA_CACHE[key] = (spark, schema)
+    return schema
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table (schema comes from parquet);
     ``events.ts`` is normalized to a canonical timestamp regardless of

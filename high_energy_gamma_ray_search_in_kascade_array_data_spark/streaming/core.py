@@ -27,7 +27,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.catalog import normalize_events_ts
+from ..sources.catalog import file_schema, normalize_events_ts
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,12 +58,12 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 10x sweep caught across all 13 streaming queries, SCALE.md
     # round-5 record).
     path = os.path.join(sf_dir, "events.parquet")
-    file_schema = spark.read.parquet(path).schema
+    schema = file_schema(spark, path)  # memoized footer read (r12)
     if os.path.isdir(path):
-        raw = spark.readStream.schema(file_schema).parquet(path)
+        raw = spark.readStream.schema(schema).parquet(path)
     else:
         raw = (
-            spark.readStream.schema(file_schema)
+            spark.readStream.schema(schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )
@@ -75,11 +75,11 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     handling as ``read_events_stream``; no timestamp normalization —
     documents carry no event time)."""
     path = os.path.join(sf_dir, "documents.parquet")
-    file_schema = spark.read.parquet(path).schema
+    schema = file_schema(spark, path)  # memoized footer read (r12)
     if os.path.isdir(path):
-        return spark.readStream.schema(file_schema).parquet(path)
+        return spark.readStream.schema(schema).parquet(path)
     return (
-        spark.readStream.schema(file_schema)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )

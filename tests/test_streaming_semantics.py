@@ -526,3 +526,41 @@ def test_statestore_reader_decodes_rocksdb_checkpoints(spark, sf_dir):
             spark.conf.set(conf_key, prev)
     assert rocks_rows == default_rows
     assert len(rocks_rows) > 0
+
+
+def test_inner_join_no_data_batch_skip_identical(spark, sf_dir):
+    """r12: the inner stream-stream join and streaming dedup skip the
+    terminal no-data micro-batch (it only evicts state — every output
+    row of both queries emits on data arrival). This pins the claim:
+    draining with and without no-data batches must yield identical
+    sink rows. The left-outer twin is the counterexample and keeps
+    no-data batches on (its own protocol tests cover it)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.streaming import core
+
+    for build, mode, parts in (
+        (core.view_purchase_join, "append", 4),
+        (
+            lambda ev: ev.withWatermark("ts", "35 days").dropDuplicatesWithinWatermark(
+                ["user_id", "event_type"]
+            ),
+            "append",
+            8,
+        ),
+    ):
+        with_nd = core.run_to_memory(
+            build(core.read_events_stream(spark, sf_dir)),
+            "ndb_ref",
+            output_mode=mode,
+            state_partitions=parts,
+        )
+        without_nd = core.run_to_memory(
+            build(core.read_events_stream(spark, sf_dir)),
+            "ndb_cand",
+            output_mode=mode,
+            state_partitions=parts,
+            extra_confs={"spark.sql.streaming.noDataMicroBatches.enabled": "false"},
+        )
+        ref = sorted(map(tuple, spark.table(with_nd).collect()))
+        cand = sorted(map(tuple, spark.table(without_nd).collect()))
+        assert ref == cand
+        assert len(ref) > 0
