@@ -1217,10 +1217,13 @@ def q_statestore_reader_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
-        q.stop()
     finally:
+        # StreamExecution clones the session inside start(): restore
+        # immediately so the pin cannot leak to concurrent threads
+        # (same scoping rule as run_to_memory, r12).
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    q.stop()
     state = (
         spark.read.format("statestore")
         .load(ck)

@@ -390,8 +390,11 @@ def q_embedding_near_dup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch counter. Candidate generation stays a bucket equi-join —
     never all-pairs — and recall clamps to the fixed-bucket twin's at
     driver fixture sizes (n ≤ 1024 → nbits = 4, bit-identical output)."""
-    e = spread_scan(load_table(spark, sf_dir, "embeddings"))
-    n = e.count()
+    raw = load_table(spark, sf_dir, "embeddings")
+    # count the RAW scan: the one-value control-plane count must not
+    # pay spread_scan's full-payload round-robin exchange (r11 ADVICE)
+    n = raw.count()
+    e = spread_scan(raw)
     nbits = min(16, max(4, (max((n + 63) // 64 - 1, 1)).bit_length()))
     bucket = sum(
         F.when(F.element_at(F.col("embedding"), i + 1) >= 0, F.lit(1 << i).cast("long")).otherwise(

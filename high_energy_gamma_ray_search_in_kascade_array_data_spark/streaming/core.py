@@ -143,6 +143,11 @@ _PREV_SINKS: dict[str, list[str]] = {}
 _SINK_KEEP = 8
 _SINK_LOCK = threading.Lock()
 
+# Serializes the [set confs -> start() -> restore confs] window so a
+# concurrently-starting stream can never snapshot another invocation's
+# scoped confs (see run_to_memory docstring).
+_CONF_SCOPE_LOCK = threading.Lock()
+
 
 def run_to_memory(
     stream_df: DataFrame,
@@ -170,7 +175,19 @@ def run_to_memory(
     is frozen at first start, and every state partition pays a
     store-open/commit cost per microbatch — at fixture scale 32
     partitions × 2 join state stores is pure overhead (~25s), while a
-    real cluster run sizes it to state volume instead."""
+    real cluster run sizes it to state volume instead.
+
+    Conf scoping (r12, caught by the RocksDB 4-way contention probe):
+    ``StreamExecution`` clones the session SYNCHRONOUSLY inside
+    ``start()``, snapshotting every SQL conf for the query's lifetime
+    — so the session confs are restored IMMEDIATELY after ``start()``
+    returns, not after the drain, and the set→start→restore window is
+    serialized by a lock. The r11 code restored in a finally after
+    ``awaitTermination``, which let a concurrently-STARTING stream in
+    another thread inherit this query's confs for its whole run (a
+    left-outer join inheriting the inner join's
+    noDataMicroBatches=false emits no outer nulls — an actual wrong
+    answer, observed once in the probe before this fix)."""
     spark = stream_df.sparkSession
     sink = f"{name}_{uuid.uuid4().hex[:8]}"
     with _SINK_LOCK:
@@ -183,38 +200,40 @@ def run_to_memory(
             spark.catalog.dropTempView(s)
         except Exception:
             pass  # already gone / different session
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    prev_extra = {}
-    for k, v in (extra_confs or {}).items():
-        try:
-            prev_extra[k] = spark.conf.get(k)
-        except Exception:
-            prev_extra[k] = None
-        spark.conf.set(k, v)
-    if state_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-    try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        try:
-            LAST_PROGRESS[name] = list(q.recentProgress)
-        except Exception:
-            LAST_PROGRESS[name] = []
-        q.stop()
-    finally:
+    with _CONF_SCOPE_LOCK:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_extra = {}
+        for k, v in (extra_confs or {}).items():
+            try:
+                prev_extra[k] = spark.conf.get(k)
+            except Exception:
+                prev_extra[k] = None
+            spark.conf.set(k, v)
         if state_partitions is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
-        for k, v in prev_extra.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        try:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            # session clone is taken inside start(): safe to restore now
+            if state_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", prev)
+            for k, v in prev_extra.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+    q.awaitTermination()
+    try:
+        LAST_PROGRESS[name] = list(q.recentProgress)
+    except Exception:
+        LAST_PROGRESS[name] = []
+    q.stop()
     return sink
 
 

@@ -15,6 +15,25 @@ Normalization: a box with half the spin throughput is expected to run
 is comparable to t_ref. Sub-second queries are noise-dominated and
 held to an absolute floor instead (|Δ| must also exceed 0.3 s).
 
+r12 (VERDICT r11 task 7) — TWO-CHANNEL gate: the spin constant only
+measures CPU; the r11 adjudications showed multi-second bursty HOST
+I/O stalls landing on a different random handful of queries per run
+while spin said the box was FINE (pq_adc_topk 0.65 s → 13.2 s,
+identical code). Both bench files since r11 also record a direct
+disk-read probe (``calib.read_mb_per_s``). A move now counts as a
+regression only when it exceeds THRESH under BOTH normalizations:
+    ratio_cpu = t_cur × (spin_cur/spin_ref) / t_ref
+    ratio_io  = t_cur × (read_cur/read_ref) / t_ref   (clamped: the
+        io factor is bounded to [1/4, 1] — a slower-disk window can
+        EXCUSE up to 4× of a slowdown, but a faster disk never
+        amplifies one, and a >4× disk gap means the runs are not
+        comparable at all, not that every query got 10× slack)
+and symmetrically for improvements (both ratios < 1/THRESH). When
+either file lacks the read probe, the gate degrades to spin-only
+exactly as before. Purpose: stop I/O-stall false flags from consuming
+3×-interleaved adjudication effort; real code regressions are
+CPU-visible and still fail both channels.
+
 Usage:
     python scripts/check_bench_regression.py [--ref GITREF] [--strict]
 
@@ -84,6 +103,12 @@ def main() -> int:
     spin_cur = cur.get("calib", {}).get("spin_iters_per_sec")
     spin_ref = prev.get("calib", {}).get("spin_iters_per_sec")
     norm = (spin_cur / spin_ref) if (spin_cur and spin_ref) else 1.0
+    read_cur = cur.get("calib", {}).get("read_mb_per_s")
+    read_ref = prev.get("calib", {}).get("read_mb_per_s")
+    # io factor <1 = current disk window slower; clamped (see header)
+    io_norm = (
+        max(0.25, min(1.0, read_cur / read_ref)) if (read_cur and read_ref) else 1.0
+    )
 
     # Adjudication book (scripts/adjudicate_regression.py): a flagged
     # regression is excusable in --strict mode ONLY when it was re-run
@@ -102,14 +127,30 @@ def main() -> int:
     qc, qp = cur.get("queries", {}), prev.get("queries", {})
     flagged: list[tuple[str, float, float, float]] = []
     for name in sorted(set(qc) & set(qp)):
+        if qp[name] <= 0:
+            continue
+        ratio_cpu = qc[name] * norm / qp[name]
+        ratio_io = qc[name] * io_norm / qp[name]
         t_norm = qc[name] * norm
-        ratio = t_norm / qp[name] if qp[name] > 0 else float("inf")
-        if (ratio > THRESH or ratio < 1 / THRESH) and abs(t_norm - qp[name]) > ABS_FLOOR_S:
-            flagged.append((name, qp[name], qc[name], ratio))
+        # regression: must exceed THRESH under BOTH channels; the
+        # reported ratio is the more forgiving one (what survives).
+        if (
+            ratio_cpu > THRESH
+            and ratio_io > THRESH
+            and abs(t_norm - qp[name]) > ABS_FLOOR_S
+        ):
+            flagged.append((name, qp[name], qc[name], min(ratio_cpu, ratio_io)))
+        elif (
+            ratio_cpu < 1 / THRESH
+            and ratio_io < 1 / THRESH
+            and abs(t_norm - qp[name]) > ABS_FLOOR_S
+        ):
+            flagged.append((name, qp[name], qc[name], max(ratio_cpu, ratio_io)))
 
     print(
         f"bench-regression: cur vs {ref[:12]}  "
         f"spin_cur={spin_cur} spin_ref={spin_ref} norm={norm:.3f}  "
+        f"read_cur={read_cur} read_ref={read_ref} io_norm={io_norm:.3f}  "
         f"common queries={len(set(qc) & set(qp))} "
         f"(new: {sorted(set(qc) - set(qp))or '[]'}, dropped: {sorted(set(qp) - set(qc)) or '[]'})"
     )

@@ -51,13 +51,27 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = (
+    # r12 (VERDICT r11 what's-wrong #3): RocksDB is the probe's
+    # state-store DEFAULT. One r11 probe run died with a driver-heap
+    # OOM inside StateStoreSaveExec — in local mode every concurrent
+    # stream's HDFS-backed state map lives on the driver heap, while
+    # the RocksDB provider keeps state off-heap/on-disk, which is the
+    # production mitigation (and the provider parity tests already pin
+    # hash equality between the two). Override with
+    # SPARK_GRAFT_STATE_PROVIDER=hdfs to reproduce the old behavior.
+    provider = os.environ.get("SPARK_GRAFT_STATE_PROVIDER", "rocksdb")
+    builder = (
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.sql.shuffle.partitions", "32")
         .appName("concurrency-probe")
-        .getOrCreate()
     )
+    if provider == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
@@ -140,7 +154,7 @@ def main() -> int:
     agg_slow = conc_total / solo_total if solo_total else float("inf")
     lines = [
         "",
-        "## Concurrent-session contention probe (r11)",
+        f"## Concurrent-session contention probe (r12, state store: {provider})",
         "",
         f"date: {datetime.now(timezone.utc).strftime('%Y-%m-%dT%H:%MZ')}  "
         f"fixture: {sf_dir}  streams: {N_STREAMS} (FAIR scheduler, one pool each)  "

@@ -92,7 +92,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     reg = corpus()
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    written = skipped = 0
+    written = skipped = failed = 0
     for name in names:
         if name not in reg:
             print(f"skip {name}: not in this checkout's registry")
@@ -103,7 +103,7 @@ def main() -> int:
             plan = df._jdf.queryExecution().explainString(mode)
         except Exception as exc:  # noqa: BLE001 - record, don't abort the sweep
             print(f"FAIL {name}: {exc}")
-            skipped += 1
+            failed += 1
             continue
         header = (
             f"-- {name} ({suffix}) -- explain('formatted') at {SF_DIR}\n"
@@ -117,8 +117,14 @@ def main() -> int:
             fh.write(header + plan)
         written += 1
         print(f"ok   {name}")
-    print(f"wrote {written} plans to {out_dir} ({suffix}); skipped {skipped}")
-    return 0
+    # r11 ADVICE: build/explain FAILURES are counted separately from
+    # not-in-registry skips and fail the run, so a regenerated audit
+    # trail can never silently succeed with missing plan files.
+    print(
+        f"wrote {written} plans to {out_dir} ({suffix}); "
+        f"skipped {skipped}; failed {failed}"
+    )
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":

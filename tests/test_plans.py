@@ -171,13 +171,34 @@ def test_embedding_heavy_queries_spread_starved_scan(spark, sf_dir):
     colbert_maxsim 3.19 s -> 0.90 s median, gram 2.14 -> 0.66,
     embedding_near_dup_scaled 2.17 -> 0.76, interleaved A/B at sf0.1).
     On a production multi-split corpus the conditional never fires
-    (tests/test_sources.py asserts both branches)."""
+    (tests/test_sources.py asserts both branches). Guard (r11 ADVICE):
+    spread_scan only fires when the fixture scan is actually starved —
+    on a 1-core runner (or a multi-split test fixture) the no-op
+    branch is the correct plan, so skip rather than fail spuriously.
+    Covers ALL batch-plan spread sites of the r11 §10 change
+    (kcenter_coreset_selection excluded: driver-built createDataFrame
+    plan; ivf_partitioned_index_probe excluded: index-side scan)."""
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.sources.catalog import (
+        load_table,
+    )
+
+    raw = load_table(spark, sf_dir, "embeddings")
+    if raw.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism:
+        import pytest
+
+        pytest.skip("fixture scan not starved here: spread_scan is a no-op by design")
     for name in (
         "colbert_maxsim_retrieval",
+        "colbert_two_stage",
         "gram_matrix_embeddings",
+        "power_iteration_eigen",
         "ann_int8_quantized_topk",
         "semdedup_cluster_prune",
         "embedding_near_dup_scaled",
+        "rerank_two_stage",
+        "pq_adc_topk",
+        "ivf_assign_cells",
+        "ivf_probe_topk",
     ):
         assert "RoundRobinPartitioning" in physical_plan(_q(name, spark, sf_dir)), (
             f"{name}: starved embedding scan is not spread"

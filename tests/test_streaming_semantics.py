@@ -564,3 +564,39 @@ def test_inner_join_no_data_batch_skip_identical(spark, sf_dir):
         cand = sorted(map(tuple, spark.table(without_nd).collect()))
         assert ref == cand
         assert len(ref) > 0
+
+
+def test_scoped_stream_confs_do_not_leak_to_concurrent_starts(spark, sf_dir):
+    """r12 regression test: run_to_memory scopes per-query confs by
+    restoring them immediately after start() (StreamExecution clones
+    the session synchronously inside start), under a lock. Before the
+    fix, a left-outer join STARTING while the inner join (which runs
+    with noDataMicroBatches=false) was mid-drain inherited that conf
+    and emitted no outer nulls — caught by the 4-way contention probe.
+    Here: start the inner join, then the outer join 150 ms later; the
+    outer join's rows must equal its solo run (which contains outer
+    nulls)."""
+    import threading
+
+    from high_energy_gamma_ray_search_in_kascade_array_data_spark.registry import corpus
+
+    reg = corpus()
+    solo = sorted(
+        map(tuple, reg["stream_stream_left_outer_join"].fn(spark, sf_dir).collect())
+    )
+    assert any(r[2] is None for r in solo), "solo LOJ must contain outer nulls"
+    res: dict[str, list] = {}
+
+    def run(name: str, key: str) -> None:
+        res[key] = sorted(map(tuple, reg[name].fn(spark, sf_dir).collect()))
+
+    t1 = threading.Thread(target=run, args=("stream_stream_join", "j"))
+    t2 = threading.Thread(target=run, args=("stream_stream_left_outer_join", "l"))
+    t1.start()
+    import time as _time
+
+    _time.sleep(0.15)
+    t2.start()
+    t1.join()
+    t2.join()
+    assert res["l"] == solo
