@@ -766,9 +766,11 @@ def synth_wav_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sample_hex(i):  # 16-bit LE two's complement as 4 hex chars
         v = F.pmod(F.col("event_id") * 13 + i * 29, F.lit(2048)) - 1024
         u = F.pmod(v, F.lit(65536)).cast("long")
-        lo = F.lpad(F.hex(u.bitwiseAND(F.lit(255))), 2, "0")
-        hi = F.lpad(F.hex(F.shiftright(u, 8)), 2, "0")
-        return F.concat(lo, hi)
+        # one hex+lpad of the byte-swapped value ≡ lpad(hex(lo),2) ++
+        # lpad(hex(hi),2): the HOF lambda is evaluated interpreted per
+        # element, so halving its node count is a real win (r12)
+        swapped = u.bitwiseAND(F.lit(255)) * 256 + F.shiftright(u, 8)
+        return F.lpad(F.hex(swapped), 4, "0")
 
     pcm_hex = F.array_join(
         F.transform(F.sequence(F.lit(0), F.lit(WAV_SAMPLES - 1)), sample_hex), ""

@@ -1742,21 +1742,42 @@ def q_sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFr
     surface with DECLAREd session variables and scalar-subquery
     assignment.  The oracle finds the same fixpoint declaratively
     (min over the materialized ladder), so the procedural and
-    declarative forms are gated against each other.  The loop body is
-    one aggregate scan per step; everything distributed stays in the
-    engine — the script only carries two scalars."""
+    declarative forms are gated against each other.
+
+    r12 (guide §1.2 "don't compute things you throw away"; VERDICT r11
+    task 6): the WHILE body used to re-scan the full events table per
+    ladder step (~40 eager aggregate scans executed inside
+    ``spark.sql``, 2.2 s booked by the build audit). Every count the
+    ladder ever asks for is determined by the per-decade histogram
+    ``count(*) GROUP BY floor(value/10)`` — thresholds are multiples
+    of 10, so ``value >= thr  ⟺  floor(value/10) >= thr DIV 10``
+    (exact: floor-division against an integer boundary; re-verified by
+    the unchanged raw-scan oracle at every SF). The histogram is
+    staged ONCE (one scan, ≤ ~40 rows, lineage-cut within-query loop
+    reuse like every iterative builder in the corpus) and the script's
+    loop reads the 40-row frame. Script surface unchanged: DECLARE,
+    scalar-subquery SET, WHILE — only the relation the body scans is
+    now a sufficient statistic."""
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("events_script_src")
+    hist = (
+        ev.groupBy(F.floor(F.col("value") / 10).cast("bigint").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .coalesce(1)  # ≤ ~40 rows: one task per script step, not 32
+        .localCheckpoint(eager=True)
+    )
+    hist.createOrReplaceTempView("events_script_hist")
     return spark.sql("""
 BEGIN
   DECLARE thr BIGINT DEFAULT 0;
   DECLARE n_above BIGINT DEFAULT -1;
   DECLARE n_total BIGINT DEFAULT 0;
-  SET n_total = (SELECT COUNT(*) FROM events_script_src);
-  SET n_above = (SELECT COUNT(*) FROM events_script_src WHERE value >= thr);
+  SET n_total = (SELECT COALESCE(SUM(n), 0) FROM events_script_hist);
+  SET n_above = (SELECT COALESCE(SUM(n), 0) FROM events_script_hist
+                 WHERE b >= thr DIV 10);
   WHILE n_above * 100 >= n_total DO
     SET thr = thr + 10;
-    SET n_above = (SELECT COUNT(*) FROM events_script_src WHERE value >= thr);
+    SET n_above = (SELECT COALESCE(SUM(n), 0) FROM events_script_hist
+                   WHERE b >= thr DIV 10);
   END WHILE;
   SELECT thr AS threshold, n_above;
 END
