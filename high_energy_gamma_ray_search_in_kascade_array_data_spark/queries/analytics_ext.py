@@ -820,36 +820,35 @@ def q_bfs_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         frontier = dist
-        # TWO hops per sweep (VERDICT r4 #6): at fixture scale each
-        # driver-side action costs ~0.25 s of job launch, so halving
-        # the sweep count halves the wall clock; the min-combine keeps
-        # labels exact (a node reachable at h appears in `one` with h,
-        # beating the h+1 candidate from `two`). Expanding not-yet-
-        # settled hop-h candidates inside the same sweep is safe
-        # because the anti-join against the settled set runs AFTER
-        # the batch.
-        # each sweep is ONE spark.sql statement (DataFrame kwargs):
-        # the Column form issued ~8 Py4J-built ops per sweep × ~8
-        # sweeps ≈ 0.9 s of driver build (r11 audit) that also
-        # serializes under concurrency; the single JVM-parsed
-        # statement expresses the identical sweep (same joins, same
-        # int hop literals, min-combine then anti-join)
+        # FOUR hops per sweep (r12; generalizes the r4/r11 two-hop
+        # batching): at fixture scale each driver-side action costs
+        # ~0.2 s of job launch, so quartering the sweep count cuts the
+        # wall again (8 sweeps → 4 at eccentricity 15). Soundness is
+        # the same invariant as the 2-hop form: ring j ⊇ every node
+        # whose TRUE hop count is h+j−1 (its predecessor ring carries
+        # all true-(h+j−2) nodes), every candidate label is the length
+        # of a REAL walk from the source (never below the true hop
+        # count), so MIN per node over the rings gives exact labels
+        # and the anti-join against the settled set drops revisits.
+        # Each sweep remains ONE JVM-parsed statement (the r11
+        # Py4J-build elimination).
+        hops_per_sweep = 4
         h = 1
         while h <= _BFS_MAX_HOPS:
-            if h + 1 <= _BFS_MAX_HOPS:
-                cand_sql = f"""
-  SELECT e.v AS node, CAST({h} AS INT) AS hops
-  FROM {{f}} f JOIN {{e}} e ON f.node = e.u
-  UNION ALL
-  SELECT e2.v AS node, CAST({h + 1} AS INT) AS hops
-  FROM (SELECT e.v AS node FROM {{f}} f JOIN {{e}} e ON f.node = e.u) one
-  JOIN {{e}} e2 ON one.node = e2.u"""
-            else:
-                cand_sql = f"""
-  SELECT e.v AS node, CAST({h} AS INT) AS hops
-  FROM {{f}} f JOIN {{e}} e ON f.node = e.u"""
+            k = min(hops_per_sweep, _BFS_MAX_HOPS - h + 1)
+            rings = ["r1 AS (SELECT e.v AS node FROM {f} f JOIN {e} e ON f.node = e.u)"]
+            for j in range(2, k + 1):
+                rings.append(
+                    f"r{j} AS (SELECT e.v AS node FROM r{j - 1} r JOIN {{e}} e ON r.node = e.u)"
+                )
+            cand_sql = "\n  UNION ALL\n  ".join(
+                f"SELECT node, CAST({h + j - 1} AS INT) AS hops FROM r{j}"
+                for j in range(1, k + 1)
+            )
+            rings_sql = ",\n".join(rings)
             nxt = spark.sql(
                 f"""
+WITH {rings_sql}
 SELECT g.node, g.hops
 FROM (SELECT node, MIN(hops) AS hops FROM ({cand_sql}) c GROUP BY node) g
 LEFT ANTI JOIN {{d}} d ON g.node = d.node""",
@@ -860,12 +859,12 @@ LEFT ANTI JOIN {{d}} d ON g.node = d.node""",
             if nxt.isEmpty():
                 break
             # dist stays a shallow union tree of checkpointed pieces
-            # (≤ 8 levels) — no per-sweep re-checkpoint needed
+            # (≤ 5 levels) — no per-sweep re-checkpoint needed
             dist = dist.union(nxt)
-            # hop-h discoveries were already expanded by `two`; only
-            # the outermost ring seeds the next sweep
-            frontier = nxt.filter(F.col("hops") == h + 1)
-            h += 2
+            # inner-ring discoveries were already expanded within the
+            # sweep; only the outermost ring seeds the next one
+            frontier = nxt.filter(F.col("hops") == h + k - 1)
+            h += k
     return dist
 
 
@@ -915,24 +914,34 @@ def q_bellman_ford_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sum strictly drops on any relaxation — one tiny aggregate per
         # sweep instead of an anti-join action
         prev_sig = (1, 0)
-        # TWO relaxations per sweep (VERDICT r4 #6): r2 chains off the
-        # un-minimized r1 rows — sound because the final min-combine
-        # sees every 1- and 2-edge extension of the current labels, so
-        # the fixpoint after k sweeps equals 2k textbook relaxations;
-        # halves both the sweep count and the per-sweep action count.
-        # one spark.sql statement per sweep (DataFrame kwargs) — same
+        # FOUR relaxations per sweep (r12; generalizes the r4/r11
+        # two-relaxation batching): ring j chains off the un-minimized
+        # ring j−1 rows — sound because the final min-combine sees
+        # every 1..4-edge extension of the current labels, so the
+        # fixpoint after k sweeps equals 4k textbook relaxations;
+        # quarters the sweep count and the per-sweep action count.
+        # Ring row counts stay bounded: out-degree ≤ 2 on the residue
+        # graph, so ring 4 carries ≤ 16·|V| rows before the combine.
+        # One spark.sql statement per sweep (DataFrame kwargs) — same
         # Py4J-build elimination as the BFS loop above, identical
-        # relaxation algebra
+        # relaxation algebra.
         sweep_sql = """
 SELECT node, MIN(cost) AS cost FROM (
   SELECT node, cost FROM {d}
-  UNION ALL
-  SELECT e.v AS node, r.cost + e.w AS cost
-  FROM (SELECT node, cost FROM {d}
-        UNION ALL
-        SELECT e1.v AS node, d1.cost + e1.w AS cost
-        FROM {d} d1 JOIN {e} e1 ON d1.node = e1.u) r
-  JOIN {e} e ON r.node = e.u
+  UNION ALL SELECT node, cost FROM (
+    WITH r1 AS (SELECT e.v AS node, d0.cost + e.w AS cost
+                FROM {d} d0 JOIN {e} e ON d0.node = e.u),
+         r2 AS (SELECT e.v AS node, r1.cost + e.w AS cost
+                FROM r1 JOIN {e} e ON r1.node = e.u),
+         r3 AS (SELECT e.v AS node, r2.cost + e.w AS cost
+                FROM r2 JOIN {e} e ON r2.node = e.u),
+         r4 AS (SELECT e.v AS node, r3.cost + e.w AS cost
+                FROM r3 JOIN {e} e ON r3.node = e.u)
+    SELECT node, cost FROM r1
+    UNION ALL SELECT node, cost FROM r2
+    UNION ALL SELECT node, cost FROM r3
+    UNION ALL SELECT node, cost FROM r4
+  ) rings
 ) c GROUP BY node"""
         for _sweep in range(_BFS_MAX_HOPS + 1):
             dist = spark.sql(sweep_sql, d=dist, e=edges).localCheckpoint(eager=True)
